@@ -1,0 +1,39 @@
+"""Shared text column expressions.
+
+The reference's only tokenizer splits on any non-letter rune
+(/root/reference/src/mrapps/wc.go:21-24, ``unicode.IsLetter``). The declared
+suite narrows that to ``[^a-zA-Z]+`` (SURVEY §2.4 Q1 note) because the
+testdata corpus is ASCII and Spark/DuckDB must agree on character classes.
+
+All of these are built-in column expressions — JVM-side, whole-stage
+codegen friendly; no Python UDFs in the tokenize path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mirrors the reference tokenizer for ASCII input (wc.go:21-24).
+TOKEN_SPLIT_RE = "[^a-zA-Z]+"
+
+
+def tokens_col(text: Column | str) -> Column:
+    """``array<string>`` of tokens; may contain '' at the edges — callers
+    exploding this must filter ``token != ''`` (same as the reference,
+    whose FieldsFunc never emits empties)."""
+    return F.split(F.col(text) if isinstance(text, str) else text, TOKEN_SPLIT_RE)
+
+
+def exploded_tokens(df, text_col: str = "text", out: str = "token"):
+    """documents -> one row per token, empties dropped.
+
+    Scale note: explode multiplies rows ~100x (tokens/doc); keeping this
+    as a single projected explode (no intermediate materialization) lets
+    whole-stage codegen fuse tokenize+filter into the scan stage.
+    """
+    keep = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*keep, F.explode(tokens_col(text_col)).alias(out))
+        .filter(F.col(out) != "")
+    )
