@@ -1,1 +1,400 @@
-QUERIES = []
+"""Relational query suite (SURVEY §2.4 Q4–Q13, Q19).
+
+The reference has no relational layer at all — no joins, filters,
+windows, sorts, limits, set ops or grouping sets (SURVEY §2.3); its
+entire aggregation story is one holistic sort-group-fold
+(/root/reference/src/mr/worker.go:197-212). These queries pin down the
+gap the Spark engine fills, each expressed declaratively so Catalyst
+owns pushdown, pruning, join strategy and AQE re-planning.
+
+Scale notes per query are inline. General posture:
+- Fact-to-dim joins are written fact-first; tiny dims (region, nation)
+  get an explicit broadcast hint, mid-size dims (customer, part,
+  supplier — which grow linearly with SF) are left to AQE's
+  size-based broadcast decision so the same plan text works at SF 0.01
+  and SF 1000.
+- Filters sit directly on the scan so parquet row-group pruning and
+  predicate pushdown fire (`PushedFilters` in .explain).
+- Aggregations are algebraic (sum/count/avg/min) => automatic partial
+  aggregation map-side; the reference ships every value to the reducer
+  (worker.go:207) — Spark's combine is the first 100x win at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import QuerySpec
+from ..sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q4: pricing summary (TPC-H Q1 shape) -----------------------------------
+
+def q4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q4_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_discount), 2) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# --- Q5: filtered revenue (TPC-H Q6 shape) ----------------------------------
+
+def q5_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All four predicates reach the parquet scan as PushedFilters; at
+    # 100 TB this query is I/O-bound on exactly the row groups that
+    # survive min/max pruning on l_shipdate.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+Q5_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# --- Q6: segment revenue join -----------------------------------------------
+
+def q6_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customer grows with SF: no hard broadcast hint; AQE converts to
+    # broadcast when the build side fits, else shuffle-hash/sort-merge
+    # on the (uniform) custkey — no skew by construction.
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q6_ORACLE = """
+SELECT c_mktsegment,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+# --- Q7: 4-way join to region ----------------------------------------------
+
+def q7_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Written fact-first (lineitem -> orders -> customer -> nation ->
+    # region) so each successive build side is smaller. region/nation
+    # are O(1)-sized at any SF: hard broadcast. The lineitem⋈orders
+    # join is the only unavoidable big shuffle; both sides hash on
+    # orderkey, and AQE splits skewed partitions if the key
+    # distribution degrades.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("r_name")
+    )
+
+
+Q7_ORACLE = """
+SELECT r_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+# --- Q8: top-k customers ----------------------------------------------------
+
+def q8_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy().limit() compiles to TakeOrderedAndProject: each
+    # partition keeps its local top-10, the driver merges — no global
+    # sort even at 100 TB.
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+Q8_ORACLE = """
+SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS total_spend
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 10
+"""
+
+# --- Q9: window / rank ------------------------------------------------------
+
+def q9_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window partitioned by customer: one shuffle on o_custkey, sort
+    # within partitions. rank<=2 predicate cannot be pushed below the
+    # window, but Spark's WindowGroupLimit pushes the top-2 limit into
+    # the sort at execution time.
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+Q9_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 2
+ORDER BY o_custkey, rn
+"""
+
+# --- Q10: set operations ----------------------------------------------------
+
+def q10_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey"))
+    )
+    ords = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.intersect(ords).orderBy("c_custkey")
+
+
+Q10I_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+INTERSECT
+SELECT o_custkey FROM orders
+ORDER BY c_custkey
+"""
+
+
+def q10_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey"))
+    )
+    ords = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.exceptAll(ords).distinct().orderBy("c_custkey")
+
+
+Q10E_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+EXCEPT
+SELECT o_custkey FROM orders
+ORDER BY c_custkey
+"""
+
+# --- Q11: rollup -------------------------------------------------------------
+
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+Q11_ORACLE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       COUNT(*) AS n,
+       SUM(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY rf, ls
+"""
+
+# --- Q12: scalar function sweep ---------------------------------------------
+
+def q12_scalar_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%a%"))
+        .groupBy(
+            "p_brand",
+            F.upper(F.substring("p_type", 1, 5)).alias("type5"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p_size").alias("min_size"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+        .orderBy("p_brand", "type5")
+    )
+
+
+Q12_ORACLE = """
+SELECT p_brand,
+       UPPER(SUBSTR(p_type, 1, 5)) AS type5,
+       COUNT(*) AS n,
+       MIN(p_size) AS min_size,
+       ROUND(AVG(p_retailprice), 2) AS avg_price
+FROM part
+WHERE p_name LIKE '%a%'
+GROUP BY p_brand, UPPER(SUBSTR(p_type, 1, 5))
+ORDER BY p_brand, type5
+"""
+
+# --- Q13: date bucketing -----------------------------------------------------
+
+def q13_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("m")
+    )
+
+
+# DuckDB's DATE_TRUNC('month', ts) yields DATE; cast back to TIMESTAMP to
+# match Spark's date_trunc, which always returns timestamp.
+Q13_ORACLE = """
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS m,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY 1
+ORDER BY m
+"""
+
+# --- Q19: exact count distinct ----------------------------------------------
+
+def q19_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact distinct => two-phase shuffle (expand on (rf, partkey) then
+    # re-agg). approx_count_distinct would be one pass at scale but can
+    # never hash-match an oracle; the engine exposes both, the declared
+    # query pins the exact one.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+Q19_ORACLE = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+QUERIES = [
+    QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
+              "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
+    QuerySpec("q5_filtered_revenue", q5_filtered_revenue, Q5_ORACLE,
+              "TPC-H Q6-shape filtered revenue (pushdown showcase)", ("relational", "filter")),
+    QuerySpec("q6_segment_revenue", q6_segment_revenue, Q6_ORACLE,
+              "orders x customer join, revenue by market segment", ("relational", "join")),
+    QuerySpec("q7_region_revenue", q7_region_revenue, Q7_ORACLE,
+              "4-way join lineitem->orders->customer->nation->region", ("relational", "join")),
+    QuerySpec("q8_topk_customers", q8_topk_customers, Q8_ORACLE,
+              "top-10 customers by spend (TakeOrdered, no global sort)", ("relational", "topk")),
+    QuerySpec("q9_window_rank", q9_window_rank, Q9_ORACLE,
+              "row_number window, top-2 orders per customer", ("relational", "window")),
+    QuerySpec("q10_intersect", q10_intersect, Q10I_ORACLE,
+              "INTERSECT of active customers and ordering customers", ("relational", "setop")),
+    QuerySpec("q10_except", q10_except, Q10E_ORACLE,
+              "EXCEPT: active customers who never ordered", ("relational", "setop")),
+    QuerySpec("q11_rollup", q11_rollup, Q11_ORACLE,
+              "ROLLUP(returnflag, linestatus) with ALL totals", ("relational", "rollup")),
+    QuerySpec("q12_scalar_sweep", q12_scalar_sweep, Q12_ORACLE,
+              "string scalar functions + agg over part", ("relational", "scalar")),
+    QuerySpec("q13_monthly_orders", q13_monthly_orders, Q13_ORACLE,
+              "date_trunc month bucketing of orders", ("relational", "date")),
+    QuerySpec("q19_count_distinct", q19_count_distinct, Q19_ORACLE,
+              "exact COUNT(DISTINCT partkey) per returnflag", ("relational", "distinct")),
+]

@@ -15,6 +15,7 @@ the footer matches the contract.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TABLES = [
@@ -136,10 +137,24 @@ def expected_schema(name: str) -> T.StructType:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Plain ``spark.read.parquet`` so Catalyst keeps full
-    pushdown/pruning freedom; callers select only the columns they need."""
+    pushdown/pruning freedom; callers select only the columns they need.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
+    reader rejects (PARQUET_TYPE_ILLEGAL) — Spark timestamps are
+    microsecond. We read nanos as int64 (``nanosAsLong``) and truncate
+    ns -> us, matching DuckDB's own ns -> us truncation, so both engines
+    see identical microsecond timestamps.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
