@@ -1,0 +1,52 @@
+"""Fault-tolerance: results survive task failures.
+
+Port of the reference's crash test (test-mr.sh:284-330: workers exit
+with p=1/3 mid-task; final output must equal the no-crash golden run).
+Spark's analog: a map function that fails on first attempt per
+partition; with spark.task.maxFailures=2 (conftest master local[4,2])
+the retry succeeds and output must equal the clean run — also proving
+no duplicated emission from the failed attempt (the reference's
+exactly-once output property, worker.go:184-216).
+"""
+
+import os
+import tempfile
+
+from distributed_map_reduce_spark.operators.mapreduce import (
+    map_reduce,
+    wc_map,
+    wc_reduce,
+)
+
+DOCS = [(f"doc-{i}", "alpha beta beta gamma " * (i + 1)) for i in range(8)]
+
+
+def _rows(df):
+    return sorted((r["key"], r["value"]) for r in df.collect())
+
+
+def test_output_identical_under_task_failures(spark):
+    golden = _rows(map_reduce(spark, DOCS, wc_map, wc_reduce, n_reduce=4))
+
+    marker_dir = tempfile.mkdtemp(prefix="mr-chaos-")
+
+    def crashing_map(name: str, contents: str):
+        # The first attempt of each map TASK dies (the reference kills
+        # whole worker processes, crash.go:20-32 os.Exit(1) — a task, not
+        # a record, is the failure unit); the re-dispatched attempt
+        # completes. One marker per partition keeps failures within
+        # maxFailures=2.
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        marker = os.path.join(marker_dir, f"p{pid}")
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("attempted")
+            raise RuntimeError(f"injected crash in partition {pid}")
+        return wc_map(name, contents)
+
+    chaotic = _rows(map_reduce(spark, DOCS, crashing_map, wc_reduce, n_reduce=4))
+    assert chaotic == golden
+    # at least one partition actually crashed and was re-run
+    assert len(os.listdir(marker_dir)) >= 1

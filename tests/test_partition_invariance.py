@@ -1,0 +1,34 @@
+"""Declared-query results must not depend on shuffle partitioning.
+
+Analog of the reference's soak methodology (SURVEY §5): the same query
+under different physical parallelism must produce identical results —
+the distributed-vs-sequential differential generalized to
+partition-count sweeps.
+"""
+
+import pytest
+
+from distributed_map_reduce_spark.registry import all_queries
+
+# Shuffle-heavy representatives of each operator family.
+SWEEP = ["q1_wordcount", "q4_pricing_summary", "q7_region_revenue",
+         "q9_window_rank", "q11_rollup", "q19_count_distinct"]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_shuffle_partition_invariance(spark, sf_dir, name):
+    spec = all_queries()[name]
+    results = []
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in (1, 3, 10):
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            results.append(_canon(spec.build(spark, sf_dir)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert results[0] == results[1] == results[2]
