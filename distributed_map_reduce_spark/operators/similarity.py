@@ -1,1 +1,166 @@
-QUERIES = []
+"""Similarity search over the ``embeddings`` table.
+
+North-star operator family (BASELINE.json:6): brute-force exact search
+as the correctness baseline, an LSH-bucketed variant as the 100 TB scale
+path. The reference has nothing comparable (SURVEY §2.3) — this is pure
+gap-fill on public PySpark APIs.
+
+Determinism contract (SURVEY §2.4 Q18): distances are accumulated in
+float64 over the float32 inputs, ROUNDED to 2 decimals *before* the
+argmin, ties broken by smallest candidate id — that exact rule is what
+lets Spark and DuckDB agree bit-for-bit.
+
+Scale design:
+- q18/q23 broadcast the (tiny, fixed) query set and scan embeddings
+  exactly once; the argmin is a partial-aggregatable ``min(struct(d, c))``
+  — map-side combine reduces each partition to |Q| rows, so the shuffle
+  is |Q| x n_partitions rows regardless of table size. No window, no
+  global sort, no driver-side loop.
+- For query sets too big to broadcast, ``ann_lsh_bucketed`` hashes both
+  sides into LSH buckets (pyspark.ml BucketedRandomProjectionLSH) and
+  joins bucket-to-bucket — candidate generation cost scales with bucket
+  occupancy, not |table| x |queries|. Approximate => rows-only check
+  (an approximation can never hash-match an exact oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_col, l2sq_col
+from ..registry import QuerySpec
+from ..sources import load_table
+
+N_QUERIES = 20  # q18: vec_id 0..19 play the query set
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def q18_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q"), F.col("embedding").alias("qe")
+    )
+    pairs = emb.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("q"))
+    d = F.round(l2sq_col(F.col("qe"), F.col("embedding")), 2)
+    return (
+        pairs.groupBy("q")
+        .agg(
+            F.min(F.struct(d.alias("d"), F.col("vec_id").alias("c"))).alias("m")
+        )
+        .select("q", F.col("m.c").alias("c"), F.col("m.d").alias("d"))
+        .orderBy("q")
+    )
+
+
+Q18_ORACLE = """
+WITH pairs AS (
+  SELECT q.vec_id AS q, c.vec_id AS c,
+         ROUND(list_sum(list_transform(range(1, len(q.embedding) + 1),
+               i -> (CAST(q.embedding[i] AS DOUBLE)
+                     - CAST(c.embedding[i] AS DOUBLE)) ** 2)), 2) AS d
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT q, c, d, ROW_NUMBER() OVER (PARTITION BY q ORDER BY d, c) AS rn
+  FROM pairs
+)
+SELECT q, c, d FROM ranked WHERE rn = 1 ORDER BY q
+"""
+
+
+def q23_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 cosine neighbors for queries vec_id < 10. Uses a window
+    (rank within query) — here the partition key is the query id, |Q|
+    partitions; WindowGroupLimit pushes the top-3 cut into the sort."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q"), F.col("embedding").alias("qe")
+    )
+    pairs = emb.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("q"))
+    cos = F.round(cosine_col(F.col("qe"), F.col("embedding")), 2)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("c").asc())
+    return (
+        pairs.select(
+            "q", F.col("vec_id").alias("c"), cos.alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("q", "rn")
+    )
+
+
+Q23_ORACLE = """
+WITH pairs AS (
+  SELECT q.vec_id AS q, c.vec_id AS c,
+         ROUND(
+           list_sum(list_transform(range(1, len(q.embedding) + 1),
+             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                i -> CAST(q.embedding[i] AS DOUBLE) ** 2)))
+              * SQRT(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                i -> CAST(c.embedding[i] AS DOUBLE) ** 2)))), 2) AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+)
+SELECT q, c, cos, rn
+FROM (SELECT q, c, cos,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, c ASC) AS rn
+      FROM pairs)
+WHERE rn <= 3
+ORDER BY q, rn
+"""
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via BucketedRandomProjectionLSH (fixed seed).
+
+    The 100 TB path: both sides are hashed into buckets; the join only
+    compares vectors sharing a bucket. Returns (q, c, dist) candidate
+    neighbors within the distance threshold. Approximate by design —
+    registered without an oracle (rows-only check).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=4,
+        seed=42,
+    )
+    model = lsh.fit(emb)
+    joined = model.approxSimilarityJoin(qs, emb, threshold=4.0, distCol="dist")
+    return (
+        joined.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("q"),
+            F.col("datasetB.vec_id").alias("c"),
+            F.round("dist", 2).alias("dist"),
+        )
+        .orderBy("q", "dist", "c")
+    )
+
+
+QUERIES = [
+    QuerySpec("q18_nearest_neighbor", q18_nearest_neighbor, Q18_ORACLE,
+              "exact 1-NN by squared L2 for 20 query vectors (argmin via min(struct))",
+              ("similarity",)),
+    QuerySpec("q23_cosine_topk", q23_cosine_topk, Q23_ORACLE,
+              "exact top-3 cosine neighbors for 10 query vectors",
+              ("similarity",)),
+    QuerySpec("ann_lsh_bucketed", ann_lsh_bucketed, None,
+              "approximate NN via BucketedRandomProjectionLSH (scale path; rows-only)",
+              ("similarity", "approx")),
+]
