@@ -1,1 +1,363 @@
-QUERIES = []
+"""Deduplication operators over ``documents`` (and ``embeddings``).
+
+North-star family (BASELINE.json:6). Exact dedup is q16 (content-hash
+groupBy, operators/text.py). Here: the near-duplicate ladder —
+
+- q24 exact n-gram (3-word shingle) Jaccard: candidates = pairs sharing
+  >= 1 shingle (100% recall for J > 0), verified exactly. The
+  correctness baseline for the approximate methods.
+- q25 MinHash + LSH banding: 8 permutations, 4 bands x 2 rows;
+  candidates = pairs colliding in >= 1 band, then exact-Jaccard
+  verified. The 100 TB path: cost scales with band-bucket occupancy,
+  not O(n^2).
+- q26 SimHash: 28-bit weighted fingerprint per document; identical
+  fingerprints => near-dup bucket.
+- q27 embedding-cosine near-dup: vector-space twin of q24.
+
+Determinism across engines: every hash derives from md5 (identical in
+Spark and DuckDB) — token/shingle hash = first 7 hex digits of md5 as
+an integer (28 bits, so a*h+b stays far below int64 overflow, which
+DuckDB rejects and Spark silently wraps). Permutation constants are
+module-level and the DuckDB oracle SQL is *generated from the same
+constants*, so both engines run the same algorithm by construction.
+
+Scale notes:
+- Every stage shuffles on doc_id, shingle, or band-signature keys; the
+  all-pairs step only exists inside a band/shingle bucket. Hot buckets
+  (boilerplate shingles) are the skew risk at 100 TB — mitigations:
+  drop shingles with document-frequency above a cap (stop-shingles)
+  before pairing, and AQE skew-split for the residue. The df-cap knob
+  is deliberately absent from the declared (hash-checked) queries to
+  keep their semantics exact.
+- SimHash is one groupBy(doc) + one groupBy(fingerprint): linear, the
+  cheapest near-dup signal; its 28 bit-sums partial-aggregate map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_col
+from ..registry import QuerySpec
+from ..sources import load_table
+
+# MinHash permutation constants: h_i(x) = (A[i]*x + B[i]) mod P.
+# P = 2^31 - 1 (prime); A,B fixed odd constants < P. 8 perms, 4 bands x 2.
+P_MOD = 2147483647
+A_CONST = [769, 1237, 2689, 4099, 5881, 7919, 9973, 12007]
+B_CONST = [12289, 24593, 49157, 98317, 196613, 393241, 786433, 1572869]
+N_PERM = 8
+N_BANDS = 4  # rows per band = 2
+JACCARD_T = 0.5
+SIMHASH_BITS = 28
+COS_T = 0.4
+COS_MAX_ID = 2000
+
+# --- shared shingle/token building blocks -----------------------------------
+
+_SPARK_SHINGLES = """
+transform(
+  CASE WHEN size(__toks) >= 3
+       THEN sequence(0, size(__toks) - 3)
+       ELSE array() END,
+  i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))
+""".replace(
+    "__toks", "filter(split(text, '[^a-zA-Z]+'), x -> x != '')"
+)
+
+_DUCK_SHINGLES = """
+list_transform(range(1, len(__toks) - 1),
+               i -> __toks[i] || ' ' || __toks[i+1] || ' ' || __toks[i+2])
+""".replace(
+    "__toks", "list_filter(string_split_regex(text, '[^a-zA-Z]+'), x -> x <> '')"
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) distinct 3-word shingles per document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh"))
+        .distinct()
+    )
+
+
+_DUCK_DOC_SHINGLES = f"""
+  SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+  FROM documents
+"""
+
+
+def _hash7(col: Column) -> Column:
+    """First 7 md5 hex digits as int64 — identical in DuckDB via
+    ('0x' || substr(md5(x),1,7))::BIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 7), 16, 10).cast(
+        "bigint"
+    )
+
+
+_DUCK_HASH7 = "(('0x' || substr(md5({x}), 1, 7))::BIGINT)"
+
+# --- q24: exact n-gram Jaccard near-dup pairs -------------------------------
+
+def _jaccard_pairs(
+    shingles: DataFrame, candidates: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for candidate (ad, bd) pairs from the shingle sets."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col("doc_id").alias("ad"), "sh")
+    sb = shingles.select(F.col("doc_id").alias("bd"), "sh")
+    inter = (
+        candidates.join(sa, "ad")
+        .join(sb, ["bd", "sh"])
+        .groupBy("ad", "bd")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "ad", "n": "na"}), "ad")
+        .join(sizes.withColumnsRenamed({"doc_id": "bd", "n": "nb"}), "bd")
+        .withColumn("j", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("j") >= JACCARD_T)
+        .select("ad", "bd", F.round("j", 2).alias("jacc"))
+        .orderBy("ad", "bd")
+    )
+
+
+def q24_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    cands = (
+        sh.select(F.col("doc_id").alias("ad"), "sh")
+        .join(sh.select(F.col("doc_id").alias("bd"), "sh"), "sh")
+        .filter(F.col("ad") < F.col("bd"))
+        .select("ad", "bd")
+        .distinct()
+    )
+    return _jaccard_pairs(sh, cands)
+
+
+Q24_ORACLE = f"""
+WITH s AS ({_DUCK_DOC_SHINGLES}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS ad, b.doc_id AS bd
+  FROM s a JOIN s b USING (sh)
+  WHERE a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT c.ad, c.bd, COUNT(*) AS i
+  FROM cands c
+  JOIN s a ON a.doc_id = c.ad
+  JOIN s b ON b.doc_id = c.bd AND b.sh = a.sh
+  GROUP BY c.ad, c.bd
+)
+SELECT ad, bd, ROUND(CAST(i AS DOUBLE) / (x.n + y.n - i), 2) AS jacc
+FROM inter
+JOIN sz x ON x.doc_id = ad
+JOIN sz y ON y.doc_id = bd
+WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {JACCARD_T}
+ORDER BY ad, bd
+"""
+
+# --- q25: MinHash + LSH banding ---------------------------------------------
+
+def q25_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    h = _hash7(F.col("sh"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(A_CONST[i]) * h + F.lit(B_CONST[i])) % F.lit(P_MOD)).alias(
+                f"s{i}"
+            )
+            for i in range(N_PERM)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.col(f"s{2 * j}").alias("x"),
+                        F.col(f"s{2 * j + 1}").alias("y"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.x", "b.y")
+    cands = (
+        bands.select(F.col("doc_id").alias("ad"), "band", "x", "y")
+        .join(
+            bands.select(F.col("doc_id").alias("bd"), "band", "x", "y"),
+            ["band", "x", "y"],
+        )
+        .filter(F.col("ad") < F.col("bd"))
+        .select("ad", "bd")
+        .distinct()
+    )
+    return _jaccard_pairs(sh, cands)
+
+
+_DUCK_SIG_COLS = ",\n         ".join(
+    f"MIN(({A_CONST[i]} * {_DUCK_HASH7.format(x='sh')} + {B_CONST[i]}) % {P_MOD}) AS s{i}"
+    for i in range(N_PERM)
+)
+_DUCK_BAND_ROWS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {j} AS band, s{2 * j} AS x, s{2 * j + 1} AS y FROM sigs"
+    for j in range(N_BANDS)
+)
+
+Q25_ORACLE = f"""
+WITH s AS ({_DUCK_DOC_SHINGLES}),
+sigs AS (
+  SELECT doc_id,
+         {_DUCK_SIG_COLS}
+  FROM s GROUP BY doc_id
+),
+bands AS (
+{_DUCK_BAND_ROWS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS ad, b.doc_id AS bd
+  FROM bands a JOIN bands b USING (band, x, y)
+  WHERE a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT c.ad, c.bd, COUNT(*) AS i
+  FROM cands c
+  JOIN s a ON a.doc_id = c.ad
+  JOIN s b ON b.doc_id = c.bd AND b.sh = a.sh
+  GROUP BY c.ad, c.bd
+)
+SELECT ad, bd, ROUND(CAST(i AS DOUBLE) / (x.n + y.n - i), 2) AS jacc
+FROM inter
+JOIN sz x ON x.doc_id = ad
+JOIN sz y ON y.doc_id = bd
+WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {JACCARD_T}
+ORDER BY ad, bd
+"""
+
+# --- q26: SimHash fingerprints ----------------------------------------------
+
+def q26_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", "[^a-zA-Z]+"), lambda x: x != "")
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    h = _hash7(F.col("token"))
+    bit_sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    fingerprint = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return (
+        bit_sums.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("keeper"))
+        .orderBy("simhash")
+    )
+
+
+_DUCK_BIT_SUMS = ",\n         ".join(
+    f"SUM(CASE WHEN (({_DUCK_HASH7.format(x='token')} >> {i}) & 1) = 1"
+    f" THEN cnt ELSE -cnt END) AS b{i}"
+    for i in range(SIMHASH_BITS)
+)
+_DUCK_FP = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+)
+
+Q26_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+                                  x -> x <> '')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+),
+bits AS (
+  SELECT doc_id,
+         {_DUCK_BIT_SUMS}
+  FROM tf GROUP BY doc_id
+)
+SELECT CAST({_DUCK_FP} AS BIGINT) AS simhash,
+       COUNT(*) AS c, MIN(doc_id) AS keeper
+FROM bits
+GROUP BY 1
+ORDER BY simhash
+"""
+
+# --- q27: embedding-cosine near-dup pairs -----------------------------------
+
+def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine over a bounded id range (the hash-checked exact
+    form; at 100 TB the same semantics run through ann_lsh_bucketed's
+    bucket join instead of an O(n^2) pair space)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < COS_MAX_ID)
+        .select("vec_id", "embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("ad"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("bd"), F.col("embedding").alias("eb"))
+    cos = F.round(cosine_col(F.col("ea"), F.col("eb")), 2)
+    return (
+        a.join(b, F.col("ad") < F.col("bd"))
+        .select("ad", "bd", cos.alias("cos"))
+        .filter(F.col("cos") >= COS_T)
+        .orderBy("ad", "bd")
+    )
+
+
+_DUCK_COS = """
+ROUND(
+  list_sum(list_transform(range(1, len(a.embedding) + 1),
+    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+  / (SQRT(list_sum(list_transform(range(1, len(a.embedding) + 1),
+       i -> CAST(a.embedding[i] AS DOUBLE) ** 2)))
+     * SQRT(list_sum(list_transform(range(1, len(b.embedding) + 1),
+       i -> CAST(b.embedding[i] AS DOUBLE) ** 2)))), 2)
+"""
+
+Q27_ORACLE = f"""
+SELECT a.vec_id AS ad, b.vec_id AS bd, {_DUCK_COS} AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND a.vec_id < {COS_MAX_ID} AND b.vec_id < {COS_MAX_ID}
+  AND {_DUCK_COS} >= {COS_T}
+ORDER BY ad, bd
+"""
+
+QUERIES = [
+    QuerySpec("q24_ngram_jaccard_dedup", q24_ngram_jaccard_dedup, Q24_ORACLE,
+              "exact 3-gram shingle Jaccard near-dup pairs (J >= 0.5)",
+              ("dedup",)),
+    QuerySpec("q25_minhash_lsh_dedup", q25_minhash_lsh_dedup, Q25_ORACLE,
+              "MinHash(8) + LSH(4x2) candidates, exact-Jaccard verified",
+              ("dedup", "lsh")),
+    QuerySpec("q26_simhash_dedup", q26_simhash_dedup, Q26_ORACLE,
+              "28-bit SimHash fingerprint buckets (count, keeper)",
+              ("dedup", "simhash")),
+    QuerySpec("q27_embedding_neardup", q27_embedding_neardup, Q27_ORACLE,
+              "embedding-cosine near-dup pairs over bounded id range",
+              ("dedup", "similarity")),
+]

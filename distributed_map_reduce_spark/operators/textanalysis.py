@@ -1,0 +1,230 @@
+"""Text-analysis operators for a training-data pipeline.
+
+North-star family (BASELINE.json:6): per-document signals a 100 TB
+curation pipeline computes on every record — token counts, quality
+scores, language identification, content fingerprints. All four are
+single-pass, per-document projections (narrow — zero shuffle until the
+final small aggregation, and the per-doc outputs are embarrassingly
+parallel at any scale) built from JVM-side expressions only: no Python
+in the hot path.
+
+The language-ID heuristic is deliberately simple and *deterministic*
+(stopword-hit ratio) so the DuckDB oracle can run the identical rule —
+a production pipeline would swap in fastText/CLD3 via a Pandas UDF
+(see operators/multimodal.py for the UDF plumbing pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+from ..sources import load_table
+
+# Keep in sync between the Spark expressions and generated oracle SQL.
+STOPWORDS = ("the", "a", "and", "or", "of", "in", "to", "is")
+BPE_RE = "[a-zA-Z]+|[0-9]+"  # BPE-ish pre-tokenizer: letter runs / digit runs
+KMV_K = 3  # k-min-values fingerprint width
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+_TOKS = "filter(split(text, '[^a-zA-Z]+'), x -> x != '')"
+_DUCK_TOKS = "list_filter(string_split_regex(text, '[^a-zA-Z]+'), x -> x <> '')"
+
+
+# --- q28: token counting ----------------------------------------------------
+
+def q28_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document, plus corpus
+    totals by source. regexp_count keeps the counting inside codegen."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.size(F.expr("filter(split(text, '\\\\s+'), x -> x != '')")).alias("ws"),
+        F.regexp_count("text", F.lit(BPE_RE)).alias("bpe"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(F.avg("ws"), 2).alias("avg_ws"),
+        )
+        .orderBy("source")
+    )
+
+
+Q28_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(ws) AS ws_tokens,
+       SUM(bpe) AS bpe_tokens,
+       ROUND(AVG(ws), 2) AS avg_ws
+FROM (SELECT source,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws,
+             len(regexp_extract_all(text, '{BPE_RE}')) AS bpe
+      FROM documents)
+GROUP BY source
+ORDER BY source
+"""
+
+# --- q29: quality scoring ---------------------------------------------------
+
+_SW_LIST_SPARK = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+_SW_LIST_DUCK = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def q29_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc-quality score in [0, 1]:
+    length factor (saturates at 100 tokens) x stopword-sanity factor
+    (penalizes distance from a 20% stopword ratio). Binned for a compact
+    hash-checked output; the per-doc frame is the real pipeline product.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"size({_TOKS})").alias("n_tok"),
+        F.expr(
+            f"size(filter({_TOKS}, x -> array_contains({_SW_LIST_SPARK}, x)))"
+        ).alias("n_stop"),
+    )
+    scored = d.select(
+        "doc_id",
+        F.round(
+            F.least(F.col("n_tok") / 100.0, F.lit(1.0))
+            * (1 - F.abs(F.col("n_stop") / F.col("n_tok") - 0.2)),
+            2,
+        ).alias("score"),
+    )
+    return (
+        scored.groupBy(F.floor(F.col("score") * 10).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc"))
+        .orderBy("bin")
+    )
+
+
+Q29_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         len({_DUCK_TOKS}) AS n_tok,
+         len(list_filter({_DUCK_TOKS},
+                         x -> list_contains({_SW_LIST_DUCK}, x))) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         ROUND(LEAST(n_tok / 100.0, 1.0)
+               * (1 - ABS(CAST(n_stop AS DOUBLE) / n_tok - 0.2)), 2) AS score
+  FROM d
+)
+SELECT CAST(FLOOR(score * 10) AS BIGINT) AS bin,
+       COUNT(*) AS n, MIN(doc_id) AS first_doc
+FROM scored
+GROUP BY 1
+ORDER BY bin
+"""
+
+# --- q30: language-ID heuristic ---------------------------------------------
+
+def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language guess vs the labeled lang column:
+    confusion-matrix style output (labeled lang, predicted, count)."""
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        F.expr(f"size({_TOKS})").alias("n_tok"),
+        F.expr(
+            f"size(filter({_TOKS}, x -> array_contains({_SW_LIST_SPARK}, x)))"
+        ).alias("n_stop"),
+    )
+    pred = F.when(
+        (F.col("n_tok") > 0) & (F.col("n_stop") / F.col("n_tok") >= 0.05), "en"
+    ).otherwise("unknown")
+    return (
+        d.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+Q30_ORACLE = f"""
+WITH d AS (
+  SELECT lang,
+         len({_DUCK_TOKS}) AS n_tok,
+         len(list_filter({_DUCK_TOKS},
+                         x -> list_contains({_SW_LIST_DUCK}, x))) AS n_stop
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN n_tok > 0 AND CAST(n_stop AS DOUBLE) / n_tok >= 0.05
+            THEN 'en' ELSE 'unknown' END AS lang_pred,
+       COUNT(*) AS n
+FROM d
+GROUP BY 1, 2
+ORDER BY lang, lang_pred
+"""
+
+# --- q31: k-min-values document fingerprint ---------------------------------
+
+def q31_kmv_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint = the K smallest distinct shingle hashes, dash-joined.
+    A locality-sensitive sketch: shared prefixes => shared content; used
+    as a cheap near-dup blocking key. Grouped output (fingerprint, count,
+    keeper) mirrors q16's exact-dedup shape one level fuzzier."""
+    from .dedup import _doc_shingles, _hash7
+
+    sh = _doc_shingles(spark, sf_dir)
+    fp = F.concat_ws(
+        "-",
+        F.transform(
+            F.slice(F.array_sort(F.collect_set(_hash7(F.col("sh")))), 1, KMV_K),
+            lambda x: x.cast("string"),
+        ),
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("keeper"))
+        .orderBy("fp")
+    )
+
+
+Q31_ORACLE = f"""
+WITH s AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+),
+fps AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             list_sort(list(DISTINCT ('0x' || substr(md5(sh), 1, 7))::BIGINT))[1:{KMV_K}],
+             x -> x::VARCHAR), '-') AS fp
+  FROM s GROUP BY doc_id
+)
+SELECT fp, COUNT(*) AS c, MIN(doc_id) AS keeper
+FROM fps
+GROUP BY fp
+ORDER BY fp
+"""
+
+QUERIES = [
+    QuerySpec("q28_token_counts", q28_token_counts, Q28_ORACLE,
+              "whitespace + BPE-ish regex token counts by source",
+              ("textanalysis",)),
+    QuerySpec("q29_quality_score", q29_quality_score, Q29_ORACLE,
+              "deterministic doc quality score, binned histogram",
+              ("textanalysis",)),
+    QuerySpec("q30_lang_id", q30_lang_id, Q30_ORACLE,
+              "stopword-ratio language-ID vs labeled lang (confusion counts)",
+              ("textanalysis",)),
+    QuerySpec("q31_kmv_fingerprint", q31_kmv_fingerprint, Q31_ORACLE,
+              "k-min-values shingle fingerprint buckets",
+              ("textanalysis", "dedup")),
+]

@@ -39,6 +39,7 @@ _OPERATOR_MODULES = [
     "distributed_map_reduce_spark.operators.relational",
     "distributed_map_reduce_spark.operators.events",
     "distributed_map_reduce_spark.operators.dedup",
+    "distributed_map_reduce_spark.operators.textanalysis",
     "distributed_map_reduce_spark.operators.similarity",
     "distributed_map_reduce_spark.operators.mapreduce",
     "distributed_map_reduce_spark.operators.multimodal",
