@@ -101,19 +101,9 @@ _DUCK_HASH7 = "(('0x' || substr(md5({x}), 1, 7))::BIGINT)"
 
 # --- q24: exact n-gram Jaccard near-dup pairs -------------------------------
 
-def _jaccard_pairs(
-    shingles: DataFrame, candidates: DataFrame
-) -> DataFrame:
-    """Exact Jaccard for candidate (ad, bd) pairs from the shingle sets."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = shingles.select(F.col("doc_id").alias("ad"), "sh")
-    sb = shingles.select(F.col("doc_id").alias("bd"), "sh")
-    inter = (
-        candidates.join(sa, "ad")
-        .join(sb, ["bd", "sh"])
-        .groupBy("ad", "bd")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+def _finish_jaccard(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """(ad, bd, i) intersection counts + per-doc set sizes -> thresholded
+    rounded-Jaccard pairs."""
     return (
         inter.join(sizes.withColumnsRenamed({"doc_id": "ad", "n": "na"}), "ad")
         .join(sizes.withColumnsRenamed({"doc_id": "bd", "n": "nb"}), "bd")
@@ -125,15 +115,20 @@ def _jaccard_pairs(
 
 
 def q24_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Intersection counts fall straight out of the shingle self-join:
+    # each shared shingle contributes one (ad, bd) row (sets are
+    # distinct), so groupBy-count IS |A ∩ B| — no separate candidate
+    # materialization + re-join (that doubled the shuffle volume).
     sh = _doc_shingles(spark, sf_dir)
-    cands = (
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
         sh.select(F.col("doc_id").alias("ad"), "sh")
         .join(sh.select(F.col("doc_id").alias("bd"), "sh"), "sh")
         .filter(F.col("ad") < F.col("bd"))
-        .select("ad", "bd")
-        .distinct()
+        .groupBy("ad", "bd")
+        .agg(F.count(F.lit(1)).alias("i"))
     )
-    return _jaccard_pairs(sh, cands)
+    return _finish_jaccard(inter, sizes)
 
 
 Q24_ORACLE = f"""
@@ -197,7 +192,30 @@ def q25_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ad", "bd")
         .distinct()
     )
-    return _jaccard_pairs(sh, cands)
+    # Verify candidates with one array_intersect per pair (codegen)
+    # instead of re-joining the exploded shingle table: candidate count
+    # bounds the work, and the shingle-set frame is small enough to
+    # hash-join (AQE broadcasts it when it fits).
+    sets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("shs"))
+    pairs = (
+        cands.join(
+            sets.select(F.col("doc_id").alias("ad"), F.col("shs").alias("sa")), "ad"
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("bd"), F.col("shs").alias("sb")), "bd"
+        )
+        .withColumn("i", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("na", F.size("sa"))
+        .withColumn("nb", F.size("sb"))
+    )
+    return (
+        pairs.withColumn(
+            "j", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .filter(F.col("j") >= JACCARD_T)
+        .select("ad", "bd", F.round("j", 2).alias("jacc"))
+        .orderBy("ad", "bd")
+    )
 
 
 _DUCK_SIG_COLS = ",\n         ".join(
