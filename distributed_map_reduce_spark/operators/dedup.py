@@ -38,7 +38,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_col
 from ..registry import QuerySpec
 from ..sources import load_table
 
@@ -326,22 +325,78 @@ ORDER BY simhash
 
 # --- q27: embedding-cosine near-dup pairs -----------------------------------
 
+N_COS_BLOCKS = 16  # block-matmul grid; each vector replicated N+1 times
+
+
 def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine over a bounded id range (the hash-checked exact
-    form; at 100 TB the same semantics run through ann_lsh_bucketed's
-    bucket join instead of an O(n^2) pair space)."""
+    """All-pairs cosine as a distributed block-matrix multiply.
+
+    Vectors are bucketed into N blocks; each of the N*(N+1)/2 block pairs
+    is one ``applyInPandas`` group computing a single float64 numpy
+    matmul — the pair space never materializes as Spark rows, only the
+    thresholded survivors do. Replication factor is N+1 per vector (tiny
+    vs the O(n^2/N^2)-per-task pair work), and the grid keeps every task
+    bounded regardless of total n, so the same plan holds at 100 TB with
+    N scaled to the cluster. Semantics match the DuckDB oracle:
+    cos = dot/(|a||b|) in float64, HALF_UP-rounded to 2 before the
+    threshold (np.floor(x*100+0.5)/100 == Spark/DuckDB ROUND for the
+    positive survivors).
+    """
+    import numpy as np
+    import pandas as pd
+
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < COS_MAX_ID)
-        .select("vec_id", "embedding")
+        .select(
+            "vec_id",
+            "embedding",
+            (F.col("vec_id") % N_COS_BLOCKS).cast("int").alias("blk"),
+        )
     )
-    a = emb.select(F.col("vec_id").alias("ad"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("bd"), F.col("embedding").alias("eb"))
-    cos = F.round(cosine_col(F.col("ea"), F.col("eb")), 2)
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(N_COS_BLOCKS) for j in range(i, N_COS_BLOCKS)],
+        "ba int, bb int",
+    )
+    a_side = emb.join(F.broadcast(grid), emb.blk == grid.ba).select(
+        "ba", "bb", F.lit(True).alias("is_a"), "vec_id", "embedding"
+    )
+    b_side = emb.join(F.broadcast(grid), emb.blk == grid.bb).select(
+        "ba", "bb", F.lit(False).alias("is_a"), "vec_id", "embedding"
+    )
+
+    def block_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
+        am, bm = pdf[pdf.is_a], pdf[~pdf.is_a]
+        if am.empty or bm.empty:
+            return pd.DataFrame(
+                {
+                    "ad": pd.Series(dtype="int64"),
+                    "bd": pd.Series(dtype="int64"),
+                    "cos": pd.Series(dtype="float64"),
+                }
+            )
+        A = np.vstack(am.embedding.to_numpy()).astype(np.float64)
+        B = np.vstack(bm.embedding.to_numpy()).astype(np.float64)
+        C = (A @ B.T) / np.outer(
+            np.sqrt((A * A).sum(axis=1)), np.sqrt((B * B).sum(axis=1))
+        )
+        Cr = np.floor(C * 100.0 + 0.5) / 100.0  # HALF_UP, positives only kept
+        ai = am.vec_id.to_numpy()
+        bi = bm.vec_id.to_numpy()
+        ii, jj = np.nonzero(Cr >= COS_T)
+        ad, bd = ai[ii], bi[jj]
+        if int(pdf.ba.iat[0]) == int(pdf.bb.iat[0]):
+            keep = ad < bd  # same block on both sides: drop self + mirror
+            ad, bd, cos = ad[keep], bd[keep], Cr[ii, jj][keep]
+        else:
+            cos = Cr[ii, jj]
+            ad, bd = np.minimum(ad, bd), np.maximum(ad, bd)
+        return pd.DataFrame({"ad": ad, "bd": bd, "cos": cos})
+
     return (
-        a.join(b, F.col("ad") < F.col("bd"))
-        .select("ad", "bd", cos.alias("cos"))
-        .filter(F.col("cos") >= COS_T)
+        a_side.unionByName(b_side)
+        .groupBy("ba", "bb")
+        .applyInPandas(block_cosine, "ad bigint, bd bigint, cos double")
         .orderBy("ad", "bd")
     )
 
