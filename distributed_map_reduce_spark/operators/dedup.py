@@ -73,13 +73,31 @@ list_transform(range(1, len(__toks) - 1),
 )
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh) distinct 3-word shingles per document."""
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, sh) 3-word shingles per document (distinct by default).
+
+    Pass ``distinct=False`` when the consumer is dedup-insensitive
+    (min/collect_set) — that skips a whole shuffle of raw shingle
+    strings, the widest data in the pipeline.
+    """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return (
-        docs.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh"))
-        .distinct()
-    )
+    sh = docs.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh"))
+    return sh.distinct() if distinct else sh
+
+
+def _doc_shingle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, k) distinct shingles keyed by xxhash64.
+
+    Internal join/count key only — results stay defined over shingle
+    *sets*, so any 64-bit collision-free hash preserves them (collision
+    odds ~1e-10 at 100k distinct shingles; the oracle parity gate would
+    surface one). Shuffling 8-byte keys instead of ~25-byte strings
+    roughly halves the self-join shuffle volume.
+    """
+    sh = _doc_shingles(spark, sf_dir, distinct=False)
+    return sh.select("doc_id", F.xxhash64("sh").alias("k")).distinct()
 
 
 _DUCK_DOC_SHINGLES = f"""
@@ -118,11 +136,11 @@ def q24_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each shared shingle contributes one (ad, bd) row (sets are
     # distinct), so groupBy-count IS |A ∩ B| — no separate candidate
     # materialization + re-join (that doubled the shuffle volume).
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingle_keys(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        sh.select(F.col("doc_id").alias("ad"), "sh")
-        .join(sh.select(F.col("doc_id").alias("bd"), "sh"), "sh")
+        sh.select(F.col("doc_id").alias("ad"), "k")
+        .join(sh.select(F.col("doc_id").alias("bd"), "k"), "k")
         .filter(F.col("ad") < F.col("bd"))
         .groupBy("ad", "bd")
         .agg(F.count(F.lit(1)).alias("i"))
@@ -156,7 +174,9 @@ ORDER BY ad, bd
 # --- q25: MinHash + LSH banding ---------------------------------------------
 
 def q25_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
+    # min() is dedup-insensitive, so signatures come from the raw
+    # (non-distinct) shingle stream — no distinct shuffle.
+    sh = _doc_shingles(spark, sf_dir, distinct=False)
     h = _hash7(F.col("sh"))
     sigs = sh.groupBy("doc_id").agg(
         *[
@@ -193,9 +213,14 @@ def q25_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Verify candidates with one array_intersect per pair (codegen)
     # instead of re-joining the exploded shingle table: candidate count
-    # bounds the work, and the shingle-set frame is small enough to
-    # hash-join (AQE broadcasts it when it fits).
-    sets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("shs"))
+    # bounds the work, and the hashed-set frame (8B/shingle, not raw
+    # strings — collect_set dedupes, no distinct shuffle needed) is small
+    # enough to hash-join (AQE broadcasts when it fits).
+    sets = (
+        sh.select("doc_id", F.xxhash64("sh").alias("k"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("k").alias("shs"))
+    )
     pairs = (
         cands.join(
             sets.select(F.col("doc_id").alias("ad"), F.col("shs").alias("sa")), "ad"

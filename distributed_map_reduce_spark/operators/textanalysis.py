@@ -176,11 +176,16 @@ def q31_kmv_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper) mirrors q16's exact-dedup shape one level fuzzier."""
     from .dedup import _doc_shingles, _hash7
 
-    sh = _doc_shingles(spark, sf_dir)
+    # collect_set dedupes, so hash each shingle to its 28-bit key on the
+    # map side and shuffle only (doc_id, bigint) — no distinct pass, no
+    # raw shingle strings on the wire.
+    sh = _doc_shingles(spark, sf_dir, distinct=False).select(
+        "doc_id", _hash7(F.col("sh")).alias("h")
+    )
     fp = F.concat_ws(
         "-",
         F.transform(
-            F.slice(F.array_sort(F.collect_set(_hash7(F.col("sh")))), 1, KMV_K),
+            F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K),
             lambda x: x.cast("string"),
         ),
     )
