@@ -55,15 +55,20 @@ COS_MAX_ID = 2000
 
 # --- shared shingle/token building blocks -----------------------------------
 
+# The tokenizer MUST be materialized as a column before shingling: if the
+# split+filter expression were textually inlined at every `__toks` site,
+# the three per-element lambda references would re-run the whole-document
+# regexp split once per shingle — O(tokens^2) per document (measured 15 s
+# for 260k shingles at sf0.1 vs <1 s materialized).
+_SPARK_TOKS = "filter(split(text, '[^a-zA-Z]+'), x -> x != '')"
+
 _SPARK_SHINGLES = """
 transform(
-  CASE WHEN size(__toks) >= 3
-       THEN sequence(0, size(__toks) - 3)
+  CASE WHEN size(toks) >= 3
+       THEN sequence(0, size(toks) - 3)
        ELSE array() END,
-  i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))
-""".replace(
-    "__toks", "filter(split(text, '[^a-zA-Z]+'), x -> x != '')"
-)
+  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+"""
 
 _DUCK_SHINGLES = """
 list_transform(range(1, len(__toks) - 1),
@@ -83,7 +88,9 @@ def _doc_shingles(
     strings, the widest data in the pipeline.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = docs.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh"))
+    sh = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks")).select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh")
+    )
     return sh.distinct() if distinct else sh
 
 
