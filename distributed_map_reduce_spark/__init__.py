@@ -10,7 +10,7 @@ Layout
 ------
 - ``session``     SparkSession factory (AQE, Arrow, UTC, shuffle sizing)
 - ``sources``     typed readers for the driver's parquet tables + binary files
-- ``functions``   shared column expressions (tokenizers, vector math, hashing)
+- ``functions``   shared column expressions (tokenizers, vector math)
 - ``operators``   the query suite: relational, text, events, dedup,
                   similarity, multimodal, and the ``map_reduce()``
                   compatibility API (the reference's actual surface,

@@ -69,6 +69,71 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+SESSION_GAP = "6 hours"
+
+
+def q32_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via native ``session_window``.
+
+    A session = maximal run of a user's events where consecutive gaps are
+    < 6 h; ``session_end`` is Spark's convention, last event + gap. The
+    oracle reproduces it relationally (lag -> gap >= 6h marks a new
+    session -> running sum numbers sessions -> group), which pins the
+    boundary rule: a gap of exactly 6 h starts a NEW session (Spark
+    merges only while ts < previous end).
+
+    Scale notes: session_window is a single shuffle on user_id followed
+    by a per-key sort-merge of windows — no self-join, no window-function
+    second pass like the lag formulation would need. The same expression
+    works under ``readStream`` + watermark (state evicted per watermark),
+    which is why this is the batch twin of the streaming session path.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # session_window needs an instant (tz-aware) timestamp; session tz is
+    # UTC so NTZ wall-clock values round-trip exactly.
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "total",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+Q32_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w >= INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 6 HOUR AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
 QUERIES = [
     QuerySpec("q14_hourly_windows", q14_hourly_windows, Q14_ORACLE,
               "tumbling 1h event windows (batch twin of the streaming path)",
@@ -76,4 +141,7 @@ QUERIES = [
     QuerySpec("q15_json_extract", q15_json_extract, Q15_ORACLE,
               "JSON property extraction + aggregation over events.props",
               ("events", "json")),
+    QuerySpec("q32_user_sessions", q32_user_sessions, Q32_ORACLE,
+              "gap-based sessionization (session_window, 6h gap)",
+              ("events", "session", "streaming-twin")),
 ]

@@ -73,15 +73,95 @@ def hourly_windows_stream(
     )
 
 
+def sessionized_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of batch q32: gap-based sessions via
+    ``session_window`` + watermark. In append mode a session emits once
+    its close is final — i.e. the watermark has passed session end — so
+    a drained stream yields exactly the batch sessions except those still
+    open within the final watermark. State per key is one open session,
+    evicted on emission; at 100 TB/day the watermark is the knob bounding
+    state size."""
+    from ..operators.events import SESSION_GAP
+
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+# --- custom stateful operator: applyInPandasWithState -----------------------
+
+RUNNING_TOTALS_OUT = "user_id bigint, n_events bigint, total double"
+_RUNNING_TOTALS_STATE = "n bigint, total double"
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (event count, value sum) maintained across
+    micro-batches — the engine's custom-stateful-operator surface, the
+    Spark-native analog of a user reduce function that keeps state
+    between calls (the reference's reduce sees all values at once;
+    streaming cannot, hence explicit state).
+
+    Built on ``applyInPandasWithState``: grouped rows arrive as Arrow
+    batches, state is a typed tuple per key, and each batch emits the
+    updated running totals for the keys it touched ('update' semantics).
+    State is O(#users) regardless of event volume; no timeout is set
+    because the totals are cumulative forever (a real pipeline would use
+    ``GroupStateTimeout.ProcessingTimeTimeout`` to expire idle users).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total": [total]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            RUNNING_TOTALS_OUT,
+            _RUNNING_TOTALS_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(
-    stream_df: DataFrame, checkpoint_dir: str, table_name: str = "stream_out"
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    table_name: str = "stream_out",
+    output_mode: str = "complete",
 ) -> None:
     """Drain the stream with Trigger.availableNow into an in-memory
     table; blocks until the backlog is fully processed."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

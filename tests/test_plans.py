@@ -1,0 +1,75 @@
+"""Pin the scale-critical physical-plan properties (SURVEY §6, the 100 TB
+story): pushdown, pruning, broadcast, map-side combine. These are the
+regressions that stay invisible at sf0.001 and dominate at SF1000."""
+
+from distributed_map_reduce_spark.plans.inspect import (
+    formatted_plan,
+    has_broadcast_join,
+    has_partial_aggregation,
+    pushed_filters,
+    read_schemas,
+    whole_stage_codegen_subtrees,
+)
+from distributed_map_reduce_spark.registry import all_queries
+
+
+def _q(name, spark, sf_dir):
+    return all_queries()[name].build(spark, sf_dir)
+
+
+def test_q5_filters_reach_parquet_scan(spark, sf_dir):
+    """TPC-H Q6 shape: shipdate/discount/quantity predicates must land in
+    the scan, not a post-scan Filter alone."""
+    pf = pushed_filters(_q("q5_filtered_revenue", spark, sf_dir))
+    cols = " ".join(pf)
+    assert "l_shipdate" in cols and "l_discount" in cols and "l_quantity" in cols
+
+
+def test_q5_scan_prunes_columns(spark, sf_dir):
+    """lineitem has 11 columns; Q5 needs 4 — the scan must not read more."""
+    (schema,) = read_schemas(_q("q5_filtered_revenue", spark, sf_dir))
+    assert schema.count(":") == 4
+    for c in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert c in schema
+
+
+def test_q7_broadcasts_small_dimensions(spark, sf_dir):
+    """The 4-way join must not shuffle lineitem against region/nation —
+    small dims broadcast (statically or via AQE)."""
+    assert has_broadcast_join(_q("q7_region_revenue", spark, sf_dir))
+
+
+def test_q6_join_is_broadcast_at_gate_scale(spark, sf_dir):
+    assert has_broadcast_join(_q("q6_segment_revenue", spark, sf_dir))
+
+
+def test_q1_wordcount_partial_aggregates(spark, sf_dir):
+    """The combiner the reference lacks: token counts partial-aggregate
+    map-side, so the shuffle carries (token, partial n), not every
+    occurrence."""
+    assert has_partial_aggregation(_q("q1_wordcount", spark, sf_dir))
+
+
+def test_q4_pricing_partial_aggregates(spark, sf_dir):
+    assert has_partial_aggregation(_q("q4_pricing_summary", spark, sf_dir))
+
+
+def test_q4_runs_in_whole_stage_codegen(spark, sf_dir):
+    """The hot aggregate path must be generated JVM code."""
+    assert whole_stage_codegen_subtrees(_q("q4_pricing_summary", spark, sf_dir)) >= 1
+
+
+def test_no_cartesian_products_in_relational_suite(spark, sf_dir):
+    for name in (
+        "q4_pricing_summary",
+        "q5_filtered_revenue",
+        "q6_segment_revenue",
+        "q7_region_revenue",
+        "q8_topk_customers",
+        "q9_window_rank",
+        "q24_ngram_jaccard_dedup",
+        "q25_minhash_lsh_dedup",
+    ):
+        plan = formatted_plan(_q(name, spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -3,10 +3,16 @@ produce exactly the batch q14 result once the backlog drains
 (availableNow). This is the streaming analog of the reference's
 sequential-vs-distributed differential."""
 
+import pyspark.sql.functions as F
+
 from distributed_map_reduce_spark.registry import all_queries
+from distributed_map_reduce_spark.sources import load_table
 from distributed_map_reduce_spark.streaming.events_stream import (
+    RUNNING_TOTALS_OUT,
     hourly_windows_stream,
     run_available_now,
+    sessionized_stream,
+    user_running_totals,
 )
 
 
@@ -23,3 +29,62 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
     cols = ["w", "event_type", "n", "total"]
     assert _canon(got, cols) == _canon(batch, cols)
     assert len(got) > 0
+
+
+def test_session_stream_subset_of_batch(spark, sf_dir, tmp_path):
+    """Append-mode sessions emit only once watermark-final, so a drained
+    stream is exactly the batch q32 result minus sessions still open at
+    the final watermark."""
+    stream_df = sessionized_stream(spark, sf_dir)
+    run_available_now(
+        stream_df, str(tmp_path / "ckpt"), "session_stream_out", "append"
+    )
+    got = spark.table("session_stream_out").collect()
+
+    batch = all_queries()["q32_user_sessions"].build(spark, sf_dir).collect()
+    cols = ["user_id", "session_start", "session_end", "n_events", "total"]
+    got_c, batch_c = _canon(got, cols), _canon(batch, cols)
+    assert set(got_c) <= set(batch_c)
+    # nearly everything is watermark-final after the backlog drains
+    assert len(got_c) >= 0.9 * len(batch_c) > 0
+
+
+def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    split events into 4 files, feed one per trigger, and require the
+    final running totals to equal the batch groupBy."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    src = str(tmp_path / "events_split")
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_available_now(
+        user_running_totals(stream),
+        str(tmp_path / "ckpt"),
+        "running_totals_out",
+        "update",
+    )
+    # multiple updates per user (one per batch that touched it); the one
+    # with the highest n_events is the final state
+    got = (
+        spark.table("running_totals_out")
+        .groupBy("user_id")
+        .agg(F.max_by("total", "n_events").alias("total"),
+             F.max("n_events").alias("n_events"))
+        .collect()
+    )
+    want = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+        .collect()
+    )
+    got_m = {r["user_id"]: (r["n_events"], round(r["total"], 6)) for r in got}
+    want_m = {r["user_id"]: (r["n_events"], round(r["total"], 6)) for r in want}
+    assert got_m == want_m
+    # state really crossed batches: >1 distinct update row for some user
+    n_updates = spark.table("running_totals_out").count()
+    assert n_updates > len(want_m)
