@@ -1,3 +1,18 @@
+from .binaryfile import (
+    MEDIA_SCHEMA,
+    media_from_binary_files,
+    read_binary_dir,
+    read_whole_text_files,
+)
 from .tables import TABLES, load_table, load_tables, register_views
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "media_from_binary_files",
+    "read_binary_dir",
+    "read_whole_text_files",
+    "register_views",
+]

@@ -47,6 +47,23 @@ def read_binary_dir(
     return reader.load(path)
 
 
+def read_whole_text_files(spark: SparkSession, path: str, glob: str | None = None):
+    """RDD of (filename, contents) — the reference's exact input contract
+    (one whole file per map task, `mrworker wc.so pg-*.txt`): F1 as a
+    disk source for :func:`operators.mapreduce.map_reduce`.
+
+    Built on the binaryFile DataFrame source (not ``sc.wholeTextFiles``)
+    so glob filtering, pruning, and file-listing parallelism come from
+    the same code path as the media reader above.
+    """
+    import os
+
+    df = read_binary_dir(spark, path, glob)
+    return df.select("path", "content").rdd.map(
+        lambda r: (os.path.basename(r[0]), bytes(r[1]).decode("utf-8", "replace"))
+    )
+
+
 def media_from_binary_files(df: DataFrame, media_type: str) -> DataFrame:
     """Lift a binaryFile frame into the MEDIA_SCHEMA contract (metadata
     unknown until decode — nulls, filled by operators.multimodal)."""
