@@ -153,6 +153,69 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 16  # coarse-quantizer cells
+IVF_NPROBE = 4  # cells searched per query
+
+
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 NN via IVF: k-means coarse quantizer, probe the
+    nProbe nearest cells per query, exact L2 within probed cells only.
+
+    The other classic ANN scale path next to LSH: per-query work drops
+    from |table| to ~|table| * nProbe / k. Everything is distributed
+    except the k centroids themselves (k x dim floats — legitimately
+    broadcast; at 100 TB k grows to ~sqrt(n) and stays broadcastable).
+    Seeded k-means, but cell assignment is still float-sensitive =>
+    approximate by design, rows-only check.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    # maxIter=5: a coarse quantizer only partitions space, it doesn't
+    # need converged centroids — recall is set by nProbe, not centroid
+    # polish, and fit cost is per-iteration full-table passes.
+    model = KMeans(
+        k=IVF_K, seed=42, maxIter=5, featuresCol="features", predictionCol="cell"
+    ).fit(emb)
+    assigned = model.transform(emb).select("vec_id", "embedding", "cell")
+
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    )
+    qs = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q"), F.col("embedding").alias("qe")
+    )
+    from pyspark.sql.window import Window
+
+    # probe list: nProbe nearest centroids per query (|Q| x k rows, tiny)
+    probes = (
+        qs.crossJoin(F.broadcast(centers))
+        .withColumn("cd", l2sq_col(F.col("qe"), F.col("center")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy("cd", "cell")
+            ),
+        )
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("q", "qe", "cell")
+    )
+    d = F.round(l2sq_col(F.col("qe"), F.col("embedding")), 2)
+    w = Window.partitionBy("q").orderBy(F.col("d").asc(), F.col("c").asc())
+    return (
+        probes.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("q"))
+        .select("q", F.col("vec_id").alias("c"), d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("q", "rn")
+    )
+
+
 QUERIES = [
     QuerySpec("q18_nearest_neighbor", q18_nearest_neighbor, Q18_ORACLE,
               "exact 1-NN by squared L2 for 20 query vectors (argmin via min(struct))",
@@ -162,5 +225,8 @@ QUERIES = [
               ("similarity",)),
     QuerySpec("ann_lsh_bucketed", ann_lsh_bucketed, None,
               "approximate NN via BucketedRandomProjectionLSH (scale path; rows-only)",
+              ("similarity", "approx")),
+    QuerySpec("ann_ivf_probe", ann_ivf_probe, None,
+              "approximate top-3 NN via IVF coarse quantizer + nProbe cells (rows-only)",
               ("similarity", "approx")),
 ]
