@@ -79,22 +79,30 @@ list_transform(range(1, len(__toks) - 1),
 
 
 def _doc_shingles(
-    spark: SparkSession, sf_dir: str, distinct: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    distinct: bool = True,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sh) 3-word shingles per document (distinct by default).
 
     Pass ``distinct=False`` when the consumer is dedup-insensitive
     (min/collect_set) — that skips a whole shuffle of raw shingle
-    strings, the widest data in the pipeline.
+    strings, the widest data in the pipeline. ``docs`` overrides the
+    default table with any (doc_id, text)-shaped frame.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", "text")
     sh = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks")).select(
         "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh")
     )
     return sh.distinct() if distinct else sh
 
 
-def _doc_shingle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingle_keys(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, k) distinct shingles keyed by xxhash64.
 
     Internal join/count key only — results stay defined over shingle
@@ -103,7 +111,7 @@ def _doc_shingle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface one). Shuffling 8-byte keys instead of ~25-byte strings
     roughly halves the self-join shuffle volume.
     """
-    sh = _doc_shingles(spark, sf_dir, distinct=False)
+    sh = _doc_shingles(spark, sf_dir, distinct=False, docs=docs)
     return sh.select("doc_id", F.xxhash64("sh").alias("k")).distinct()
 
 
@@ -139,12 +147,45 @@ def _finish_jaccard(inter: DataFrame, sizes: DataFrame) -> DataFrame:
 
 
 def q24_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-semantics declared query: no df-cap, hash-checked."""
+    return jaccard_neardup_pairs(spark, sf_dir, max_doc_freq=None)
+
+
+def jaccard_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_doc_freq: int | None = None,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """q24 with the skew knob: drop *stop-shingles* — shingles appearing
+    in more than ``max_doc_freq`` documents — before the self-join.
+
+    This is THE mitigation for the quadratic hot-bucket blowup at scale
+    (boilerplate headers/footers shared by millions of docs turn one
+    shingle bucket into ~n² pairs; SCALE.md "Text / dedup ladder"). The
+    trade is explicit: a pair whose overlap lives *only* in dropped
+    boilerplate can fall below threshold or vanish — which is usually
+    the curation intent (boilerplate overlap is not near-duplication).
+    Candidate recall for pairs sharing >= 1 sub-cap shingle is unchanged,
+    and surviving pairs keep exact Jaccard over the capped shingle
+    universe. Deliberately NOT the declared q24 (whose semantics stay
+    cap-free and hash-checked); kept as the documented scale variant.
+    ``docs`` overrides the default table with any (doc_id, text) frame.
+    """
+    sh = _doc_shingle_keys(spark, sf_dir, docs=docs)
+    if max_doc_freq is not None:
+        # document frequency per shingle key; the filter runs before the
+        # self-join so hot buckets never materialize pairs. One extra
+        # small shuffle (k -> df), paid once, bounds the join output by
+        # n_shingles * max_doc_freq² instead of n_shingles * n_docs².
+        df_per_key = sh.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+        keep = df_per_key.filter(F.col("df") <= max_doc_freq).select("k")
+        sh = sh.join(keep, "k")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Intersection counts fall straight out of the shingle self-join:
     # each shared shingle contributes one (ad, bd) row (sets are
     # distinct), so groupBy-count IS |A ∩ B| — no separate candidate
     # materialization + re-join (that doubled the shuffle volume).
-    sh = _doc_shingle_keys(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.select(F.col("doc_id").alias("ad"), "k")
         .join(sh.select(F.col("doc_id").alias("bd"), "k"), "k")

@@ -1,0 +1,53 @@
+"""Stop-shingle df-cap (the dedup skew knob, SCALE.md "Text / dedup
+ladder"): behavioral contract of ``jaccard_neardup_pairs(max_doc_freq)``.
+
+Runs at sf0.01 — the gate scale with planted duplicates (each text has
+10 copies), which is exactly the regime the cap reasons about."""
+
+from distributed_map_reduce_spark.operators.dedup import (
+    jaccard_neardup_pairs,
+    q24_ngram_jaccard_dedup,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _pairs(df):
+    return {(r["ad"], r["bd"]): r["jacc"] for r in df.collect()}
+
+
+def test_cap_one_yields_no_pairs(spark):
+    """A shingle in only one document can never generate a pair."""
+    assert _pairs(jaccard_neardup_pairs(spark, SF, max_doc_freq=1)) == {}
+
+
+def test_loose_cap_equals_uncapped(spark):
+    """A cap above every shingle's document frequency is a no-op."""
+    uncapped = _pairs(q24_ngram_jaccard_dedup(spark, SF))
+    assert uncapped, "gate corpus must contain near-dup pairs"
+    capped = _pairs(jaccard_neardup_pairs(spark, SF, max_doc_freq=10**6))
+    assert capped == uncapped
+
+
+def test_cap_drops_boilerplate_pairs_keeps_true_neardups(spark):
+    """The skew scenario the cap exists for: 4 docs sharing a dominant
+    boilerplate block pair up only via that block (J≈0.67); one genuine
+    near-dup pair overlaps via low-frequency shingles (J=0.6). A cap of
+    3 (< boilerplate df of 4) kills the boilerplate pairs and keeps the
+    true near-dup — exactly the documented trade."""
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{boiler} unique{i} filler{i}") for i in range(4)]
+    rows += [
+        (10, "one two three four five six seven eight nine ten"),
+        (11, "one two three four five six seven eight nine END"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = _pairs(jaccard_neardup_pairs(spark, "", docs=docs))
+    boiler_pairs = {(a, b) for a in range(4) for b in range(4) if a < b}
+    assert boiler_pairs <= set(uncapped)
+    assert (10, 11) in uncapped
+
+    capped = _pairs(jaccard_neardup_pairs(spark, "", max_doc_freq=3, docs=docs))
+    assert not boiler_pairs & set(capped)
+    assert (10, 11) in capped

@@ -12,7 +12,9 @@ from distributed_map_reduce_spark.registry import all_queries
 
 # Shuffle-heavy representatives of each operator family.
 SWEEP = ["q1_wordcount", "q4_pricing_summary", "q7_region_revenue",
-         "q9_window_rank", "q11_rollup", "q19_count_distinct"]
+         "q9_window_rank", "q11_rollup", "q19_count_distinct",
+         "q24_ngram_jaccard_dedup", "q18_nearest_neighbor",
+         "q32_user_sessions", "q27_embedding_neardup"]
 
 
 def _canon(df):
