@@ -17,6 +17,15 @@ from pyspark.sql import functions as F
 # Mirrors the reference tokenizer for ASCII input (wc.go:21-24).
 TOKEN_SPLIT_RE = "[^a-zA-Z]+"
 
+# The same tokenizer as SQL-expression text, for operators that build
+# higher-order-function expressions around it (shingling, stopword
+# filters) — one definition each for Spark and the DuckDB oracle so the
+# two engines tokenize identically by construction.
+SPARK_TOKS_EXPR = f"filter(split(text, '{TOKEN_SPLIT_RE}'), x -> x != '')"
+DUCK_TOKS_EXPR = (
+    f"list_filter(string_split_regex(text, '{TOKEN_SPLIT_RE}'), x -> x <> '')"
+)
+
 
 def tokens_col(text: Column | str) -> Column:
     """``array<string>`` of tokens; may contain '' at the edges — callers

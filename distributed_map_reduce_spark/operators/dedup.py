@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import DUCK_TOKS_EXPR, SPARK_TOKS_EXPR
 from ..registry import QuerySpec
 from ..sources import load_table
 
@@ -60,7 +61,7 @@ COS_MAX_ID = 2000
 # the three per-element lambda references would re-run the whole-document
 # regexp split once per shingle — O(tokens^2) per document (measured 15 s
 # for 260k shingles at sf0.1 vs <1 s materialized).
-_SPARK_TOKS = "filter(split(text, '[^a-zA-Z]+'), x -> x != '')"
+_SPARK_TOKS = SPARK_TOKS_EXPR
 
 _SPARK_SHINGLES = """
 transform(
@@ -73,9 +74,7 @@ transform(
 _DUCK_SHINGLES = """
 list_transform(range(1, len(__toks) - 1),
                i -> __toks[i] || ' ' || __toks[i+1] || ' ' || __toks[i+2])
-""".replace(
-    "__toks", "list_filter(string_split_regex(text, '[^a-zA-Z]+'), x -> x <> '')"
-)
+""".replace("__toks", DUCK_TOKS_EXPR)
 
 
 def _doc_shingles(

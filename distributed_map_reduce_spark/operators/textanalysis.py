@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import DUCK_TOKS_EXPR, SPARK_TOKS_EXPR
 from ..registry import QuerySpec
 from ..sources import load_table
 
@@ -32,8 +33,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-_TOKS = "filter(split(text, '[^a-zA-Z]+'), x -> x != '')"
-_DUCK_TOKS = "list_filter(string_split_regex(text, '[^a-zA-Z]+'), x -> x <> '')"
+_TOKS = SPARK_TOKS_EXPR
+_DUCK_TOKS = DUCK_TOKS_EXPR
 
 
 # --- q28: token counting ----------------------------------------------------
