@@ -35,8 +35,11 @@ def main() -> int:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warmup: JVM + parquet footer caches
+    # warmup: JVM + parquet footer caches, plus one tiny mapInPandas so
+    # Python-worker spawn + Arrow init isn't billed to the first
+    # Pandas-UDF query (measured ~9 s of pure startup on q27 otherwise).
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(4).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, spec in all_queries().items():

@@ -1,0 +1,131 @@
+"""As-of (point-in-time) join — an operator Spark's DataFrame API lacks.
+
+``asof_join`` matches each left row to the single most recent right row
+at or before it per key: click->purchase attribution, price-at-trade
+lookup, sensor-state-at-event. The reference has no joins at all
+(SURVEY §2.3); this is the canonical "custom operator" gap-fill, built
+as a *composition of existing DataFrame ops* (the preferred tier — no
+Pandas UDF needed):
+
+    union(left, right) -> window last(right_payload, ignorenulls=True)
+      over (partition by key order by ts, side, tiebreak)
+
+One shuffle on the key, one per-partition sort — the same cost as a
+regular sort-merge join, versus the naive inequality-join
+(range-join explosion) or a per-key ``applyInPandas`` (Python in the
+hot path). Ordering puts right rows *before* left rows at equal ts, so
+"at or before" is inclusive; ties among right rows resolve to the
+largest tiebreak value, pinning determinism for the oracle.
+
+Scale notes: at 100 TB the window state per key is one row (the running
+last right payload) — constant memory, spill-free; skewed keys split
+fine under AQE because ROWS-frame ``last`` is computed in one pass per
+partition after the sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import QuerySpec
+from ..sources import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: dict[str, str],
+    tiebreak: str,
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right[right_ts] <= left[left_ts]`` and equal ``by`` key (NULLs when
+    none exists).
+
+    ``right_payload`` maps right column -> output alias;
+    ``tiebreak`` is a right column ordering equal-timestamp right rows
+    (the largest wins), required so results are deterministic.
+    """
+    payload: Column = F.struct(
+        *[F.col(c).alias(a) for c, a in right_payload.items()]
+    )
+    r0 = right.select(
+        F.col(by).alias("__by"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(tiebreak).alias("__tb"),
+        payload.alias("__p"),
+    )
+    l = left.select(
+        F.col(by).alias("__by"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r0.schema["__tb"].dataType).alias("__tb"),
+        F.lit(None).cast(r0.schema["__p"].dataType).alias("__p"),
+        F.struct(*left.columns).alias("__l"),
+    )
+    r = r0.withColumn(
+        "__l", F.lit(None).cast(l.schema["__l"].dataType)
+    )
+    w = (
+        Window.partitionBy("__by")
+        .orderBy("__ts", "__side", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"__m.{a}").alias(a) for a in right_payload.values()]
+    return matched.select(*out_cols)
+
+
+def q33_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event attributed to the user's most recent click at
+    or before it (classic last-touch attribution) — the as-of join over
+    the events table against itself."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return (
+        asof_join(
+            purchases,
+            clicks,
+            by="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload={"event_id": "click_id", "ts": "click_ts"},
+            tiebreak="event_id",
+        )
+        .orderBy("event_id")
+    )
+
+
+Q33_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT c.event_id AS click_id, c.ts AS click_ts
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC
+  LIMIT 1
+) c ON TRUE
+ORDER BY p.event_id
+"""
+
+QUERIES = [
+    QuerySpec("q33_click_attribution", q33_click_attribution, Q33_ORACLE,
+              "as-of join: purchases attributed to most recent prior click",
+              ("events", "asof", "join")),
+]

@@ -38,6 +38,7 @@ _OPERATOR_MODULES = [
     "distributed_map_reduce_spark.operators.text",
     "distributed_map_reduce_spark.operators.relational",
     "distributed_map_reduce_spark.operators.events",
+    "distributed_map_reduce_spark.operators.asof",
     "distributed_map_reduce_spark.operators.dedup",
     "distributed_map_reduce_spark.operators.textanalysis",
     "distributed_map_reduce_spark.operators.similarity",

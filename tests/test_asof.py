@@ -1,0 +1,41 @@
+"""asof_join edge-case contract: inclusive at-or-before boundary,
+largest-tiebreak-wins on equal right timestamps, NULL payload when no
+prior right row exists, and key isolation."""
+
+from datetime import datetime
+
+from distributed_map_reduce_spark.operators.asof import asof_join
+
+
+def _t(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_edges(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _t("2024-01-01T10:00:00")),  # before any right row
+            (2, 100, _t("2024-01-01T12:00:00")),  # exactly at a right ts
+            (3, 100, _t("2024-01-01T13:00:00")),  # after the tie pair
+            (4, 200, _t("2024-01-01T23:00:00")),  # other key: isolated
+        ],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, _t("2024-01-01T12:00:00")),  # tie pair ...
+            (11, 100, _t("2024-01-01T12:00:00")),  # ... larger id wins
+            (12, 200, _t("2024-01-01T11:00:00")),
+            (13, 300, _t("2024-01-01T00:00:00")),  # never matches
+        ],
+        "rid long, k long, ts timestamp",
+    )
+    out = {
+        r["id"]: r["m"]
+        for r in asof_join(
+            left, right,
+            by="k", left_ts="ts", right_ts="ts",
+            right_payload={"rid": "m"}, tiebreak="rid",
+        ).collect()
+    }
+    assert out == {1: None, 2: 11, 3: 11, 4: 12}
