@@ -1,4 +1,4 @@
-"""As-of (point-in-time) join — an operator Spark's DataFrame API lacks.
+"""Temporal/interval joins: as-of (point-in-time) and range (band) join.
 
 ``asof_join`` matches each left row to the single most recent right row
 at or before it per key: click->purchase attribution, price-at-trade
@@ -124,8 +124,59 @@ LEFT JOIN LATERAL (
 ORDER BY p.event_id
 """
 
+# --- range (band) join ------------------------------------------------------
+
+# (band, lo inclusive, hi exclusive) — a literal dimension, deterministic.
+VALUE_BANDS = [
+    ("low", 0.0, 10.0),
+    ("mid", 10.0, 50.0),
+    ("high", 50.0, 100.0),
+    ("vip", 100.0, 1e9),
+]
+
+
+def q34_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events bucketed into value bands via an interval
+    predicate against a broadcast dimension.
+
+    The right plan for interval joins against a small band table IS a
+    broadcast nested-loop (each row tests |bands| intervals, no shuffle
+    of the fact side at all); for large band tables the technique
+    switches to equi-prebucketing (floor(value/width) key + residual
+    filter) — documented here, unnecessary for 4 bands.
+    """
+    ev = load_table(spark, sf_dir, "events").select("value")
+    bands = spark.createDataFrame(VALUE_BANDS, "band string, lo double, hi double")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("band")
+    )
+
+
+_BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
+
+Q34_ORACLE = f"""
+SELECT band, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events e
+JOIN (VALUES {_BANDS_VALUES}) AS b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band
+ORDER BY band
+"""
+
 QUERIES = [
     QuerySpec("q33_click_attribution", q33_click_attribution, Q33_ORACLE,
               "as-of join: purchases attributed to most recent prior click",
               ("events", "asof", "join")),
+    QuerySpec("q34_value_band_join", q34_value_band_join, Q34_ORACLE,
+              "range join: events into value bands via broadcast interval join",
+              ("events", "range-join", "join")),
 ]

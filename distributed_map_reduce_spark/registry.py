@@ -42,6 +42,7 @@ _OPERATOR_MODULES = [
     "distributed_map_reduce_spark.operators.dedup",
     "distributed_map_reduce_spark.operators.textanalysis",
     "distributed_map_reduce_spark.operators.similarity",
+    "distributed_map_reduce_spark.operators.sketches",
     "distributed_map_reduce_spark.operators.mapreduce",
     "distributed_map_reduce_spark.operators.multimodal",
 ]

@@ -1,0 +1,44 @@
+"""Accuracy contracts for the sketch aggregates vs their exact twins —
+the only meaningful check for approximations (no oracle can hash-match
+them)."""
+
+import pyspark.sql.functions as F
+
+from distributed_map_reduce_spark.operators.sketches import (
+    approx_distinct_parts,
+    approx_price_quantiles,
+)
+from distributed_map_reduce_spark.registry import all_queries
+from distributed_map_reduce_spark.sources import load_table
+
+
+def test_hll_within_rsd_of_exact(spark, sf_dir):
+    exact = {
+        r["l_returnflag"]: r["n_parts"]
+        for r in all_queries()["q19_count_distinct"].build(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in approx_distinct_parts(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        # rsd=2%: allow 5 sigma
+        assert abs(approx[k] - n) <= max(3, 0.10 * n), (k, approx[k], n)
+
+
+def test_quantile_sketch_brackets_exact(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderstatus"]: r["qs"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("qs"))
+        .collect()
+    }
+    approx = {
+        r["o_orderstatus"]: r["p50_p90_p99"]
+        for r in approx_price_quantiles(spark, sf_dir).collect()
+    }
+    for k, qs in exact.items():
+        for e, a in zip(qs, approx[k]):
+            assert abs(a - e) <= 0.05 * e + 1, (k, a, e)
