@@ -372,6 +372,78 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
 
+# --- Q35: CUBE grouping sets -------------------------------------------------
+
+def q35_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUBE = all 4 grouping sets in one pass; Spark expands them via a
+    # single Expand node feeding one partial-aggregating shuffle — not 4
+    # scans. COALESCE folds the NULL grouping keys to 'ALL' exactly like
+    # q11's rollup.
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+Q35_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+# --- Q36: pivot --------------------------------------------------------------
+
+PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q36_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: one row per status, one column per priority.
+    Explicit pivot values => single pass, no distinct-values pre-query
+    (at scale an unbounded pivot would need one extra job just to learn
+    the columns)."""
+    o = _t(spark, sf_dir, "orders")
+    df = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PIVOT_PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderstatus")
+    )
+    # pivot column names contain spaces/dashes; normalize for the driver's
+    # column-name-matched comparison
+    renames = {p: f"p{i + 1}" for i, p in enumerate(PIVOT_PRIORITIES)}
+    return df.withColumnsRenamed(renames).select(
+        "o_orderstatus", *sorted(renames.values())
+    )
+
+
+_PIVOT_COLS = ",\n       ".join(
+    f"COUNT(*) FILTER (o_orderpriority = '{p}') AS p{i + 1}"
+    for i, p in enumerate(PIVOT_PRIORITIES)
+)
+
+Q36_ORACLE = f"""
+SELECT o_orderstatus,
+       {_PIVOT_COLS}
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -397,4 +469,10 @@ QUERIES = [
               "date_trunc month bucketing of orders", ("relational", "date")),
     QuerySpec("q19_count_distinct", q19_count_distinct, Q19_ORACLE,
               "exact COUNT(DISTINCT partkey) per returnflag", ("relational", "distinct")),
+    QuerySpec("q35_cube", q35_cube, Q35_ORACLE,
+              "CUBE(status, priority) grouping sets with ALL totals",
+              ("relational", "cube")),
+    QuerySpec("q36_pivot", q36_pivot, Q36_ORACLE,
+              "pivot order counts per status x priority (explicit values)",
+              ("relational", "pivot")),
 ]
