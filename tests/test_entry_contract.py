@@ -1,0 +1,26 @@
+"""Shape of the driver contract (__spark_entry__.py) — the module the
+per-round verifier imports. A registry entry that breaks these rules
+fails here instead of in the driver's CORRECTNESS gate."""
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns  # stable, named schema
+
+
+def test_queries_and_oracles_consistent(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 36
+    assert set(oracles) <= set(qs)
+    # every oracle is non-empty SQL text; every query is callable
+    assert all(callable(fn) for fn in qs.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
+    # rows-only queries are the documented approximate/binary set
+    rows_only = set(qs) - set(oracles)
+    assert all(
+        n.startswith(("ann_", "sketch_", "multimodal_")) for n in rows_only
+    ), rows_only

@@ -14,6 +14,8 @@ from distributed_map_reduce_spark.operators.mapreduce import (
 )
 from distributed_map_reduce_spark.sources import (
     TABLES,
+    load_csv,
+    load_jsonl,
     load_table,
     read_whole_text_files,
 )
@@ -32,6 +34,26 @@ def test_footer_matches_contract(spark, sf_dir, name):
 def test_unknown_table_rejected(spark, sf_dir):
     with pytest.raises(KeyError):
         load_table(spark, sf_dir, "nope")
+
+
+def test_csv_and_jsonl_roundtrip(spark, sf_dir, tmp_path: pathlib.Path):
+    """parquet -> csv/jsonl -> read back with the contract schema must be
+    lossless for the columns interchange formats can carry."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    want = sorted(tuple(r) for r in docs.collect())
+    schema = "doc_id long, lang string, source string, n_chars long"
+
+    csv_dir = str(tmp_path / "docs_csv")
+    docs.write.option("header", "true").csv(csv_dir)
+    got_csv = sorted(tuple(r) for r in load_csv(spark, csv_dir, schema).collect())
+    assert got_csv == want
+
+    jl_dir = str(tmp_path / "docs_jsonl")
+    docs.write.json(jl_dir)
+    got_jl = sorted(tuple(r) for r in load_jsonl(spark, jl_dir, schema).collect())
+    assert got_jl == want
 
 
 def test_whole_files_to_mr_output(spark, tmp_path: pathlib.Path):
