@@ -49,6 +49,50 @@ def test_session_stream_subset_of_batch(spark, sf_dir, tmp_path):
     assert len(got_c) >= 0.9 * len(batch_c) > 0
 
 
+def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
+    """Kill-and-resume: drain file A, stop, add file B, start a NEW query
+    on the same checkpoint. Restored state must continue from A (final
+    totals = A+B exactly once; reprocessing A would double-count)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    a, b = ev.randomSplit([0.5, 0.5], seed=7)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    a.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        # foreachBatch, not the memory sink: only recoverable sinks may
+        # resume from a checkpoint
+        emitted = []
+        stream = spark.readStream.schema("user_id bigint, value double").parquet(src)
+        q = (
+            user_running_totals(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, _id: emitted.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    drain()
+    b.coalesce(1).write.mode("append").parquet(src)
+    second = drain()
+
+    got = {}
+    for r in second:
+        got[r["user_id"]] = max(got.get(r["user_id"], 0), r["n_events"])
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # second run emits only users touched by file B; those must land at
+    # exactly the A+B total (state restored, A not reprocessed)
+    assert got, "file B touched no users"
+    assert all(want[u] == n for u, n in got.items())
+
+
 def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
     """applyInPandasWithState keeps per-user state across micro-batches:
     split events into 4 files, feed one per trigger, and require the
