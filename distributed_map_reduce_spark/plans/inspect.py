@@ -34,7 +34,8 @@ def pushed_filters(df: DataFrame) -> list[str]:
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
         body = m.group(1).strip()
         if body:
-            out.extend(s.strip() for s in body.split(","))
+            # split on commas between filters, not inside Filter(a,b) args
+            out.extend(s.strip() for s in re.split(r",(?![^(]*\))", body))
     return out
 
 

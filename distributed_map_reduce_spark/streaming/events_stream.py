@@ -103,6 +103,29 @@ def sessionized_stream(
     )
 
 
+def deduped_stream(
+    spark: SparkSession, src_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact-dedup: first occurrence of each event_id wins,
+    replays/retransmissions within the watermark horizon are dropped —
+    the streaming twin of batch q16 and the front door of a streaming
+    ingestion pipeline (at-least-once upstream -> exactly-once data).
+
+    ``dropDuplicates`` keyed by (event_id) with a watermark bounds state:
+    ids older than the watermark are evicted, so memory is
+    O(events per horizon), not O(all history). ``src_dir`` is a directory
+    of parquet event files (the test builds one with planted replays).
+    """
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .parquet(src_dir)
+    )
+    return raw.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
 # --- custom stateful operator: applyInPandasWithState -----------------------
 
 RUNNING_TOTALS_OUT = "user_id bigint, n_events bigint, total double"

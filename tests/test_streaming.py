@@ -9,6 +9,7 @@ from distributed_map_reduce_spark.registry import all_queries
 from distributed_map_reduce_spark.sources import load_table
 from distributed_map_reduce_spark.streaming.events_stream import (
     RUNNING_TOTALS_OUT,
+    deduped_stream,
     hourly_windows_stream,
     run_available_now,
     sessionized_stream,
@@ -47,6 +48,27 @@ def test_session_stream_subset_of_batch(spark, sf_dir, tmp_path):
     assert set(got_c) <= set(batch_c)
     # nearly everything is watermark-final after the backlog drains
     assert len(got_c) >= 0.9 * len(batch_c) > 0
+
+
+def test_streaming_dedup_drops_replays(spark, sf_dir, tmp_path):
+    """At-least-once input (the same event file delivered twice, plus a
+    fresh file) must come out exactly-once: one row per distinct
+    event_id, equal to the batch-distinct count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    a, b = ev.randomSplit([0.5, 0.5], seed=11)
+    src = str(tmp_path / "src")
+    a.coalesce(1).write.mode("append").parquet(src)
+    a.coalesce(1).write.mode("append").parquet(src)  # the replay
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    run_available_now(
+        deduped_stream(spark, src), str(tmp_path / "ckpt"), "dedup_out", "append"
+    )
+    out = spark.table("dedup_out")
+    assert out.count() == out.select("event_id").distinct().count() == ev.count()
 
 
 def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
