@@ -50,3 +50,34 @@ def test_output_identical_under_task_failures(spark):
     assert chaotic == golden
     # at least one partition actually crashed and was re-run
     assert len(os.listdir(marker_dir)) >= 1
+
+
+def test_dataframe_path_survives_udf_task_failures(spark, sf_dir):
+    """Same property on the DataFrame/Arrow path: a mapInPandas stage
+    whose first attempt per partition dies mid-stream must retry to the
+    identical result (Spark task retry + deterministic lineage — the
+    crash test of the engine's Pandas-UDF operators)."""
+    from distributed_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    golden = sorted(tuple(r) for r in docs.collect())
+
+    marker_dir = tempfile.mkdtemp(prefix="df-chaos-")
+
+    def flaky(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        marker = os.path.join(marker_dir, f"p{pid}")
+        first_attempt = not os.path.exists(marker)
+        if first_attempt:
+            with open(marker, "w") as f:
+                f.write("attempted")
+        for i, pdf in enumerate(batches):
+            if first_attempt and i == 0:
+                raise RuntimeError(f"injected crash in partition {pid}")
+            yield pdf
+
+    out = docs.repartition(4).mapInPandas(flaky, "doc_id long, n_chars long")
+    assert sorted(tuple(r) for r in out.collect()) == golden
+    assert len(os.listdir(marker_dir)) >= 1
