@@ -220,6 +220,56 @@ GROUP BY fp
 ORDER BY fp
 """
 
+# --- q37: intra-document repetition ratio -----------------------------------
+
+def q37_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratio = 1 - distinct/total 3-gram shingles per doc —
+    the classic boilerplate/spam signal a curation pipeline thresholds
+    on (high ratio = the document repeats itself). Computed without any
+    explode-shuffle: both counts are array expressions on the already-
+    materialized shingle array, so the per-doc pass is projection-only
+    and the only shuffle is the final small histogram."""
+    from .dedup import _SPARK_SHINGLES, _SPARK_TOKS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id", F.expr(_SPARK_TOKS).alias("toks")
+    ).select("doc_id", F.expr(_SPARK_SHINGLES).alias("shs"))
+    ratio = F.when(
+        F.size("shs") > 0,
+        F.round(
+            1 - F.size(F.array_distinct("shs")) / F.size("shs").cast("double"), 2
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        sh.select("doc_id", ratio.alias("rep"))
+        .groupBy(F.floor(F.col("rep") * 100).cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc"))
+        .orderBy("bin")
+    )
+
+
+Q37_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs
+  FROM (SELECT doc_id, {{toks}} AS toks FROM documents)
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN len(shs) > 0
+              THEN ROUND(1 - CAST(len(list_distinct(shs)) AS DOUBLE) / len(shs), 2)
+         END AS rep
+  FROM sh
+)
+SELECT CAST(FLOOR(rep * 100) AS BIGINT) AS bin,
+       COUNT(*) AS n, MIN(doc_id) AS first_doc
+FROM r
+GROUP BY 1
+ORDER BY bin
+""".format(toks=_DUCK_TOKS)
+
 QUERIES = [
     QuerySpec("q28_token_counts", q28_token_counts, Q28_ORACLE,
               "whitespace + BPE-ish regex token counts by source",
@@ -233,4 +283,7 @@ QUERIES = [
     QuerySpec("q31_kmv_fingerprint", q31_kmv_fingerprint, Q31_ORACLE,
               "k-min-values shingle fingerprint buckets",
               ("textanalysis", "dedup")),
+    QuerySpec("q37_repetition_ratio", q37_repetition_ratio, Q37_ORACLE,
+              "intra-doc 3-gram repetition ratio histogram (boilerplate signal)",
+              ("textanalysis", "quality")),
 ]
