@@ -146,7 +146,22 @@ def q34_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter) — documented here, unnecessary for 4 bands.
     """
     ev = load_table(spark, sf_dir, "events").select("value")
-    bands = spark.createDataFrame(VALUE_BANDS, "band string, lo double, hi double")
+    # literal LocalRelation (explode of a literal struct array), not
+    # createDataFrame: no Python->RDD round trip, stays JVM-side
+    bands = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.lit(lo).alias("lo"),
+                        F.lit(hi).alias("hi"),
+                    )
+                    for b, lo, hi in VALUE_BANDS
+                ]
+            )
+        ).alias("b")
+    ).select("b.*")
     return (
         ev.join(
             F.broadcast(bands),
