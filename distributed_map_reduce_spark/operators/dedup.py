@@ -426,10 +426,18 @@ def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") % N_COS_BLOCKS).cast("int").alias("blk"),
         )
     )
-    grid = spark.createDataFrame(
-        [(i, j) for i in range(N_COS_BLOCKS) for j in range(i, N_COS_BLOCKS)],
-        "ba int, bb int",
-    )
+    # literal JVM-side relation (no Python->RDD round trip)
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("ba"), F.lit(j).alias("bb"))
+                    for i in range(N_COS_BLOCKS)
+                    for j in range(i, N_COS_BLOCKS)
+                ]
+            )
+        ).alias("g")
+    ).select("g.*")
     a_side = emb.join(F.broadcast(grid), emb.blk == grid.ba).select(
         "ba", "bb", F.lit(True).alias("is_a"), "vec_id", "embedding"
     )
