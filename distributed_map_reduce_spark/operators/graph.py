@@ -1,0 +1,126 @@
+"""Connected components — the dedup endgame.
+
+Near-dup detection yields PAIRS (q24/q25); curation needs CLUSTERS with
+one keeper each (transitively: if A~B and B~C, keep one of {A,B,C}).
+That closure is connected components — the one genuinely *iterative*
+algorithm in the engine, driven as a Python loop over DataFrame joins
+(each iteration distributed; the loop is control flow, not data flow —
+the same shape GraphX/Pregel uses).
+
+Algorithm: min-label propagation. Every node starts labeled with
+itself; each round every node takes the min label in its neighborhood;
+stop when no label changes. Rounds = graph diameter — fine for near-dup
+graphs, whose components are tiny and dense (duplicate groups), so 2-3
+rounds converge. For adversarial long-chain graphs at 100 TB the
+documented upgrade is the large-star/small-star algorithm
+(O(log n) rounds, same join primitive per round).
+
+Per-round cost: one shuffle (groupBy node over the symmetric edge
+list). ``localCheckpoint`` truncates lineage each round so the plan
+doesn't grow with iterations — without it, round k replans rounds
+1..k-1 and the job is quadratic in rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+
+CC_MAX_ITER = 20
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = CC_MAX_ITER
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = min
+    node id reachable. Deterministic (min is order-free)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min of own label and neighbors' labels
+        neighbor = (
+            sym.join(labels.withColumnsRenamed({"node": "b", "label": "nl"}), "b")
+            .groupBy("a")
+            .agg(F.min("nl").alias("nl"))
+            .withColumnsRenamed({"a": "node"})
+        )
+        new_labels = (
+            labels.join(neighbor, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nl", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnsRenamed({"label": "old"}), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def q38_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (q24) closed into clusters: every clustered doc
+    with its component id (= keeper, the min doc_id) and cluster size.
+    The complete dedup pipeline: detect pairs -> cluster -> keep one."""
+    from .dedup import q24_ngram_jaccard_dedup
+
+    pairs = q24_ngram_jaccard_dedup(spark, sf_dir)
+    cc = connected_components(pairs, "ad", "bd")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("keeper"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# The oracle closes the same pair list transitively with a recursive CTE
+# (min reachable node = component). Reuses q24's oracle as the edge set.
+def _q38_oracle() -> str:
+    from .dedup import Q24_ORACLE
+
+    return f"""
+WITH RECURSIVE pairs AS ({Q24_ORACLE.replace("ORDER BY ad, bd", "")}),
+sym AS (
+  SELECT ad AS a, bd AS b FROM pairs
+  UNION
+  SELECT bd, ad FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+),
+cc AS (SELECT n AS doc_id, MIN(m) AS keeper FROM reach GROUP BY n)
+SELECT doc_id, keeper, COUNT(*) OVER (PARTITION BY keeper) AS cluster_size
+FROM cc
+ORDER BY doc_id
+"""
+
+
+QUERIES = [
+    QuerySpec("q38_dedup_clusters", q38_dedup_clusters, _q38_oracle(),
+              "connected components over near-dup pairs: cluster + keeper per doc",
+              ("dedup", "graph", "iterative")),
+]

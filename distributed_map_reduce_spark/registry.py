@@ -40,6 +40,7 @@ _OPERATOR_MODULES = [
     "distributed_map_reduce_spark.operators.events",
     "distributed_map_reduce_spark.operators.asof",
     "distributed_map_reduce_spark.operators.dedup",
+    "distributed_map_reduce_spark.operators.graph",
     "distributed_map_reduce_spark.operators.textanalysis",
     "distributed_map_reduce_spark.operators.similarity",
     "distributed_map_reduce_spark.operators.sketches",
