@@ -25,11 +25,6 @@ from ..functions.text import exploded_tokens
 from ..registry import QuerySpec
 from ..sources import load_table
 
-# Fixed stopword list used by the quality/language heuristics. Must stay in
-# sync with the oracle SQL below (the SQL inlines the same list).
-STOPWORDS = ["the", "a", "and", "or", "of", "in", "to", "is"]
-
-
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
