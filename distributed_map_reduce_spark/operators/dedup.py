@@ -9,7 +9,10 @@ groupBy, operators/text.py). Here: the near-duplicate ladder —
 - q25 MinHash + LSH banding: 8 permutations, 4 bands x 2 rows;
   candidates = pairs colliding in >= 1 band, then exact-Jaccard
   verified. The 100 TB path: cost scales with band-bucket occupancy,
-  not O(n^2).
+  not O(n^2). (The candidate-generation/verification split follows the
+  standard MapReduce all-pair similarity-join literature, e.g.
+  V-SMART-Join, VLDB 2012 — re-expressed declaratively so Catalyst
+  plans the joins.)
 - q26 SimHash: 28-bit weighted fingerprint per document; identical
   fingerprints => near-dup bucket.
 - q27 embedding-cosine near-dup: vector-space twin of q24.

@@ -1,8 +1,12 @@
 """asof_join edge-case contract: inclusive at-or-before boundary,
 largest-tiebreak-wins on equal right timestamps, NULL payload when no
-prior right row exists, and key isolation."""
+prior right row exists, and key isolation — plus a hypothesis
+differential against a brute-force Python oracle."""
 
 from datetime import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from distributed_map_reduce_spark.operators.asof import asof_join
 
@@ -39,3 +43,36 @@ def test_asof_join_edges(spark):
         ).collect()
     }
     assert out == {1: None, 2: 11, 3: 11, 4: 12}
+
+
+# integer timestamps: asof_join only needs an ordered type, and small
+# ints maximize tie/boundary collisions — the cases that matter
+_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 10)), min_size=1, max_size=12
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_rows, _rows)
+def test_asof_matches_bruteforce_oracle(spark, lrows, rrows):
+    llist = [(i, k, t) for i, (k, t) in enumerate(lrows)]
+    rlist = [(100 + i, k, t) for i, (k, t) in enumerate(rrows)]
+    left = spark.createDataFrame(llist, "id long, k long, ts long")
+    right = spark.createDataFrame(rlist, "rid long, k long, ts long")
+    got = {
+        r["id"]: r["m"]
+        for r in asof_join(
+            left, right,
+            by="k", left_ts="ts", right_ts="ts",
+            right_payload={"rid": "m"}, tiebreak="rid",
+        ).collect()
+    }
+    want = {}
+    for lid, k, t in llist:
+        cands = [(rt, rid) for rid, rk, rt in rlist if rk == k and rt <= t]
+        want[lid] = max(cands)[1] if cands else None
+    assert got == want
