@@ -54,6 +54,18 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
     return sorted("|".join(_canon_cell(r[i]) for i in order) for r in rows)
 
 
+def canonical_hash(df: DataFrame) -> str:
+    """sha256 over the canonicalized result (SURVEY §2.4 rule: columns
+    sorted by name, cells stringified, rows sorted, '|'/newline-joined) —
+    the canonical hashing sink. Partition-count/order invariant by
+    construction, so the same query hashes identically on local[1], a
+    1000-executor cluster, or an oracle engine."""
+    import hashlib
+
+    rows = _canon_rows(list(df.columns), [tuple(r) for r in df.collect()])
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
 @dataclass
 class ParityResult:
     name: str

@@ -34,3 +34,16 @@ def test_shuffle_partition_invariance(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert results[0] == results[1] == results[2]
+
+
+def test_canonical_hash_partition_invariant(spark, sf_dir):
+    """The canonical hashing sink must yield one hash for one logical
+    result regardless of physical layout (SURVEY §2.4)."""
+    from distributed_map_reduce_spark.oracle import canonical_hash
+
+    df = all_queries()["q4_pricing_summary"].build(spark, sf_dir)
+    h1 = canonical_hash(df)
+    h2 = canonical_hash(df.repartition(7))
+    h3 = canonical_hash(df.coalesce(1))
+    assert h1 == h2 == h3
+    assert len(h1) == 64
