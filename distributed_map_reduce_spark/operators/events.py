@@ -69,6 +69,45 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+def q39_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 2 h length, 1 h slide — each event counts in two
+    overlapping windows (vs q14's tumbling windows, where it counts
+    once). Spark's ``window()`` generates the member windows per row
+    (epoch-aligned starts); the oracle replicates each event into its
+    two containing windows explicitly. Same expression streams under a
+    watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("tts", F.col("ts").cast("timestamp"))
+        .groupBy(
+            F.window("tts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("w"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("w", "event_type")
+    )
+
+
+Q39_ORACLE = """
+SELECT DATE_TRUNC('hour', ts) - off.o * INTERVAL 1 HOUR AS w,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total
+FROM events
+CROSS JOIN (VALUES (0), (1)) AS off(o)
+GROUP BY 1, 2
+ORDER BY w, event_type
+"""
+
+
 SESSION_GAP = "6 hours"
 
 
@@ -144,4 +183,7 @@ QUERIES = [
     QuerySpec("q32_user_sessions", q32_user_sessions, Q32_ORACLE,
               "gap-based sessionization (session_window, 6h gap)",
               ("events", "session", "streaming-twin")),
+    QuerySpec("q39_sliding_windows", q39_sliding_windows, Q39_ORACLE,
+              "sliding 2h/1h event windows (each event in two windows)",
+              ("events", "window", "streaming-twin")),
 ]
