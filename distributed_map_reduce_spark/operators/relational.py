@@ -444,6 +444,83 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
 
+# --- Q40: semi / anti joins --------------------------------------------------
+
+def q40_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI as first-class join types: count customers
+    with >= 1 urgent order vs customers with no orders at all. Both
+    dedup-free by construction (no post-join distinct needed — semi/anti
+    emit each left row at most once), which at scale avoids the
+    EXISTS-via-join-plus-distinct double shuffle."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    n_semi = cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).count()
+    n_anti = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).count()
+    return spark.range(1).select(
+        F.lit(n_semi).alias("n_urgent_customers"),
+        F.lit(n_anti).alias("n_orderless_customers"),
+    )
+
+
+Q40_ORACLE = """
+SELECT (SELECT COUNT(*) FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT'))
+         AS n_urgent_customers,
+       (SELECT COUNT(*) FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+         AS n_orderless_customers
+"""
+
+# --- Q41: window frames + offset functions -----------------------------------
+
+def q41_running_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: cumulative spend (ROWS UNBOUNDED
+    PRECEDING frame) and gap in days since the previous order (lag) —
+    the window-frame and offset-function surface q9's ranking doesn't
+    touch. One shuffle on o_custkey, one per-partition sort, both
+    windows computed in the same pass (same partitioning + ordering).
+    Restricted to 3 customers so the hash-checked output stays small."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 3)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                2,
+            ).alias("cum_spend"),
+            F.date_diff(
+                "o_orderdate", F.lag("o_orderdate", 1).over(w)
+            ).alias("days_since_prev"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+Q41_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS cum_spend,
+       DATE_DIFF('day', LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS days_since_prev
+FROM orders
+WHERE o_custkey < 3
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -475,4 +552,10 @@ QUERIES = [
     QuerySpec("q36_pivot", q36_pivot, Q36_ORACLE,
               "pivot order counts per status x priority (explicit values)",
               ("relational", "pivot")),
+    QuerySpec("q40_semi_anti", q40_semi_anti, Q40_ORACLE,
+              "LEFT SEMI / LEFT ANTI join counts (EXISTS / NOT EXISTS oracle)",
+              ("relational", "join")),
+    QuerySpec("q41_running_orders", q41_running_orders, Q41_ORACLE,
+              "cumulative spend frame + lag gap per customer order timeline",
+              ("relational", "window")),
 ]
