@@ -521,6 +521,73 @@ WHERE o_custkey < 3
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """
 
+# --- Q42: array function sweep -----------------------------------------------
+
+def q42_array_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions over the embedding column: size, min/max
+    element, prefix slice sum — all codegen'd array expressions, no
+    explode (SURVEY §2.3 listed array functions among the reference's
+    gaps)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    arr = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_min(arr), 2).alias("lo"),
+        F.round(F.array_max(arr), 2).alias("hi"),
+        F.round(
+            F.aggregate(
+                F.slice(arr, 1, 4), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            2,
+        ).alias("head4_sum"),
+    ).orderBy("vec_id")
+
+
+Q42_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(list_min(embedding)::DOUBLE, 2) AS lo,
+       ROUND(list_max(embedding)::DOUBLE, 2) AS hi,
+       ROUND(list_sum(list_transform(embedding[1:4], x -> x::DOUBLE)), 2)
+         AS head4_sum
+FROM embeddings
+WHERE vec_id < 50
+ORDER BY vec_id
+"""
+
+# --- Q43: date-part extraction sweep -----------------------------------------
+
+def q43_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/quarter/month/day-of-week extraction + aggregation — the
+    date-function surface beyond q13's date_trunc."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.dayofweek("o_orderdate").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("y", "q", "dow")
+    )
+
+
+# DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday — shift by one.
+Q43_ORACLE = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+       EXTRACT(QUARTER FROM o_orderdate) AS q,
+       EXTRACT(DOW FROM o_orderdate) + 1 AS dow,
+       COUNT(*) AS n,
+       ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY y, q, dow
+"""
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -558,4 +625,10 @@ QUERIES = [
     QuerySpec("q41_running_orders", q41_running_orders, Q41_ORACLE,
               "cumulative spend frame + lag gap per customer order timeline",
               ("relational", "window")),
+    QuerySpec("q42_array_sweep", q42_array_sweep, Q42_ORACLE,
+              "array scalar functions over embeddings (size/min/max/slice-sum)",
+              ("relational", "array")),
+    QuerySpec("q43_date_parts", q43_date_parts, Q43_ORACLE,
+              "year/quarter/day-of-week extraction + aggregation",
+              ("relational", "date")),
 ]
