@@ -530,16 +530,21 @@ def q42_array_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     arr = F.col("embedding").cast("array<double>")
+    # + 0.0 normalizes IEEE -0.0 (ROUND of a tiny negative) to +0.0 so
+    # both engines render zero identically; same in the oracle SQL
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.array_min(arr), 2).alias("lo"),
-        F.round(F.array_max(arr), 2).alias("hi"),
-        F.round(
-            F.aggregate(
-                F.slice(arr, 1, 4), F.lit(0.0), lambda acc, x: acc + x
-            ),
-            2,
+        (F.round(F.array_min(arr), 2) + 0.0).alias("lo"),
+        (F.round(F.array_max(arr), 2) + 0.0).alias("hi"),
+        (
+            F.round(
+                F.aggregate(
+                    F.slice(arr, 1, 4), F.lit(0.0), lambda acc, x: acc + x
+                ),
+                2,
+            )
+            + 0.0
         ).alias("head4_sum"),
     ).orderBy("vec_id")
 
@@ -547,9 +552,9 @@ def q42_array_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q42_ORACLE = """
 SELECT vec_id,
        len(embedding) AS dim,
-       ROUND(list_min(embedding)::DOUBLE, 2) AS lo,
-       ROUND(list_max(embedding)::DOUBLE, 2) AS hi,
-       ROUND(list_sum(list_transform(embedding[1:4], x -> x::DOUBLE)), 2)
+       ROUND(list_min(embedding)::DOUBLE, 2) + 0.0 AS lo,
+       ROUND(list_max(embedding)::DOUBLE, 2) + 0.0 AS hi,
+       ROUND(list_sum(list_transform(embedding[1:4], x -> x::DOUBLE)), 2) + 0.0
          AS head4_sum
 FROM embeddings
 WHERE vec_id < 50

@@ -39,7 +39,7 @@ def _canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v)
+        return repr(v + 0.0 if v == 0 else v)  # -0.0 -> '0.0'
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, bytes):
