@@ -82,7 +82,9 @@ def q23_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q"), F.col("embedding").alias("qe")
     )
     pairs = emb.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("q"))
-    cos = F.round(cosine_col(F.col("qe"), F.col("embedding")), 2)
+    # + 0.0: a cosine in (-0.005, 0) rounds to IEEE -0.0, which renders
+    # differently from 0.0 across engines — normalize to +0.0
+    cos = F.round(cosine_col(F.col("qe"), F.col("embedding")), 2) + 0.0
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("c").asc())
@@ -105,7 +107,7 @@ WITH pairs AS (
            / (SQRT(list_sum(list_transform(range(1, len(q.embedding) + 1),
                 i -> CAST(q.embedding[i] AS DOUBLE) ** 2)))
               * SQRT(list_sum(list_transform(range(1, len(c.embedding) + 1),
-                i -> CAST(c.embedding[i] AS DOUBLE) ** 2)))), 2) AS cos
+                i -> CAST(c.embedding[i] AS DOUBLE) ** 2)))), 2) + 0.0 AS cos
   FROM embeddings q, embeddings c
   WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
 )
