@@ -521,6 +521,40 @@ WHERE o_custkey < 3
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """
 
+# --- Q44: above-group-average analytic filter --------------------------------
+
+def q44_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their customer's average price: the analytic-filter
+    shape (compare each row to its group aggregate). Expressed with an
+    unbounded window average — one shuffle on the group key — rather
+    than the self-join-with-aggregate a naive translation would use
+    (two scans + a join)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cavg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cavg"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+Q44_ORACLE = """
+SELECT o_custkey,
+       COUNT(*) AS n_above,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM (SELECT o_custkey, o_totalprice,
+             AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
+      FROM orders)
+WHERE o_totalprice > cavg
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
 # --- Q42: array function sweep -----------------------------------------------
 
 def q42_array_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,4 +670,7 @@ QUERIES = [
     QuerySpec("q43_date_parts", q43_date_parts, Q43_ORACLE,
               "year/quarter/day-of-week extraction + aggregation",
               ("relational", "date")),
+    QuerySpec("q44_above_avg_orders", q44_above_avg_orders, Q44_ORACLE,
+              "orders above their customer's average (windowed analytic filter)",
+              ("relational", "window")),
 ]
