@@ -52,14 +52,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hourly_windows_stream(
-    spark: SparkSession, sf_dir: str, watermark: str = "10 minutes"
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Streaming q14: tumbling 1 h windows, late data bounded by the
+    """Streaming q14 (tumbling) / q39 (set ``window='2 hours'``,
+    ``slide='1 hour'``): time windows with late data bounded by the
     watermark. Returns the unstarted streaming DataFrame."""
     ev = events_stream(spark, sf_dir)
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
     return (
         ev.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("total"),

@@ -2,10 +2,14 @@
 still be structurally sound and recall-bounded against the exact query.
 Seeded k-means + fixed data => the recall number is deterministic."""
 
+import numpy as np
+
 from distributed_map_reduce_spark.operators.similarity import (
     ann_ivf_probe,
+    ann_lsh_bucketed,
     q18_nearest_neighbor,
 )
+from distributed_map_reduce_spark.sources import load_table
 
 
 def test_ivf_structure_and_recall(spark, sf_dir):
@@ -26,3 +30,21 @@ def test_ivf_structure_and_recall(spark, sf_dir):
     # nProbe=4 of k=16 cells: recall@1 is 11/20 on this corpus; pin a
     # floor that survives minor numeric drift.
     assert hits >= 0.5 * len(exact)
+
+
+def test_lsh_candidates_have_true_distances(spark, sf_dir):
+    """Every LSH candidate pair must satisfy the distance threshold with
+    its TRUE L2 distance (numpy recompute) — the bucketing may miss
+    pairs (approximate recall) but must never report a wrong distance
+    or a pair outside the threshold."""
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    rows = ann_lsh_bucketed(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        true_d = float(np.linalg.norm(vecs[r["q"]] - vecs[r["c"]]))
+        assert abs(round(true_d, 2) - r["dist"]) <= 0.01, (r, true_d)
+        assert true_d <= 4.0 + 1e-6
+        assert r["q"] != r["c"]

@@ -32,6 +32,20 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
     assert len(got) > 0
 
 
+def test_sliding_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming q39 twin: 2h/1h sliding windows drained with
+    availableNow must equal the batch query."""
+    stream_df = hourly_windows_stream(
+        spark, sf_dir, window="2 hours", slide="1 hour"
+    )
+    run_available_now(stream_df, str(tmp_path / "ckpt"), "sliding_stream_out")
+    got = spark.table("sliding_stream_out").collect()
+    batch = all_queries()["q39_sliding_windows"].build(spark, sf_dir).collect()
+    cols = ["w", "event_type", "n", "total"]
+    assert _canon(got, cols) == _canon(batch, cols)
+    assert len(got) > 0
+
+
 def test_session_stream_subset_of_batch(spark, sf_dir, tmp_path):
     """Append-mode sessions emit only once watermark-final, so a drained
     stream is exactly the batch q32 result minus sessions still open at
