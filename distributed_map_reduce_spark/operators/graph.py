@@ -7,13 +7,17 @@ algorithm in the engine, driven as a Python loop over DataFrame joins
 (each iteration distributed; the loop is control flow, not data flow —
 the same shape GraphX/Pregel uses).
 
-Algorithm: min-label propagation. Every node starts labeled with
-itself; each round every node takes the min label in its neighborhood;
-stop when no label changes. Rounds = graph diameter — fine for near-dup
-graphs, whose components are tiny and dense (duplicate groups), so 2-3
-rounds converge. For adversarial long-chain graphs at 100 TB the
-documented upgrade is the large-star/small-star algorithm
-(O(log n) rounds, same join primitive per round).
+Two algorithms, same join primitive per round:
+
+- ``connected_components`` — min-label propagation. Rounds = graph
+  diameter; 1 shuffle-join per round. Best for near-dup graphs, whose
+  components are tiny and dense (duplicate groups converge in 2-3
+  rounds).
+- ``connected_components_star`` — alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14). O(log^2 n) rounds regardless of diameter; the scale path
+  for adversarial long-chain or high-diameter graphs at 100 TB, where
+  label propagation would need thousands of rounds.
 
 Per-round cost: one shuffle (groupBy node over the symmetric edge
 list). ``localCheckpoint`` truncates lineage each round so the plan
@@ -73,6 +77,90 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _edge_checksum(e: DataFrame) -> tuple[int, int]:
+    """Order-free fingerprint of an edge set: (count, sum of row hashes).
+    One cheap aggregate per round — no sort, no collect of edges."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("c"),
+        # decimal(38,0) sum: xxhash64 values are +/-2^63, a long sum
+        # overflows under ANSI mode
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(row["c"]), int(row["h"])
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u}).
+    Input/output: directed edge list (u, v); output edges point large->min."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mn = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("m"))
+        .select("u", F.least("m", F.col("u")).alias("mn"))
+    )
+    return (
+        sym.join(mn, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large->small, then connect every smaller neighbor of u
+    (and u itself) to min(N(u)); collapses shallow trees into stars."""
+    o = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mn = o.groupBy("u").agg(F.min("v").alias("mn"))  # mn < u by orientation
+    leaves = o.join(mn, "u").select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    selfs = mn.select("u", F.col("mn").alias("v"))
+    return (
+        leaves.unionByName(selfs)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int = CC_MAX_ITER
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star rounds.
+
+    Same output contract as :func:`connected_components` (component =
+    min reachable node id) but converges in O(log^2 n) rounds regardless
+    of graph diameter — the 100 TB scale path. Each round is two
+    groupBy-min + join passes; ``localCheckpoint`` truncates lineage so
+    round k does not replan rounds 1..k-1.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # isolated-in-input nodes don't occur (pair lists); self-loop-only
+    # nodes dropped above, matching connected_components' node domain.
+    prev = _edge_checksum(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _edge_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged edge set is a star forest: (leaf, center) rows only.
+    centers = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    leaves = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return leaves.unionByName(centers)
 
 
 def q38_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,7 +1,13 @@
 """connected_components unit contract: chains close transitively, the
-min node labels each component, separate components stay separate."""
+min node labels each component, separate components stay separate; the
+large-star/small-star scale path agrees with label propagation."""
 
-from distributed_map_reduce_spark.operators.graph import connected_components
+import random
+
+from distributed_map_reduce_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
 
 
 def test_connected_components_shapes(spark):
@@ -19,3 +25,53 @@ def test_connected_components_shapes(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_star_cc_shapes(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "s long, d long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges, "s", "d").collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_star_cc_long_chain_converges_in_log_rounds(spark):
+    # A 200-node path has diameter 199: label propagation would need ~200
+    # rounds, the star algorithm O(log^2 n). max_iter=12 passes only if
+    # the logarithmic convergence actually holds.
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "s long, d long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges, "s", "d", max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_cc_matches_label_propagation_on_random_graph(spark):
+    rng = random.Random(7)
+    nodes = 80
+    edges = [
+        (rng.randrange(nodes), rng.randrange(nodes)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "s long, d long")
+    lp = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "s", "d").collect()
+    }
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, "s", "d").collect()
+    }
+    assert star == lp
