@@ -627,6 +627,166 @@ GROUP BY 1, 2, 3
 ORDER BY y, q, dow
 """
 
+# --- Q45: exact percentiles ---------------------------------------------------
+
+def q45_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/median/p90) of order price per
+    priority class. Uses the exact `percentile` aggregate, NOT
+    approx_percentile — approximations can never hash-match an oracle
+    (same rule as q19). Exact percentile sorts within each group; at
+    100 TB the group count here is 5, so the per-group sort is the
+    scale risk — the approximate sketch twin (sketch_price_quantiles)
+    is the documented big-data path, this is the correctness anchor."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+            F.round(F.median("o_totalprice"), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# DuckDB quantile_cont and Spark percentile use the same linear
+# interpolation at index p*(n-1).
+Q45_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       ROUND(median(o_totalprice), 2) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# --- Q46: correlated scalar subquery (TPC-H Q17 shape) ------------------------
+
+def q46_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from unusually-small orders of one brand's parts: lineitems
+    with quantity below 20% of that part's average quantity. The oracle
+    states it as a correlated scalar subquery; here it's decorrelated as
+    a window aggregate over the join key — ONE scan of the fact (the
+    naive pre-aggregate-then-rejoin rewrite scans lineitem twice), with
+    the brand filter broadcast-joined first so the window shuffles only
+    the ~1% brand slice."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    li = _t(spark, sf_dir, "lineitem")
+    brand_li = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    cap = (F.avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.2)
+    return (
+        brand_li.withColumn("qty_cap", cap)
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+Q46_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+# --- Q47: UNION ALL conformance + regexp extraction ---------------------------
+
+def q47_entity_union_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conform two entity tables into one feed (UNION ALL — SURVEY §2.3
+    lists set ops among the gaps; q10 covers INTERSECT/EXCEPT, this
+    covers the bag union) and parse the numeric id out of the entity
+    name with regexp_extract. Both branches stay fully codegen'd; the
+    union is a no-shuffle concatenation of scans."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_name").alias("name"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_name").alias("name"),
+    )
+    return (
+        cust.unionByName(supp)
+        .withColumn(
+            "name_id", F.regexp_extract("name", "([0-9]+)", 1).cast("bigint")
+        )
+        .groupBy("kind", "nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("name_id").alias("sum_name_id"),
+        )
+        .orderBy("kind", "nationkey")
+    )
+
+
+Q47_ORACLE = """
+SELECT kind, nationkey, COUNT(*) AS n,
+       SUM(CAST(regexp_extract(name, '([0-9]+)', 1) AS BIGINT)) AS sum_name_id
+FROM (
+  SELECT 'customer' AS kind, c_nationkey AS nationkey, c_name AS name
+  FROM customer
+  UNION ALL
+  SELECT 'supplier', s_nationkey, s_name FROM supplier
+)
+GROUP BY kind, nationkey
+ORDER BY kind, nationkey
+"""
+
+# --- Q48: explicit grouping sets ----------------------------------------------
+
+def q48_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with hand-picked sets — (returnflag), (linestatus),
+    and grand total — the irregular shape rollup (q11) and cube (q35)
+    can't express. One scan + one Expand pass, same as rollup/cube;
+    partial aggregation still applies after Expand."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("rflag", "lstatus")
+    )
+
+
+Q48_ORACLE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+       COALESCE(l_linestatus, 'ALL') AS lstatus,
+       COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY rflag, lstatus
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -673,4 +833,16 @@ QUERIES = [
     QuerySpec("q44_above_avg_orders", q44_above_avg_orders, Q44_ORACLE,
               "orders above their customer's average (windowed analytic filter)",
               ("relational", "window")),
+    QuerySpec("q45_percentiles", q45_percentiles, Q45_ORACLE,
+              "exact p25/median/p90 of order price per priority",
+              ("relational", "percentile")),
+    QuerySpec("q46_small_qty_revenue", q46_small_qty_revenue, Q46_ORACLE,
+              "correlated scalar subquery (TPC-H Q17 shape), decorrelated",
+              ("relational", "subquery", "join")),
+    QuerySpec("q47_entity_union_regex", q47_entity_union_regex, Q47_ORACLE,
+              "UNION ALL entity conformance + regexp_extract id parsing",
+              ("relational", "setop", "scalar")),
+    QuerySpec("q48_grouping_sets", q48_grouping_sets, Q48_ORACLE,
+              "explicit GROUPING SETS ((rflag),(lstatus),()) irregular shape",
+              ("relational", "rollup")),
 ]
