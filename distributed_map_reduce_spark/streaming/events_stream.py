@@ -134,6 +134,37 @@ def deduped_stream(
     return raw.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def enriched_segment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the live event stream joined to the
+    customer dimension (user_id -> market segment), then aggregated per
+    (segment, event_type) — the canonical streaming-ETL shape the batch
+    suite expresses as q6-style dim joins.
+
+    The static side is a plain batch DataFrame; Spark re-plans it per
+    micro-batch (so a dim refresh is picked up on the next batch) and,
+    with the explicit hint, broadcasts it — no shuffle of the stream
+    side, no streaming state for the join itself. State exists only in
+    the downstream aggregate; 'complete' output keeps it exact for the
+    drain-and-compare test. At 100 TB/day the same plan holds: the dim
+    broadcast is per-batch, the agg state is O(segments x types).
+    """
+    from ..sources import load_table
+
+    ev = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
 # --- custom stateful operator: applyInPandasWithState -----------------------
 
 RUNNING_TOTALS_OUT = "user_id bigint, n_events bigint, total double"

@@ -10,6 +10,7 @@ from distributed_map_reduce_spark.sources import load_table
 from distributed_map_reduce_spark.streaming.events_stream import (
     RUNNING_TOTALS_OUT,
     deduped_stream,
+    enriched_segment_stream,
     hourly_windows_stream,
     run_available_now,
     sessionized_stream,
@@ -62,6 +63,32 @@ def test_session_stream_subset_of_batch(spark, sf_dir, tmp_path):
     assert set(got_c) <= set(batch_c)
     # nearly everything is watermark-final after the backlog drains
     assert len(got_c) >= 0.9 * len(batch_c) > 0
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static enrichment (events stream x customer dim) drained
+    with availableNow must equal the same join+agg run in batch."""
+    stream_df = enriched_segment_stream(spark, sf_dir)
+    run_available_now(stream_df, str(tmp_path / "ckpt"), "segment_stream_out")
+    got = spark.table("segment_stream_out").collect()
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    batch = (
+        ev.join(dim, "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .collect()
+    )
+    cols = ["segment", "event_type", "n", "total"]
+    assert _canon(got, cols) == _canon(batch, cols)
+    assert len(got) > 0
 
 
 def test_streaming_dedup_drops_replays(spark, sf_dir, tmp_path):
