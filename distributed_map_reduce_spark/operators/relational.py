@@ -787,6 +787,83 @@ ORDER BY rflag, lstatus
 """
 
 
+# --- Q49: statistical moments + math scalar sweep -----------------------------
+
+def q49_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (stddev/variance/correlation/covariance)
+    plus math scalars (sqrt/ln/pow) — the statistics surface §2.3 lists
+    among the reference's gaps. All algebraic (sum-of-squares
+    decomposable), so partial aggregation applies map-side exactly like
+    plain sums: one scan, one shuffle of 3 groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qe"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qe"
+            ),
+            F.round(F.avg(F.sqrt("l_quantity")), 2).alias("avg_sqrt_qty"),
+            F.round(F.avg(F.log("l_extendedprice")), 2).alias("avg_ln_price"),
+            F.round(F.sum(F.pow("l_discount", F.lit(2))), 2).alias("sum_disc_sq"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q49_ORACLE = """
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 2) AS sd_qty,
+       ROUND(VAR_SAMP(l_quantity), 2) AS var_qty,
+       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qe,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qe,
+       ROUND(AVG(SQRT(l_quantity)), 2) AS avg_sqrt_qty,
+       ROUND(AVG(LN(l_extendedprice)), 2) AS avg_ln_price,
+       ROUND(SUM(POW(l_discount, 2)), 2) AS sum_disc_sq
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# --- Q50: unpivot / melt ------------------------------------------------------
+
+def q50_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape: per-priority order metrics melted into
+    (priority, metric, val) rows — the inverse of q36's pivot. Spark's
+    `unpivot` is a zero-shuffle Expand over the 5-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return (
+        wide.unpivot(
+            ["o_orderpriority"],
+            ["sum_price", "avg_price", "max_price"],
+            "metric",
+            "val",
+        )
+        .orderBy("o_orderpriority", "metric")
+    )
+
+
+Q50_ORACLE = """
+SELECT o_orderpriority, metric, val
+FROM (
+  SELECT o_orderpriority,
+         ROUND(SUM(o_totalprice), 2) AS sum_price,
+         ROUND(AVG(o_totalprice), 2) AS avg_price,
+         ROUND(MAX(o_totalprice), 2) AS max_price
+  FROM orders
+  GROUP BY o_orderpriority
+) UNPIVOT (val FOR metric IN (sum_price, avg_price, max_price))
+ORDER BY o_orderpriority, metric
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -845,4 +922,10 @@ QUERIES = [
     QuerySpec("q48_grouping_sets", q48_grouping_sets, Q48_ORACLE,
               "explicit GROUPING SETS ((rflag),(lstatus),()) irregular shape",
               ("relational", "rollup")),
+    QuerySpec("q49_stat_moments", q49_stat_moments, Q49_ORACLE,
+              "stddev/variance/corr/covar + sqrt/ln/pow math sweep",
+              ("relational", "stats", "scalar")),
+    QuerySpec("q50_unpivot", q50_unpivot, Q50_ORACLE,
+              "wide-to-long unpivot of per-priority order metrics",
+              ("relational", "reshape")),
 ]

@@ -143,6 +143,35 @@ GROUP BY lang
 ORDER BY lang
 """
 
+def q51_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First three tokens of each document WITH their array position —
+    posexplode, the ordinal-aware flatten q1's plain explode doesn't
+    cover (order matters for n-gram/windowed text features). Positions
+    index the RAW split array (empties keep their slot, then drop), so
+    both engines agree on pos without ordinal renumbering."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", "[^a-zA-Z]+")).alias("pos", "token"),
+        )
+        .filter((F.col("pos") < 3) & (F.col("token") != ""))
+        .orderBy("doc_id", "pos")
+    )
+
+
+# DuckDB: index the raw split list with a tiny generate_series relation
+# (1-based -> pos = i-1); same raw-slot position semantics as posexplode.
+Q51_ORACLE = """
+SELECT doc_id, i - 1 AS pos, toks[i] AS token
+FROM (SELECT doc_id, string_split_regex(text, '[^a-zA-Z]+') AS toks
+      FROM documents WHERE doc_id < 50),
+     (SELECT unnest(generate_series(1, 3)) AS i)
+WHERE i <= len(toks) AND toks[i] <> ''
+ORDER BY doc_id, pos
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q1_wordcount",
@@ -178,5 +207,12 @@ QUERIES = [
         Q17_ORACLE,
         "per-language doc counts and length stats",
         ("text",),
+    ),
+    QuerySpec(
+        "q51_positional_tokens",
+        q51_positional_tokens,
+        Q51_ORACLE,
+        "posexplode: first three tokens per doc with array position",
+        ("text", "explode"),
     ),
 ]
