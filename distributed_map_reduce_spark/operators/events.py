@@ -69,6 +69,38 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+def q52_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse props into a MapType
+    (`from_json` -> map<string,bigint>), then element_at lookup and
+    map_keys cardinality — §2.3 lists map functions among the
+    reference's gaps; q15 covers string-path JSON extraction, this
+    covers the typed-map path. All JVM-side codegen, one scan +
+    one 4-group shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select("event_type", m.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.element_at("m", F.lit("k"))).alias("sum_k"),
+            F.sum(F.size(F.map_keys("m"))).alias("n_keys"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# DuckDB twin avoids maps (its MAP semantics differ): json_extract for
+# the lookup, len(json_keys()) for cardinality — same values.
+Q52_ORACLE = """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       SUM(len(json_keys(props))) AS n_keys
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q39_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows: 2 h length, 1 h slide — each event counts in two
     overlapping windows (vs q14's tumbling windows, where it counts
@@ -180,6 +212,9 @@ QUERIES = [
     QuerySpec("q15_json_extract", q15_json_extract, Q15_ORACLE,
               "JSON property extraction + aggregation over events.props",
               ("events", "json")),
+    QuerySpec("q52_props_map", q52_props_map, Q52_ORACLE,
+              "typed-map path: from_json map + element_at + map_keys",
+              ("events", "json", "map")),
     QuerySpec("q32_user_sessions", q32_user_sessions, Q32_ORACLE,
               "gap-based sessionization (session_window, 6h gap)",
               ("events", "session", "streaming-twin")),

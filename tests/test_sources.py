@@ -36,6 +36,22 @@ def test_unknown_table_rejected(spark, sf_dir):
         load_table(spark, sf_dir, "nope")
 
 
+def test_sql_front_door(spark, sf_dir):
+    """register_views makes every table addressable from spark.sql with
+    the oracle's table names — running a registry query's own oracle
+    text through Spark SQL must agree with its DataFrame build (ANSI
+    SQL runs unchanged on both engines)."""
+    from distributed_map_reduce_spark.registry import all_queries
+    from distributed_map_reduce_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    spec = all_queries()["q6_segment_revenue"]
+    via_sql = spark.sql(spec.oracle).collect()
+    via_df = spec.build(spark, sf_dir).collect()
+    assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]
+    assert len(via_sql) > 0
+
+
 def test_csv_and_jsonl_roundtrip(spark, sf_dir, tmp_path: pathlib.Path):
     """parquet -> csv/jsonl -> read back with the contract schema must be
     lossless for the columns interchange formats can carry."""
