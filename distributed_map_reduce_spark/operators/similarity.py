@@ -176,12 +176,17 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).withColumn(
         "features", array_to_vector(F.col("embedding").cast("array<double>"))
     )
-    # maxIter=5: a coarse quantizer only partitions space, it doesn't
-    # need converged centroids — recall is set by nProbe, not centroid
-    # polish, and fit cost is per-iteration full-table passes.
+    # maxIter=5 + random init: a coarse quantizer only partitions space,
+    # it doesn't need converged centroids — recall is set by nProbe, not
+    # centroid polish. Random init skips k-means||'s extra full-table
+    # passes, and the fit runs on a capped sample (the FAISS recipe:
+    # train the quantizer on a sample, assign everything) so fit cost
+    # stays flat as the table grows.
+    fit_input = emb.sample(fraction=0.5, seed=42).limit(50_000)
     model = KMeans(
-        k=IVF_K, seed=42, maxIter=5, featuresCol="features", predictionCol="cell"
-    ).fit(emb)
+        k=IVF_K, seed=42, maxIter=5, initMode="random",
+        featuresCol="features", predictionCol="cell",
+    ).fit(fit_input)
     assigned = model.transform(emb).select("vec_id", "embedding", "cell")
 
     centers = spark.createDataFrame(
