@@ -270,6 +270,93 @@ GROUP BY 1
 ORDER BY bin
 """.format(toks=_DUCK_TOKS)
 
+# --- q53: winnowing fingerprints (rolling k-gram window min) -----------------
+
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # window: fingerprint = min hash of 4 consecutive k-grams
+_WINNOW_PREFIX = 400  # fingerprint the document head (bounds per-doc work)
+
+
+def q53_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    char k-gram, slide a w-wide window, keep each window's min hash.
+    Guarantees every match of length >= k+w-1 shares a fingerprint,
+    storing ~2/(w+1) of the hashes.
+
+    Expressed relationally — k-grams explode to rows, the window min is
+    a ROWS-frame over (doc, position) — NOT as nested higher-order
+    array functions: Catalyst inlines HOF aliases textually, which
+    re-evaluates the gram-hash array per window element (the measured
+    O(n²) trap from q24's tokenizer, see BASELINE.md). Per doc the
+    frame sort is local; across docs this is embarrassingly parallel —
+    zero shuffle until the final per-doc aggregate.
+    """
+    k, w = WINNOW_K, WINNOW_W
+    t = (
+        _docs(spark, sf_dir)
+        .filter((F.col("doc_id") < 50) & (F.length("text") >= 2 * k))
+        .select("doc_id", F.expr(f"substring(text, 1, {_WINNOW_PREFIX})").alias("s"))
+    )
+    g = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, length(s) - {k - 1}), i -> substring(s, i, {k}))")
+        ).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("i"),
+        F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    from pyspark.sql.window import Window
+
+    wn = Window.partitionBy("doc_id")
+    wf = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    fp = F.when(F.col("i") <= F.col("n") - (w - 1), F.col("fp_raw"))
+    return (
+        g.withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("fp_raw", F.min("h").over(wf))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_grams"),
+            F.countDistinct(fp).alias("n_fps"),
+            F.min(fp).alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q53_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, substr(text, 1, {_WINNOW_PREFIX}) AS s
+  FROM documents WHERE doc_id < 50 AND LENGTH(text) >= {2 * WINNOW_K}
+),
+g AS (
+  SELECT doc_id, unnest(generate_series(1, len(s) - {WINNOW_K - 1})) AS i, s
+  FROM t
+),
+h AS (
+  SELECT doc_id, i,
+         (('0x' || substr(md5(substr(s, i, {WINNOW_K})), 1, 7))::BIGINT) AS h,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM g
+),
+w AS (
+  SELECT doc_id, i, n,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp_raw
+  FROM h
+)
+SELECT doc_id, MAX(n) AS n_grams,
+       COUNT(DISTINCT CASE WHEN i <= n - {WINNOW_W - 1} THEN fp_raw END) AS n_fps,
+       MIN(CASE WHEN i <= n - {WINNOW_W - 1} THEN fp_raw END) AS min_fp
+FROM w
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("q28_token_counts", q28_token_counts, Q28_ORACLE,
               "whitespace + BPE-ish regex token counts by source",
@@ -286,4 +373,8 @@ QUERIES = [
     QuerySpec("q37_repetition_ratio", q37_repetition_ratio, Q37_ORACLE,
               "intra-doc 3-gram repetition ratio histogram (boilerplate signal)",
               ("textanalysis", "quality")),
+    QuerySpec("q53_winnowing_fingerprints", q53_winnowing_fingerprints,
+              Q53_ORACLE,
+              "winnowing (MOSS) rolling k-gram window-min fingerprints",
+              ("textanalysis", "fingerprint")),
 ]
