@@ -59,6 +59,40 @@ def test_q4_runs_in_whole_stage_codegen(spark, sf_dir):
     assert whole_stage_codegen_subtrees(_q("q4_pricing_summary", spark, sf_dir)) >= 1
 
 
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q46_decorrelation_scans_fact_once(spark, sf_dir):
+    """The correlated-subquery rewrite must stay the one-scan window
+    form: a regression to pre-aggregate-and-rejoin would read lineitem
+    twice — invisible at sf0.01, double the IO at 100 TB."""
+    import re
+
+    plan = _executed_plan(_q("q46_small_qty_revenue", spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_q50_unpivot_is_expand_not_union(spark, sf_dir):
+    """Unpivot must plan as one Expand over the aggregate (one agg
+    shuffle + the final sort), not a scan-per-metric union."""
+    import re
+
+    plan = _executed_plan(_q("q50_unpivot", spark, sf_dir))
+    assert "Expand" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_q53_winnowing_reuses_doc_partitioning(spark, sf_dir):
+    """Window min, grouped aggregate, and distinct-count all key on
+    doc_id — they must share ONE hash exchange, not shuffle per step."""
+    import re
+
+    plan = _executed_plan(_q("q53_winnowing_fingerprints", spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
 def test_no_cartesian_products_in_relational_suite(spark, sf_dir):
     for name in (
         "q4_pricing_summary",
