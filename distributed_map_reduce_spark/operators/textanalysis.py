@@ -357,6 +357,83 @@ ORDER BY doc_id
 """
 
 
+# --- q54: TF-IDF top terms ---------------------------------------------------
+
+def q54_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (first 20 docs) — the classic
+    relevance/keyword-extraction signal over the corpus.
+
+    One pass over the exploded tokens: term frequency is the
+    (doc, token) groupBy; document frequency is a COUNT window over the
+    token partition of that SAME aggregate (tf rows are unique per
+    (doc, token), so rows-per-token = docs-containing-token) — no
+    second explode, no tf-df self-join. Corpus size N joins in as a
+    broadcast single-row aggregate. Ranking orders by the ROUNDED score
+    (suite convention) so cross-engine float ulps can't flip ranks;
+    ties break on token."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKS)).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        with_df.filter(F.col("doc_id") < 20)
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 2
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+Q54_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DUCK_TOKS_EXPR}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok WHERE token <> ''
+  GROUP BY doc_id, token
+),
+with_df AS (
+  SELECT doc_id, token, tf, COUNT(*) OVER (PARTITION BY token) AS df
+  FROM tf
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         ROUND(tf * LN((n + 1.0) / (df + 1.0)), 2) AS tfidf
+  FROM with_df CROSS JOIN n
+  WHERE doc_id < 20
+)
+SELECT doc_id, token, tf, df, tfidf, rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token ASC) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+ORDER BY doc_id, rn
+"""
+
+
 QUERIES = [
     QuerySpec("q28_token_counts", q28_token_counts, Q28_ORACLE,
               "whitespace + BPE-ish regex token counts by source",
@@ -377,4 +454,7 @@ QUERIES = [
               Q53_ORACLE,
               "winnowing (MOSS) rolling k-gram window-min fingerprints",
               ("textanalysis", "fingerprint")),
+    QuerySpec("q54_tfidf", q54_tfidf, Q54_ORACLE,
+              "top-3 TF-IDF terms per doc (single token pass, window df)",
+              ("textanalysis", "tfidf")),
 ]
