@@ -165,6 +165,56 @@ def enriched_segment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def click_purchase_stream_join(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: live purchases matched to the same
+    user's clicks from the preceding hour — the stateful two-stream
+    surface (attribution joins, funnel analysis) whose batch twin is
+    q33's as-of join family.
+
+    Both sides carry watermarks and the join predicate bounds event-time
+    distance, so Spark can evict buffered rows once the other side's
+    watermark passes the horizon: state is O(events per horizon) per
+    side, not unbounded — the requirement for running this against an
+    infinite source. Inner join + availableNow drain processes the whole
+    backlog, so the result equals the identical batch join exactly.
+    """
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    return (
+        clicks.withWatermark("click_ts", "10 minutes")
+        .join(
+            purchases.withWatermark("purchase_ts", "10 minutes"),
+            F.expr(
+                f"""
+                c_user = p_user AND
+                click_ts <= purchase_ts AND
+                click_ts >= purchase_ts - INTERVAL {horizon}
+                """
+            ),
+        )
+        .select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "click_id",
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            "value",
+        )
+    )
+
+
 # --- custom stateful operator: applyInPandasWithState -----------------------
 
 RUNNING_TOTALS_OUT = "user_id bigint, n_events bigint, total double"

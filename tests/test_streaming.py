@@ -10,6 +10,7 @@ from distributed_map_reduce_spark.sources import load_table
 from distributed_map_reduce_spark.streaming.events_stream import (
     RUNNING_TOTALS_OUT,
     deduped_stream,
+    click_purchase_stream_join,
     enriched_segment_stream,
     hourly_windows_stream,
     run_available_now,
@@ -87,6 +88,53 @@ def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     )
     cols = ["segment", "event_type", "n", "total"]
+    assert _canon(got, cols) == _canon(batch, cols)
+    assert len(got) > 0
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (purchases x prior-hour clicks per
+    user) drained with availableNow must equal the identical batch
+    join: inner joins lose nothing once the backlog is processed."""
+    stream_df = click_purchase_stream_join(spark, sf_dir)
+    run_available_now(
+        stream_df, str(tmp_path / "ckpt"), "attribution_stream_out", "append"
+    )
+    got = spark.table("attribution_stream_out").collect()
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "click_id",
+            "purchase_ts",
+            "click_ts",
+            "value",
+        )
+        .collect()
+    )
+    cols = ["user_id", "purchase_id", "click_id", "purchase_ts", "click_ts", "value"]
     assert _canon(got, cols) == _canon(batch, cols)
     assert len(got) > 0
 
