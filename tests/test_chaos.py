@@ -81,3 +81,47 @@ def test_dataframe_path_survives_udf_task_failures(spark, sf_dir):
     out = docs.repartition(4).mapInPandas(flaky, "doc_id long, n_chars long")
     assert sorted(tuple(r) for r in out.collect()) == golden
     assert len(os.listdir(marker_dir)) >= 1
+
+
+def test_file_sink_commit_is_atomic_under_failures(spark, sf_dir, tmp_path):
+    """The A6 early_exit property (output visible == output final,
+    worker.go:184-216 rename-commit): a file sink fed by a stage whose
+    first attempt per partition crashes AFTER emitting rows must end up
+    with exactly the golden rows — the failed attempt's partially
+    written files are never committed — and no in-progress remnants
+    survive in the output directory."""
+    from distributed_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    golden = sorted(tuple(r) for r in docs.collect())
+
+    marker_dir = tempfile.mkdtemp(prefix="sink-chaos-")
+
+    def flaky(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        marker = os.path.join(marker_dir, f"p{pid}")
+        first_attempt = not os.path.exists(marker)
+        if first_attempt:
+            with open(marker, "w") as f:
+                f.write("attempted")
+        emitted = False
+        for pdf in batches:
+            yield pdf  # rows reach the writer BEFORE the crash
+            emitted = True
+        if first_attempt and emitted:
+            raise RuntimeError(f"injected crash in partition {pid} post-emit")
+
+    out_dir = str(tmp_path / "out")
+    (
+        docs.repartition(4)
+        .mapInPandas(flaky, "doc_id long, n_chars long")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    assert len(os.listdir(marker_dir)) >= 1  # failures actually happened
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    assert got == golden
+    leftovers = [f for f in os.listdir(out_dir) if "_temporary" in f]
+    assert leftovers == []
