@@ -52,11 +52,36 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_SUPPORT = 0.002  # report tokens above ~0.2% of total occurrences
+
+
+def approx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the token stream: `freqItems` (Karp-
+    Papadimitriou-Shenker counter-decrement, the deterministic cousin of
+    count-min) finds every token whose frequency exceeds the support
+    threshold in one pass with O(1/support) state per partition — no
+    full token->count shuffle. Output is the candidate set (may include
+    false positives, never false negatives); the accuracy test checks
+    it against exact counts. One narrow column, support sized so the
+    state map stays ~500 entries regardless of corpus size."""
+    from ..functions.text import SPARK_TOKS_EXPR
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token"))
+    hits = toks.freqItems(["token"], support=HH_SUPPORT)
+    return hits.select(
+        F.explode(F.sort_array("token_freqItems")).alias("token")
+    )
+
+
 QUERIES = [
     QuerySpec("sketch_distinct_parts", approx_distinct_parts, None,
               "HyperLogLog++ distinct partkeys per returnflag (approx twin of q19)",
               ("sketch", "approx")),
     QuerySpec("sketch_price_quantiles", approx_price_quantiles, None,
               "approx_percentile p50/p90/p99 of order totalprice per status",
+              ("sketch", "approx")),
+    QuerySpec("sketch_heavy_tokens", approx_heavy_tokens, None,
+              "freqItems heavy-hitter tokens above 0.2% support (no false negatives)",
               ("sketch", "approx")),
 ]

@@ -27,6 +27,25 @@ def test_hll_within_rsd_of_exact(spark, sf_dir):
         assert abs(approx[k] - n) <= max(3, 0.10 * n), (k, approx[k], n)
 
 
+def test_heavy_hitters_have_no_false_negatives(spark, sf_dir):
+    """freqItems guarantee: every token with frequency > support MUST be
+    in the candidate set (false positives allowed, false negatives
+    not); and the candidate set stays bounded (~1/support)."""
+    from distributed_map_reduce_spark.operators.sketches import (
+        HH_SUPPORT,
+        approx_heavy_tokens,
+    )
+
+    got = {r["token"] for r in approx_heavy_tokens(spark, sf_dir).collect()}
+
+    counts = all_queries()["q1_wordcount"].build(spark, sf_dir).collect()
+    total = sum(r["c"] for r in counts)
+    must_have = {r["token"] for r in counts if r["c"] / total > HH_SUPPORT}
+    assert must_have <= got, must_have - got
+    assert len(must_have) > 0
+    assert len(got) <= 4 / HH_SUPPORT  # bounded candidate set
+
+
 def test_quantile_sketch_brackets_exact(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     exact = {
