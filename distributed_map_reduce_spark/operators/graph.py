@@ -163,6 +163,91 @@ def connected_components_star(
     return leaves.unionByName(centers)
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """(node, rank) after a fixed number of power iterations — the
+    second iterative algorithm next to connected components, same
+    driver-loop-over-DataFrame-joins shape (each round distributed; the
+    loop is control flow).
+
+    Handles dangling nodes (no out-edges) by redistributing their mass
+    uniformly, keeping total rank = 1 — the scalar dangling mass stays
+    in-plan as a broadcast 1-row aggregate, no driver round-trip per
+    iteration. Per round: one join on the edge source + one groupBy on
+    the destination (the natural shuffle keys); ``localCheckpoint``
+    truncates lineage exactly like connected_components.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    # the dangling-node SET is static — resolve the anti-join once, not
+    # per iteration; only its mass (a broadcast 1-row agg) is per-round
+    dangling_nodes = nodes.join(
+        out_deg.withColumnsRenamed({"s": "node"}), "node", "left_anti"
+    ).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (
+            e.join(out_deg, "s")
+            .join(ranks.withColumnsRenamed({"node": "s"}), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("recv"))
+        )
+        dangling = ranks.join(F.broadcast(dangling_nodes), "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (F.coalesce("recv", F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part->supplier sourcing graph from lineitem
+    (keyspaces string-prefixed so part 5 and supplier 5 stay distinct
+    nodes): top-20 nodes by rank. Iterative float accumulation —
+    rows-only check; the algorithmic contracts (mass conservation,
+    cycle uniformity, dangling handling) are property-tested."""
+    from ..sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    pr = pagerank(edges, "src", "dst", iters=6)
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
 def q38_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (q24) closed into clusters: every clustered doc
     with its component id (= keeper, the min doc_id) and cluster size.
@@ -211,4 +296,7 @@ QUERIES = [
     QuerySpec("q38_dedup_clusters", q38_dedup_clusters, _q38_oracle(),
               "connected components over near-dup pairs: cluster + keeper per doc",
               ("dedup", "graph", "iterative")),
+    QuerySpec("pagerank_suppliers", pagerank_suppliers, None,
+              "PageRank over the part->supplier graph (iterative, property-tested)",
+              ("graph", "iterative", "approx")),
 ]

@@ -7,6 +7,7 @@ import random
 from distributed_map_reduce_spark.operators.graph import (
     connected_components,
     connected_components_star,
+    pagerank,
 )
 
 
@@ -75,3 +76,31 @@ def test_star_cc_matches_label_propagation_on_random_graph(spark):
         for r in connected_components_star(df, "s", "d").collect()
     }
     assert star == lp
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    # ring: every node structurally identical -> rank exactly 1/n
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "s long, d long"
+    )
+    got = _ranks(pagerank(edges, "s", "d", iters=5))
+    for v in got.values():
+        assert abs(v - 1.0 / n) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_star_center_dominates_and_mass_conserved(spark):
+    # leaves 1..5 all point at 0; 0 is dangling (its mass redistributes)
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "s long, d long"
+    )
+    got = _ranks(pagerank(edges, "s", "d"))
+    assert abs(sum(got.values()) - 1.0) < 1e-9, "dangling mass lost"
+    center, leaves = got[0], [got[i] for i in range(1, 6)]
+    assert all(center > lv for lv in leaves)
+    assert len({round(lv, 12) for lv in leaves}) == 1  # leaves symmetric
