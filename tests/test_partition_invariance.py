@@ -14,7 +14,9 @@ from distributed_map_reduce_spark.registry import all_queries
 SWEEP = ["q1_wordcount", "q4_pricing_summary", "q7_region_revenue",
          "q9_window_rank", "q11_rollup", "q19_count_distinct",
          "q24_ngram_jaccard_dedup", "q18_nearest_neighbor",
-         "q32_user_sessions", "q27_embedding_neardup"]
+         "q32_user_sessions", "q27_embedding_neardup",
+         "q45_percentiles", "q46_small_qty_revenue",
+         "q53_winnowing_fingerprints", "q54_tfidf"]
 
 
 def _canon(df):
