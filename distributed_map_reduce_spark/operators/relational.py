@@ -864,6 +864,43 @@ ORDER BY o_orderpriority, metric
 """
 
 
+# --- Q56: null-handling semantics ---------------------------------------------
+
+def q56_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface pinned end-to-end: NULLIF introduces nulls,
+    COALESCE classifies them, COUNT(col) vs COUNT(*) shows null
+    exclusion, and a null-safe comparison (IS DISTINCT FROM / <=>)
+    counts through the null. The testdata has no physical nulls, so the
+    query synthesizes them — the semantics are what's under test."""
+    o = _t(spark, sf_dir, "orders")
+    masked = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        o.groupBy(
+            F.coalesce(masked, F.lit("OPEN_MASKED")).alias("status_class")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(masked).alias("n_nonmasked"),
+            F.sum(
+                (~F.col("o_orderstatus").eqNullSafe("F")).cast("bigint")
+            ).alias("n_not_f"),
+        )
+        .orderBy("status_class")
+    )
+
+
+Q56_ORACLE = """
+SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN_MASKED') AS status_class,
+       COUNT(*) AS n_rows,
+       COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonmasked,
+       SUM(CASE WHEN o_orderstatus IS DISTINCT FROM 'F' THEN 1 ELSE 0 END)
+         AS n_not_f
+FROM orders
+GROUP BY 1
+ORDER BY status_class
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -928,4 +965,7 @@ QUERIES = [
     QuerySpec("q50_unpivot", q50_unpivot, Q50_ORACLE,
               "wide-to-long unpivot of per-priority order metrics",
               ("relational", "reshape")),
+    QuerySpec("q56_null_semantics", q56_null_semantics, Q56_ORACLE,
+              "null semantics: NULLIF/COALESCE, COUNT(col), null-safe compare",
+              ("relational", "nulls")),
 ]

@@ -434,6 +434,50 @@ ORDER BY doc_id, rn
 """
 
 
+# --- q55: token frequency histogram (Zipf curve) -----------------------------
+
+def q55_token_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary shape summary: token counts bucketed by order of
+    magnitude (decimal digits of the count — an integer-exact bucket,
+    deliberately NOT floor(log2(c)), whose float boundary at exact
+    powers can land on different sides per engine). Two shuffles
+    (token counts, then tiny bucket agg), no global-rank window — the
+    Zipf *rank* variant would need a single-partition sort; the count
+    histogram carries the same curve shape and scales."""
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(F.expr(_TOKS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy(
+            F.length(F.col("c").cast("string")).alias("digits")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("occurrences"),
+            F.max("c").alias("max_count"),
+        )
+        .orderBy("digits")
+    )
+
+
+Q55_ORACLE = f"""
+SELECT LENGTH(CAST(c AS VARCHAR)) AS digits,
+       COUNT(*) AS n_tokens,
+       SUM(c) AS occurrences,
+       MAX(c) AS max_count
+FROM (
+  SELECT token, COUNT(*) AS c
+  FROM (SELECT unnest({DUCK_TOKS_EXPR}) AS token FROM documents)
+  GROUP BY token
+)
+GROUP BY 1
+ORDER BY digits
+"""
+
+
 QUERIES = [
     QuerySpec("q28_token_counts", q28_token_counts, Q28_ORACLE,
               "whitespace + BPE-ish regex token counts by source",
@@ -457,4 +501,8 @@ QUERIES = [
     QuerySpec("q54_tfidf", q54_tfidf, Q54_ORACLE,
               "top-3 TF-IDF terms per doc (single token pass, window df)",
               ("textanalysis", "tfidf")),
+    QuerySpec("q55_token_freq_histogram", q55_token_freq_histogram,
+              Q55_ORACLE,
+              "Zipf-curve token-frequency histogram (digit buckets)",
+              ("textanalysis", "vocab")),
 ]
