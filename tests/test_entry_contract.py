@@ -22,5 +22,6 @@ def test_queries_and_oracles_consistent(spark):
     # rows-only queries are the documented approximate/binary set
     rows_only = set(qs) - set(oracles)
     assert all(
-        n.startswith(("ann_", "sketch_", "multimodal_")) for n in rows_only
+        n.startswith(("ann_", "sketch_", "multimodal_", "pagerank_"))
+        for n in rows_only
     ), rows_only
