@@ -4,7 +4,7 @@ from .binaryfile import (
     read_binary_dir,
     read_whole_text_files,
 )
-from .files import load_csv, load_jsonl
+from .files import load_csv, load_jsonl, load_orc
 from .tables import TABLES, load_table, load_tables, register_views
 
 __all__ = [
@@ -12,6 +12,7 @@ __all__ = [
     "TABLES",
     "load_csv",
     "load_jsonl",
+    "load_orc",
     "load_table",
     "load_tables",
     "media_from_binary_files",

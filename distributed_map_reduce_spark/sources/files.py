@@ -41,3 +41,18 @@ def load_jsonl(
 ) -> DataFrame:
     """JSON-lines (one object per line — the splittable JSON layout)."""
     return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def load_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """ORC — the other columnar interchange format (Hive-ecosystem
+    counterpart of parquet; same pushdown/pruning/split story, footer
+    carries the schema so ``schema`` is an optional assertion, not a
+    requirement like the text formats)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

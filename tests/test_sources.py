@@ -16,6 +16,7 @@ from distributed_map_reduce_spark.sources import (
     TABLES,
     load_csv,
     load_jsonl,
+    load_orc,
     load_table,
     read_whole_text_files,
 )
@@ -70,6 +71,25 @@ def test_csv_and_jsonl_roundtrip(spark, sf_dir, tmp_path: pathlib.Path):
     docs.write.json(jl_dir)
     got_jl = sorted(tuple(r) for r in load_jsonl(spark, jl_dir, schema).collect())
     assert got_jl == want
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path: pathlib.Path):
+    """parquet -> ORC -> read back must be lossless, and ORC scans must
+    keep the same pushdown/pruning story as parquet (filter reaches the
+    scan's PushedFilters)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    want = sorted(tuple(r) for r in docs.collect())
+
+    orc_dir = str(tmp_path / "docs_orc")
+    docs.write.orc(orc_dir)
+    back = load_orc(spark, orc_dir)
+    assert sorted(tuple(r) for r in back.collect()) == want
+
+    filtered = load_orc(spark, orc_dir).filter("doc_id < 10").select("doc_id")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split("PushedFilters")[1]
 
 
 def test_whole_files_to_mr_output(spark, tmp_path: pathlib.Path):
