@@ -195,11 +195,6 @@ def pagerank(
     )
     n = nodes.count()
     out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
-    # the dangling-node SET is static — resolve the anti-join once, not
-    # per iteration; only its mass (a broadcast 1-row agg) is per-round
-    dangling_nodes = nodes.join(
-        out_deg.withColumnsRenamed({"s": "node"}), "node", "left_anti"
-    ).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         contribs = (
@@ -207,9 +202,13 @@ def pagerank(
             .join(ranks.withColumnsRenamed({"node": "s"}), "s")
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("recv"))
+            .localCheckpoint()
         )
-        dangling = ranks.join(F.broadcast(dangling_nodes), "node").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        # mass conservation: what non-dangling nodes sent is sum(recv),
+        # so dangling mass = 1 - sum(recv) — no dangling-node join, just
+        # a 1-row aggregate over the contributions already computed
+        dangling = contribs.agg(
+            (1.0 - F.coalesce(F.sum("recv"), F.lit(0.0))).alias("dm")
         )
         ranks = (
             nodes.join(contribs, "node", "left")
