@@ -503,6 +503,59 @@ WHERE a.vec_id < b.vec_id
 ORDER BY ad, bd
 """
 
+# --- q57: edit-distance fuzzy pairs ------------------------------------------
+
+LEV_MAX = 4  # report pairs within this edit distance
+LEV_KEY_CAP = 150  # bound the candidate block for the hash-checked demo
+
+
+def q57_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level fuzzy matching: part-name pairs within a small edit
+    distance — the string-similarity rung of the dedup ladder below
+    shingle Jaccard (q24 catches rewordings; this catches misspellings).
+
+    The demo blocks on a bounded key range and length difference
+    (|len(a)-len(b)| <= LEV_MAX is a free lower bound on edit distance,
+    pushed before the quadratic compare). At 100 TB the same operator
+    runs behind a real blocking key (q-gram or phonetic bucket) exactly
+    like q24's LSH banding — never as an open cross join."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < LEV_KEY_CAP)
+        .select("p_partkey", "p_name")
+    )
+    a = part.select(
+        F.col("p_partkey").alias("ak"), F.col("p_name").alias("an")
+    )
+    b = part.select(
+        F.col("p_partkey").alias("bk"), F.col("p_name").alias("bn")
+    )
+    return (
+        a.join(b, F.col("ak") < F.col("bk"))
+        .filter(
+            F.abs(F.length("an") - F.length("bn")) <= LEV_MAX
+        )
+        .select(
+            "ak",
+            "bk",
+            F.levenshtein("an", "bn").alias("dist"),
+        )
+        .filter(F.col("dist") <= LEV_MAX)
+        .orderBy("ak", "bk")
+    )
+
+
+Q57_ORACLE = f"""
+SELECT a.p_partkey AS ak, b.p_partkey AS bk,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE a.p_partkey < {LEV_KEY_CAP} AND b.p_partkey < {LEV_KEY_CAP}
+  AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= {LEV_MAX}
+  AND levenshtein(a.p_name, b.p_name) <= {LEV_MAX}
+ORDER BY ak, bk
+"""
+
+
 QUERIES = [
     QuerySpec("q24_ngram_jaccard_dedup", q24_ngram_jaccard_dedup, Q24_ORACLE,
               "exact 3-gram shingle Jaccard near-dup pairs (J >= 0.5)",
@@ -516,4 +569,7 @@ QUERIES = [
     QuerySpec("q27_embedding_neardup", q27_embedding_neardup, Q27_ORACLE,
               "embedding-cosine near-dup pairs over bounded id range",
               ("dedup", "similarity")),
+    QuerySpec("q57_fuzzy_name_pairs", q57_fuzzy_name_pairs, Q57_ORACLE,
+              "edit-distance fuzzy name pairs (length-blocked levenshtein)",
+              ("dedup", "fuzzy")),
 ]
