@@ -864,6 +864,49 @@ ORDER BY o_orderpriority, metric
 """
 
 
+# --- Q58: window navigation + distribution functions --------------------------
+
+def q58_window_nav_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window functions q9/q41 don't touch: first_value/last_value
+    over an explicit full frame, lead (q41 had lag), and the
+    distribution family ntile/percent_rank/cume_dist. One shuffle on
+    o_custkey; every window shares the same partitioning + ordering so
+    they evaluate in a single Window operator pass."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 3)
+    order_cols = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.first("o_totalprice").over(wfull), 2).alias("first_price"),
+            F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
+            F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cdist"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+Q58_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROUND(FIRST_VALUE(o_totalprice) OVER w_full, 2) AS first_price,
+       ROUND(LAST_VALUE(o_totalprice) OVER w_full, 2) AS last_price,
+       ROUND(LEAD(o_totalprice, 1) OVER w, 2) AS next_price,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 4) AS cdist
+FROM orders
+WHERE o_custkey < 3
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
 # --- Q56: null-handling semantics ---------------------------------------------
 
 def q56_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,4 +1011,7 @@ QUERIES = [
     QuerySpec("q56_null_semantics", q56_null_semantics, Q56_ORACLE,
               "null semantics: NULLIF/COALESCE, COUNT(col), null-safe compare",
               ("relational", "nulls")),
+    QuerySpec("q58_window_nav_sweep", q58_window_nav_sweep, Q58_ORACLE,
+              "first/last_value, lead, ntile, percent_rank, cume_dist sweep",
+              ("relational", "window")),
 ]
