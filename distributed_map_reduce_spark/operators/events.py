@@ -101,6 +101,81 @@ ORDER BY event_type
 """
 
 
+GAPFILL_START = "2024-01-01 00:00:00"
+GAPFILL_END = "2024-01-03 23:00:00"  # inclusive last bucket
+
+
+def q59_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-to-dense time series: every (hour, event_type) cell of a
+    fixed 72 h grid, zero-filled where no events landed — the resample/
+    gap-fill op dashboards and training-data collators need (a plain
+    groupBy silently drops empty buckets). The dense axis is generated
+    with `sequence` + explode (a literal relation, no scan), the type
+    dimension is a tiny distinct broadcast, and the event aggregate
+    left-joins onto the grid. Grid size = hours x types regardless of
+    event volume, so the join stays broadcast-able at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = spark.range(1).select(
+        F.explode(
+            F.expr(
+                f"sequence(TIMESTAMP_NTZ '{GAPFILL_START}',"
+                f" TIMESTAMP_NTZ '{GAPFILL_END}', INTERVAL 1 HOUR)"
+            )
+        ).alias("w")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    agg = (
+        ev.filter(
+            (F.col("ts") >= F.lit(GAPFILL_START).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tot"),
+        )
+    )
+    return (
+        grid.join(agg, ["w", "event_type"], "left")
+        .select(
+            "w",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("tot", F.lit(0.0)).alias("tot"),
+        )
+        .orderBy("w", "event_type")
+    )
+
+
+Q59_ORACLE = f"""
+WITH hours AS (
+  SELECT unnest(generate_series(TIMESTAMP '{GAPFILL_START}',
+                                TIMESTAMP '{GAPFILL_END}',
+                                INTERVAL 1 HOUR)) AS w
+),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS w, event_type,
+         COUNT(*) AS n, ROUND(SUM(value), 2) AS tot
+  FROM events
+  WHERE ts >= TIMESTAMP '{GAPFILL_START}'
+    AND ts < TIMESTAMP '2024-01-04 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT h.w AS w, t.event_type AS event_type,
+       COALESCE(a.n, 0) AS n,
+       COALESCE(a.tot, 0.0) AS tot
+FROM hours h
+CROSS JOIN types t
+LEFT JOIN agg a ON a.w = h.w AND a.event_type = t.event_type
+ORDER BY h.w, t.event_type
+"""
+
+
 def q39_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows: 2 h length, 1 h slide — each event counts in two
     overlapping windows (vs q14's tumbling windows, where it counts
@@ -215,6 +290,9 @@ QUERIES = [
     QuerySpec("q52_props_map", q52_props_map, Q52_ORACLE,
               "typed-map path: from_json map + element_at + map_keys",
               ("events", "json", "map")),
+    QuerySpec("q59_hourly_gapfill", q59_hourly_gapfill, Q59_ORACLE,
+              "sparse-to-dense hourly grid with zero-filled empty buckets",
+              ("events", "timeseries")),
     QuerySpec("q32_user_sessions", q32_user_sessions, Q32_ORACLE,
               "gap-based sessionization (session_window, 6h gap)",
               ("events", "session", "streaming-twin")),
