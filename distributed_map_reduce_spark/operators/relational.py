@@ -907,6 +907,41 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 ORDER BY o_custkey, o_orderkey
 """
 
+# --- Q60: boolean + conditional aggregates ------------------------------------
+
+def q60_bool_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and/bool_or) and conditional counting
+    (count_if — SQL's FILTER clause shape) per returnflag: do ALL lines
+    carry a discount, does ANY exceed 8%, how many ship after 1997 —
+    predicates aggregated without CASE scaffolding. All algebraic,
+    map-side partials as usual."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_discount") > 0).alias("all_discounted"),
+            F.bool_or(F.col("l_discount") > 0.08).alias("any_deep_discount"),
+            F.count_if(
+                F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+            ).alias("n_late_ship"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q60_ORACLE = """
+SELECT l_returnflag,
+       BOOL_AND(l_discount > 0) AS all_discounted,
+       BOOL_OR(l_discount > 0.08) AS any_deep_discount,
+       COUNT(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1997-01-01')
+         AS n_late_ship,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
 # --- Q56: null-handling semantics ---------------------------------------------
 
 def q56_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1014,4 +1049,7 @@ QUERIES = [
     QuerySpec("q58_window_nav_sweep", q58_window_nav_sweep, Q58_ORACLE,
               "first/last_value, lead, ntile, percent_rank, cume_dist sweep",
               ("relational", "window")),
+    QuerySpec("q60_bool_conditional_agg", q60_bool_conditional_agg, Q60_ORACLE,
+              "bool_and/bool_or + count_if (FILTER-clause) aggregates",
+              ("relational", "agg")),
 ]

@@ -38,6 +38,24 @@ def test_shuffle_partition_invariance(spark, sf_dir, name):
     assert results[0] == results[1] == results[2]
 
 
+@pytest.mark.parametrize(
+    "name", ["q7_region_revenue", "q24_ngram_jaccard_dedup", "q46_small_qty_revenue"]
+)
+def test_aqe_invariance(spark, sf_dir, name):
+    """AQE re-plans joins and coalesces partitions at runtime — it must
+    never change RESULTS, only plans. Same canon with AQE on and off."""
+    spec = all_queries()[name]
+    orig = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        on = _canon(spec.build(spark, sf_dir))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        off = _canon(spec.build(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", orig)
+    assert on == off
+
+
 def test_canonical_hash_partition_invariant(spark, sf_dir):
     """The canonical hashing sink must yield one hash for one logical
     result regardless of physical layout (SURVEY §2.4)."""
