@@ -129,6 +129,53 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, out_bytes long, out_crc long"
+)
+
+
+def resize_media(
+    df: DataFrame, width: int = 64, height: int = 64, fake: bool = False
+) -> DataFrame:
+    """payload -> resized payload metadata at (width, height). Real
+    codec path requires PIL (import-gated, not in this container);
+    ``fake=True`` emits a deterministic stand-in 'resized' payload (a
+    byte-stride downsample of the original sized w*h/16) so the
+    1-in-1-out transform plumbing — schema, Arrow batching, constant
+    memory per task — is exercisable end-to-end anywhere."""
+    decoder = _try_real_decoder()
+    if decoder is None and not fake:
+        raise NotImplementedError(
+            "no image codec available in this environment; "
+            "pass fake=True to exercise the pipeline with the "
+            "deterministic stand-in resizer"
+        )
+    target = max(1, width * height // 16)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                stride = max(1, len(b) // target)
+                out = b[::stride][:target]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": width,
+                        "height": height,
+                        "out_bytes": len(out),
+                        "out_crc": zlib.crc32(out),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "out_bytes", "out_crc"],
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 def _fabricated_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text as utf-8 payloads — stands in for a media corpus so
     the multimodal pipeline has a driver-table-backed query entry."""
@@ -172,11 +219,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-transform drive (1 payload -> 1 resized record)."""
+    resized = resize_media(_fabricated_media(spark, sf_dir), fake=True)
+    return resized.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("out_bytes").alias("total_out_bytes"),
+        F.countDistinct("out_crc").alias("distinct_outputs"),
+    )
+
+
 QUERIES = [
     QuerySpec("multimodal_features", multimodal_features, None,
               "binary payload -> Pandas-UDF feature extraction (rows-only)",
               ("multimodal", "pandas-udf")),
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample, None,
               "frame-sampling fan-out via mapInPandas (rows-only)",
+              ("multimodal", "pandas-udf")),
+    QuerySpec("multimodal_resize", multimodal_resize, None,
+              "deterministic resize transform via mapInPandas (rows-only)",
               ("multimodal", "pandas-udf")),
 ]

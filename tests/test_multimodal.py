@@ -74,3 +74,22 @@ def test_frame_sampling_fanout(spark, media_dir):
             range(len(rows))
         )
         assert all(r["frame_bytes"] > 0 for r in rows)
+
+
+def test_resize_transform_deterministic(spark, media_dir):
+    from distributed_map_reduce_spark.operators.multimodal import resize_media
+
+    media = media_from_binary_files(
+        read_binary_dir(spark, media_dir, glob="*.img"), "image"
+    )
+    rows = {r["media_id"]: r for r in resize_media(media, fake=True).collect()}
+    assert len(rows) == 2
+    target = 64 * 64 // 16
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (64, 64)
+        assert 1 <= r["out_bytes"] <= target
+    # deterministic: same inputs -> same output crcs on a second run
+    again = {r["media_id"]: r for r in resize_media(media, fake=True).collect()}
+    assert {k: v["out_crc"] for k, v in rows.items()} == {
+        k: v["out_crc"] for k, v in again.items()
+    }
