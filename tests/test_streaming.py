@@ -160,6 +160,41 @@ def test_streaming_dedup_drops_replays(spark, sf_dir, tmp_path):
     assert out.count() == out.select("event_id").distinct().count() == ev.count()
 
 
+def test_foreach_batch_sink_exactly_once_across_reruns(spark, sf_dir, tmp_path):
+    """foreachBatch + checkpoint = exactly-once sink delivery: draining
+    the same source twice over one checkpoint must not re-deliver any
+    batch — the committed offsets make the second run a no-op. The
+    streaming analog of the reference's skip-if-final-output-exists
+    idempotency (worker.go:186)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    def drain():
+        q = (
+            spark.readStream.schema("event_id bigint, ts timestamp, value double")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(out).count()
+    assert first == ev.count()
+    drain()  # same checkpoint, no new input -> no batches re-fire
+    assert spark.read.parquet(out).count() == first
+
+
 def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
     """Kill-and-resume: drain file A, stop, add file B, start a NEW query
     on the same checkpoint. Restored state must continue from A (final
