@@ -63,7 +63,7 @@ def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q15_ORACLE = """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -93,8 +93,8 @@ def q52_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the lookup, len(json_keys()) for cardinality — same values.
 Q52_ORACLE = """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-       SUM(len(json_keys(props))) AS n_keys
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(len(json_keys(props))) AS BIGINT) AS n_keys
 FROM events
 GROUP BY event_type
 ORDER BY event_type

@@ -737,7 +737,8 @@ def q47_entity_union_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q47_ORACLE = """
 SELECT kind, nationkey, COUNT(*) AS n,
-       SUM(CAST(regexp_extract(name, '([0-9]+)', 1) AS BIGINT)) AS sum_name_id
+       CAST(SUM(CAST(regexp_extract(name, '([0-9]+)', 1) AS BIGINT)) AS BIGINT)
+         AS sum_name_id
 FROM (
   SELECT 'customer' AS kind, c_nationkey AS nationkey, c_name AS name
   FROM customer
@@ -971,8 +972,8 @@ Q56_ORACLE = """
 SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN_MASKED') AS status_class,
        COUNT(*) AS n_rows,
        COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonmasked,
-       SUM(CASE WHEN o_orderstatus IS DISTINCT FROM 'F' THEN 1 ELSE 0 END)
-         AS n_not_f
+       CAST(SUM(CASE WHEN o_orderstatus IS DISTINCT FROM 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_not_f
 FROM orders
 GROUP BY 1
 ORDER BY status_class

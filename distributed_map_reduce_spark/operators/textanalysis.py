@@ -62,8 +62,8 @@ def q28_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q28_ORACLE = f"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(ws) AS ws_tokens,
-       SUM(bpe) AS bpe_tokens,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
        ROUND(AVG(ws), 2) AS avg_ws
 FROM (SELECT source,
              len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws,
@@ -466,7 +466,7 @@ def q55_token_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q55_ORACLE = f"""
 SELECT LENGTH(CAST(c AS VARCHAR)) AS digits,
        COUNT(*) AS n_tokens,
-       SUM(c) AS occurrences,
+       CAST(SUM(c) AS BIGINT) AS occurrences,
        MAX(c) AS max_count
 FROM (
   SELECT token, COUNT(*) AS c
