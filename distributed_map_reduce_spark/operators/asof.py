@@ -53,7 +53,12 @@ def asof_join(
     payload: Column = F.struct(
         *[F.col(c).alias(a) for c, a in right_payload.items()]
     )
-    r0 = right.select(
+    # SQL equi-join semantics: NULL keys never match. Window.partitionBy
+    # groups NULLs together, so an unfiltered NULL-key right row would
+    # leak its payload into NULL-key left rows — drop them up front.
+    # (Left NULL-key rows stay: they emit NULL payload, as a left join
+    # would.)
+    r0 = right.filter(F.col(by).isNotNull()).select(
         F.col(by).alias("__by"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),

@@ -149,12 +149,23 @@ def connected_components_star(
     # isolated-in-input nodes don't occur (pair lists); self-loop-only
     # nodes dropped above, matching connected_components' node domain.
     prev = _edge_checksum(e)
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         cur = _edge_checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # The leaves/centers extraction below assumes a star forest;
+        # on a non-converged edge set it would silently return wrong
+        # components. O(log^2 n) rounds always suffice, so hitting this
+        # means max_iter was set far too low for the graph.
+        raise RuntimeError(
+            f"connected_components_star: edge set not a fixpoint after "
+            f"{max_iter} large-star/small-star rounds; raise max_iter"
+        )
     # converged edge set is a star forest: (leaf, center) rows only.
     centers = e.select(F.col("v").alias("node")).distinct().withColumn(
         "component", F.col("node")

@@ -257,7 +257,11 @@ def q10_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     ords = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return cust.exceptAll(ords).distinct().orderBy("c_custkey")
+    # subtract() IS SQL EXCEPT (distinct, absent-from-right). The earlier
+    # exceptAll().distinct() kept left rows whose multiplicity merely
+    # exceeded the right side's — equivalent only when the left key is
+    # unique, which c_custkey happens to be.
+    return cust.subtract(ords).orderBy("c_custkey")
 
 
 Q10E_ORACLE = """
@@ -455,15 +459,24 @@ def q40_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
-    n_semi = cust.join(
-        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
-    ).count()
-    n_anti = cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).count()
-    return spark.range(1).select(
-        F.lit(n_semi).alias("n_urgent_customers"),
-        F.lit(n_anti).alias("n_orderless_customers"),
+    # Both counts in ONE plan / one action: tag each semi/anti survivor
+    # and conditionally aggregate the union — no driver-side .count()
+    # round-trips re-embedded as literals (two extra jobs otherwise).
+    tagged = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select(F.lit("urgent").alias("k"))
+        .unionByName(
+            cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select(F.lit("orderless").alias("k"))
+        )
+    )
+    return tagged.agg(
+        F.sum((F.col("k") == "urgent").cast("bigint")).alias(
+            "n_urgent_customers"
+        ),
+        F.sum((F.col("k") == "orderless").cast("bigint")).alias(
+            "n_orderless_customers"
+        ),
     )
 
 

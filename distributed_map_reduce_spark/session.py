@@ -56,6 +56,12 @@ def get_spark(
         # keep them pinned so a cluster-side conf can't silently regress.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # TIMESTAMP(NANOS) parquet (events.ts) reads as int64; sources/
+        # tables.py truncates ns->us. An engine-level posture, declared
+        # here — NOT flipped as a read side effect — because Spark
+        # consults it again at execution time, so a set/restore scoped
+        # to the (lazy) read would break the later action.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # local mode: don't spam the console
         .config("spark.ui.showConsoleProgress", "false")
     )

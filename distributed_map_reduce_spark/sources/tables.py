@@ -141,15 +141,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
     reader rejects (PARQUET_TYPE_ILLEGAL) — Spark timestamps are
-    microsecond. We read nanos as int64 (``nanosAsLong``) and truncate
-    ns -> us, matching DuckDB's own ns -> us truncation, so both engines
-    see identical microsecond timestamps.
+    microsecond. We read nanos as int64 (``nanosAsLong``, an engine-level
+    conf declared in :mod:`..session` — it cannot be scoped set/restore
+    around this lazy read because execution consults it again) and
+    truncate ns -> us, matching DuckDB's own ns -> us truncation, so both
+    engines see identical microsecond timestamps.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Engine sessions (session.get_spark) already carry this conf;
+        # foreign sessions (the correctness driver builds its own) get it
+        # set here, since events is unreadable without it. The session-
+        # global effect is deliberate and documented: every TIMESTAMP
+        # (NANOS) parquet read in this engine uses the same int64+truncate
+        # posture, and a set/restore scoped to this lazy read would break
+        # at action time when execution re-reads the conf.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")

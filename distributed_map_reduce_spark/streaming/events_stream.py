@@ -36,7 +36,9 @@ _EVENTS_PHYS = T.StructType(
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Engine-level conf (see session.py); set only for foreign sessions.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file-stream source requires a directory; target the sf dir and
     # glob-filter down to the events table file.
     raw = (

@@ -76,3 +76,29 @@ def test_asof_matches_bruteforce_oracle(spark, lrows, rrows):
         cands = [(rt, rid) for rid, rk, rt in rlist if rk == k and rt <= t]
         want[lid] = max(cands)[1] if cands else None
     assert got == want
+
+
+def test_asof_join_null_keys_never_match(spark):
+    # SQL equi-join semantics: NULL never matches NULL. A NULL-key right
+    # row must not leak its payload into NULL-key left rows (Window
+    # .partitionBy would group them together without the guard); NULL-key
+    # left rows still surface, with NULL payload.
+    left = spark.createDataFrame(
+        [(1, None, _t("2024-01-01T12:00:00")),
+         (2, 100, _t("2024-01-01T12:00:00"))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, None, _t("2024-01-01T11:00:00")),
+         (11, 100, _t("2024-01-01T11:00:00"))],
+        "rid long, k long, ts timestamp",
+    )
+    out = {
+        r["id"]: r["m"]
+        for r in asof_join(
+            left, right,
+            by="k", left_ts="ts", right_ts="ts",
+            right_payload={"rid": "m"}, tiebreak="rid",
+        ).collect()
+    }
+    assert out == {1: None, 2: 11}

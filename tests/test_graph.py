@@ -104,3 +104,15 @@ def test_pagerank_star_center_dominates_and_mass_conserved(spark):
     center, leaves = got[0], [got[i] for i in range(1, 6)]
     assert all(center > lv for lv in leaves)
     assert len({round(lv, 12) for lv in leaves}) == 1  # leaves symmetric
+
+
+def test_star_cc_raises_when_not_converged(spark):
+    # The star-forest extraction is only valid at the edge-set fixpoint;
+    # a too-low max_iter must fail loudly, not return wrong components.
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "s long, d long"
+    )
+    with pytest.raises(RuntimeError, match="not a fixpoint"):
+        connected_components_star(edges, "s", "d", max_iter=1)

@@ -107,3 +107,12 @@ def test_no_cartesian_products_in_relational_suite(spark, sf_dir):
         plan = formatted_plan(_q(name, spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q40_computes_both_counts_in_one_plan(spark, sf_dir):
+    """Round-1 verdict: q40 ran two driver-side .count() jobs and
+    re-embedded the scalars as literals. Both the semi and the anti join
+    must now appear in ONE DataFrame plan."""
+    plan = formatted_plan(_q("q40_semi_anti", spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
