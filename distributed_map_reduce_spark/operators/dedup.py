@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import DUCK_TOKS_EXPR, SPARK_TOKS_EXPR
 from ..registry import QuerySpec
@@ -555,6 +556,122 @@ WHERE a.p_partkey < {LEV_KEY_CAP} AND b.p_partkey < {LEV_KEY_CAP}
 ORDER BY ak, bk
 """
 
+# --- q57 scale path: q-gram prefix-filter blocking ---------------------------
+
+QGRAM_Q = 2  # q-gram width for the blocking signature
+
+
+def fuzzy_pairs_blocked(
+    spark: SparkSession,
+    sf_dir: str,
+    key_cap: int | None = LEV_KEY_CAP,
+    q: int = QGRAM_Q,
+    k: int = LEV_MAX,
+) -> DataFrame:
+    """Edit-distance pairs via q-gram prefix filtering — the 100 TB
+    variant of :func:`q57_fuzzy_name_pairs` with no nested-loop join
+    anywhere (the AllPairs / ED-Join blocking family).
+
+    Soundness: ed(a,b) <= k implies the q-gram *multisets* share at
+    least max(|Ga|,|Gb|) - k*q elements (Gravano et al. count filter),
+    so under any fixed global element order a qualifying pair shares an
+    element inside both prefixes of length k*q+1 — candidate generation
+    is an equi-join on prefix elements, verification is levenshtein on
+    the candidates only. Multiset elements are (gram, occurrence#) so
+    duplicate grams count separately; the global order is a hash, which
+    any consistent tie-broken order satisfies (rarity order would merely
+    shrink candidates further).
+
+    The guarantee needs the *longer* string of a pair to have at least
+    q*(k+1) chars (else the count bound is vacuous); strings below that
+    also emit two length-band elements (band width k+1, bands b and
+    b+1), which by pigeonhole cover every both-short pair. Completeness
+    therefore holds for ALL lengths, not just long names.
+
+    Scale: explode is map-side; the two windows and the candidate join
+    hash-partition on (key, gram) / element — cost tracks bucket
+    occupancy like q24's LSH banding, never |parts|^2.
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    if key_cap is not None:
+        part = part.filter(F.col("p_partkey") < key_cap)
+
+    prefix_len = k * q + 1
+    min_long = q * (k + 1)  # count-filter guarantee threshold
+    band_w = k + 1
+
+    grams = part.select(
+        "p_partkey",
+        F.length("p_name").alias("len"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(p_name) - {q} + 1),"
+                f" i -> substring(p_name, i, {q}))"
+            )
+        ).alias("pos", "gram"),
+    )
+    occ_w = Window.partitionBy("p_partkey", "gram").orderBy("pos")
+    elems = grams.withColumn("occ", F.row_number().over(occ_w)).select(
+        "p_partkey",
+        "len",
+        F.concat_ws("#", "gram", F.col("occ").cast("string")).alias("elem"),
+    )
+    pfx_w = Window.partitionBy("p_partkey").orderBy(
+        F.xxhash64("elem"), "elem"
+    )
+    sig = (
+        elems.withColumn("rn", F.row_number().over(pfx_w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("p_partkey", "len", "elem")
+    )
+    short_bands = (
+        part.select("p_partkey", F.length("p_name").alias("len"))
+        .filter(F.col("len") < min_long)
+        .select(
+            "p_partkey",
+            "len",
+            F.explode(
+                F.array(
+                    F.floor(F.col("len") / band_w),
+                    F.floor(F.col("len") / band_w) + 1,
+                )
+            ).alias("band"),
+        )
+        .select(
+            "p_partkey", "len", F.concat(F.lit("LEN:"), "band").alias("elem")
+        )
+    )
+    sig = sig.unionByName(short_bands)
+
+    a = sig.select(
+        F.col("p_partkey").alias("ak"), F.col("len").alias("la"), "elem"
+    )
+    b = sig.select(
+        F.col("p_partkey").alias("bk"), F.col("len").alias("lb"), "elem"
+    )
+    cand = (
+        a.join(b, "elem")
+        .filter(
+            (F.col("ak") < F.col("bk"))
+            & (F.abs(F.col("la") - F.col("lb")) <= k)
+        )
+        .select("ak", "bk")
+        .distinct()
+    )
+    an = part.select(F.col("p_partkey").alias("ak"), F.col("p_name").alias("an"))
+    bn = part.select(F.col("p_partkey").alias("bk"), F.col("p_name").alias("bn"))
+    return (
+        cand.join(an, "ak")
+        .join(bn, "bk")
+        .select("ak", "bk", F.levenshtein("an", "bn").alias("dist"))
+        .filter(F.col("dist") <= k)
+        .orderBy("ak", "bk")
+    )
+
+
+def q57_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_pairs_blocked(spark, sf_dir)
+
 
 QUERIES = [
     QuerySpec("q24_ngram_jaccard_dedup", q24_ngram_jaccard_dedup, Q24_ORACLE,
@@ -572,4 +689,7 @@ QUERIES = [
     QuerySpec("q57_fuzzy_name_pairs", q57_fuzzy_name_pairs, Q57_ORACLE,
               "edit-distance fuzzy name pairs (length-blocked levenshtein)",
               ("dedup", "fuzzy")),
+    QuerySpec("q57_fuzzy_blocked", q57_fuzzy_blocked, Q57_ORACLE,
+              "same pairs via q-gram prefix-filter blocking (no NL join)",
+              ("dedup", "fuzzy", "blocking")),
 ]

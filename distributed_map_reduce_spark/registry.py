@@ -100,6 +100,7 @@ _PRIORITY = [
     "q54_tfidf",
     "q55_token_freq_histogram",
     "q57_fuzzy_name_pairs",
+    "q57_fuzzy_blocked",
     # round-1 hash-fail fixes whose green rows prove the repair
     "q47_entity_union_regex",
     "q52_props_map",

@@ -51,3 +51,28 @@ def test_cap_drops_boilerplate_pairs_keeps_true_neardups(spark):
     capped = _pairs(jaccard_neardup_pairs(spark, "", max_doc_freq=3, docs=docs))
     assert not boiler_pairs & set(capped)
     assert (10, 11) in capped
+
+
+def test_fuzzy_blocked_equals_nested_loop_variant(spark):
+    """Prefix-filter blocking must find exactly the pairs the open
+    nested-loop q57 finds — at a cap well beyond the demo range, so the
+    equivalence isn't an artifact of the oracle's tiny window."""
+    from distributed_map_reduce_spark.operators.dedup import (
+        fuzzy_pairs_blocked,
+        q57_fuzzy_name_pairs,
+    )
+    import distributed_map_reduce_spark.operators.dedup as dd
+
+    def rows(df):
+        return {(r["ak"], r["bk"]): r["dist"] for r in df.collect()}
+
+    blocked = rows(fuzzy_pairs_blocked(spark, SF, key_cap=400))
+    # widen the nested-loop demo cap for the comparison only
+    part_cap = dd.LEV_KEY_CAP
+    try:
+        dd.LEV_KEY_CAP = 400
+        reference = rows(q57_fuzzy_name_pairs(spark, SF))
+    finally:
+        dd.LEV_KEY_CAP = part_cap
+    assert blocked == reference
+    assert blocked, "cap-400 range must contain fuzzy pairs"

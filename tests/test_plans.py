@@ -116,3 +116,11 @@ def test_q40_computes_both_counts_in_one_plan(spark, sf_dir):
     plan = formatted_plan(_q("q40_semi_anti", spark, sf_dir))
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_q57_blocked_has_no_nested_loop_join(spark, sf_dir):
+    """The blocking-key variant exists precisely to avoid the quadratic
+    pairing plan; its plan must contain no nested-loop/cartesian join."""
+    plan = formatted_plan(_q("q57_fuzzy_blocked", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
