@@ -46,6 +46,7 @@ _OPERATOR_MODULES = [
     "distributed_map_reduce_spark.operators.sketches",
     "distributed_map_reduce_spark.operators.mapreduce",
     "distributed_map_reduce_spark.operators.multimodal",
+    "distributed_map_reduce_spark.streaming.events_stream",
 ]
 
 # The driver writes CORRECTNESS rows for the FIRST 50 registry entries
@@ -111,6 +112,7 @@ _PRIORITY = [
     "q34_value_band_join",
     "q39_sliding_windows",
     "q59_hourly_gapfill",
+    "q14_streaming_twin",
     "q40_semi_anti",
     "q51_positional_tokens",
     "q35_cube",

@@ -281,3 +281,43 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def q14_streaming_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-checkable streaming entry: drain the tumbling-window stream
+    (the streaming twin of q14) with Trigger.availableNow into a memory
+    sink and return the sink — so the DuckDB oracle gate covers the
+    Structured Streaming path, not just the batch twin. 'complete'
+    output keeps every window (append would hold back windows the final
+    watermark hasn't passed), so a full drain equals the batch result
+    exactly."""
+    import tempfile
+    import uuid
+
+    table = f"stream_q14_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dmrs_q14_stream_ckpt_")
+    run_available_now(
+        hourly_windows_stream(spark, sf_dir),
+        checkpoint_dir=ckpt,
+        table_name=table,
+        output_mode="complete",
+    )
+    return spark.table(table).orderBy("w", "event_type")
+
+
+def _build_queries():
+    from ..operators.events import Q14_ORACLE
+    from ..registry import QuerySpec
+
+    return [
+        QuerySpec(
+            "q14_streaming_twin",
+            q14_streaming_twin,
+            Q14_ORACLE,
+            "availableNow drain of the tumbling-window stream (== q14)",
+            ("streaming", "events"),
+        )
+    ]
+
+
+QUERIES = _build_queries()
