@@ -125,3 +125,69 @@ def test_file_sink_commit_is_atomic_under_failures(spark, sf_dir, tmp_path):
     assert got == golden
     leftovers = [f for f in os.listdir(out_dir) if "_temporary" in f]
     assert leftovers == []
+
+
+def test_output_identical_under_python_worker_process_death(spark, sf_dir):
+    """REAL process-kill chaos (not an injected exception): the first
+    attempt per partition os._exit(1)s the Python worker mid-task — the
+    direct analog of the reference's crash app, which os.Exit(1)s whole
+    worker processes with p=1/3. Spark must detect the dead worker, re-
+    dispatch the task, and produce output identical to the clean run."""
+    from distributed_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    golden = sorted(tuple(r) for r in docs.collect())
+
+    marker_dir = tempfile.mkdtemp(prefix="procdeath-chaos-")
+
+    def killer(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        marker = os.path.join(marker_dir, f"p{pid}")
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            first_attempt = True
+        except FileExistsError:
+            first_attempt = False
+        for i, pdf in enumerate(batches):
+            if first_attempt:
+                os._exit(1)  # kill the worker process, no cleanup
+            yield pdf
+
+    out = docs.repartition(4).mapInPandas(killer, "doc_id long, n_chars long")
+    assert sorted(tuple(r) for r in out.collect()) == golden
+    assert len(os.listdir(marker_dir)) >= 1
+
+
+def test_executor_jvm_death_triggers_shuffle_refetch(tmp_path):
+    """Executor-process death on a real multi-JVM cluster: a reduce-side
+    task SIGKILLs its own executor JVM once; the lost map outputs force
+    a FetchFailed -> map-stage recompute on the survivor, and the final
+    result must equal the clean run — the closest Spark analog of the
+    reference harness's kill-and-respawn loop (test-mr.sh:284-330).
+
+    Runs in a subprocess because a local-cluster SparkContext cannot
+    coexist with the session-scoped local[4,2] fixture in this JVM."""
+    import json
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(__file__), "chaos_executor_kill.py"
+    )
+    proc = subprocess.run(
+        [sys.executable, script],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert proc.returncode == 0, (
+        f"subprocess failed\nstdout: {proc.stdout[-2000:]}"
+        f"\nstderr: {proc.stderr[-2000:]}"
+    )
+    result = json.loads(lines[-1])
+    assert result["killed"] is True, "no executor was actually killed"
+    assert result["match"] is True, "post-kill result diverged from golden"
