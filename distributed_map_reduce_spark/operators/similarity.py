@@ -180,13 +180,25 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it doesn't need converged centroids — recall is set by nProbe, not
     # centroid polish. Random init skips k-means||'s extra full-table
     # passes, and the fit runs on a capped sample (the FAISS recipe:
-    # train the quantizer on a sample, assign everything) so fit cost
-    # stays flat as the table grows.
-    fit_input = emb.sample(fraction=0.5, seed=42).limit(50_000)
-    model = KMeans(
-        k=IVF_K, seed=42, maxIter=5, initMode="random",
-        featuresCol="features", predictionCol="cell",
-    ).fit(fit_input)
+    # train the quantizer on a sample, assign everything; 256 points per
+    # centroid is the FAISS default regime) so fit cost stays flat as
+    # the table grows. Cache the sample: the fit makes init + maxIter
+    # passes over it, and without the cache each pass re-runs the
+    # sample-and-limit scan.
+    fit_input = (
+        emb.select("features")
+        .sample(fraction=0.5, seed=42)
+        .limit(256 * IVF_K)
+        .coalesce(4)
+        .cache()
+    )
+    try:
+        model = KMeans(
+            k=IVF_K, seed=42, maxIter=5, initMode="random",
+            featuresCol="features", predictionCol="cell",
+        ).fit(fit_input)
+    finally:
+        fit_input.unpersist()
     assigned = model.transform(emb).select("vec_id", "embedding", "cell")
 
     centers = spark.createDataFrame(
