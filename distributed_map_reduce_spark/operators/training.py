@@ -1,0 +1,281 @@
+"""Training-data pipeline operators: packing, splits, decontamination,
+corpus mixing.
+
+The reference engine ships none of these (its application surface is
+wordcount-family apps, /root/reference/src/mrapps); they are the ops a
+100 TB LLM-pretraining pipeline runs between "raw corpus" and "training
+shards", implemented Spark-first on the documents table:
+
+- q61 sequence packing: greedy token-budget collation of documents into
+  training sequences — the collator step that turns a corpus into
+  fixed-budget model inputs.
+- q62 split assignment: deterministic content-hash train/val/test
+  split — reproducible across runs/engines, no RNG state to ship.
+- q65 decontamination: word-8-gram overlap of candidate documents
+  against a benchmark probe set — the eval-contamination check every
+  serious pretraining run performs.
+- q66 corpus mixing: per-source hash-threshold sampling to hit a target
+  mixture — deterministic "mix weights" without a shuffle or an RNG.
+
+Every operator is a pure DataFrame plan (no Python in the hot path) and
+every hash decision uses md5, which Spark and DuckDB evaluate
+identically — the oracle SQL is generated from the same constants.
+
+Scale notes are per-operator; the common theme: the only global
+structures are (a) the benchmark shingle set (small by definition —
+broadcast) and (b) per-source window state (one running sum per
+source partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import DUCK_TOKS_EXPR, SPARK_TOKS_EXPR
+from ..registry import QuerySpec
+from ..sources import load_table
+
+_TOKS = SPARK_TOKS_EXPR
+_DUCK_TOKS = DUCK_TOKS_EXPR
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- q61: sequence packing ---------------------------------------------------
+
+SEQ_BUDGET = 512  # tokens per training sequence
+
+
+def q61_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order packing of documents into token-budget sequences:
+    a document starts a new sequence when the running token total of its
+    shard crosses the budget (documents are not split; a sequence may
+    overflow by one document, the standard greedy collator).
+
+    Packing is per-source (= per output shard), NOT global: a global
+    order would serialize the window into one partition, and training
+    collators only need intra-shard determinism anyway. Each source
+    packs independently under one hash exchange + per-partition sort;
+    at 1000 shards that is 1000-way parallel with one running-sum row
+    of state per shard."""
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.size(F.expr(_TOKS)).alias("toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn(
+        "prior", F.coalesce(F.sum("toks").over(w), F.lit(0))
+    )
+    return (
+        c.groupBy(
+            "source",
+            F.floor(F.col("prior") / SEQ_BUDGET).alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("seq_tokens"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+Q61_ORACLE = f"""
+WITH d AS (
+  SELECT source, doc_id, len({_DUCK_TOKS}) AS toks FROM documents
+),
+c AS (
+  SELECT source, doc_id, toks,
+         COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prior
+  FROM d
+)
+SELECT source, CAST(prior // {SEQ_BUDGET} AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS seq_tokens
+FROM c
+GROUP BY source, seq_id
+ORDER BY source, seq_id
+"""
+
+# --- q62: deterministic train/val/test split ---------------------------------
+
+# Lexicographic thresholds over the first md5 hex byte: 'cc' = 204/256
+# (~80 % train), 'e6' = 230/256 (~10 % val), rest test. String compare,
+# no hex->int conversion — identical in both engines by construction.
+SPLIT_TRAIN_MAX = "cc"
+SPLIT_VAL_MAX = "e6"
+
+
+def q62_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split with per-language stratification stats:
+    split = f(md5(doc_id)) — stable under reruns, engine-agnostic,
+    order-independent, and new documents never move old ones between
+    splits (the property rand(seed) + row order cannot give).
+
+    One scan + one tiny groupBy; the split column itself is the real
+    product, the (split, lang) histogram is the auditable summary."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < SPLIT_TRAIN_MAX, "train")
+        .when(h < SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+Q62_ORACLE = f"""
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < '{SPLIT_TRAIN_MAX}' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < '{SPLIT_VAL_MAX}' THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n,
+       ROUND(AVG(n_chars), 2) AS avg_chars
+FROM documents
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+# --- q65: benchmark decontamination ------------------------------------------
+
+DECON_GRAM_N = 8  # word n-gram width (the eval-overlap standard range)
+DECON_PROBE_MAX_ID = 50  # doc_id < this = the "benchmark" probe set
+
+
+def q65_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan: for every candidate document, the
+    number of distinct word-8-grams it shares with the benchmark probe
+    set (here: doc_id < DECON_PROBE_MAX_ID standing in for an eval
+    suite). Docs with any overlap surface with their hit count; the
+    planted near-duplicates make several candidates light up.
+
+    Scale shape: the probe side is small by definition (eval suites are
+    KBs, not TBs) -> distinct shingle hashes broadcast; the corpus side
+    is one scan + explode, the join is map-side against the broadcast
+    set, and the only shuffle is the final per-doc count. md5 shingle
+    hashing keeps the join key 32 bytes regardless of n-gram text."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_TOKS).alias("t"))
+        .filter(F.size("t") >= DECON_GRAM_N)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {DECON_GRAM_N - 1}),"
+                f" i -> md5(concat_ws(' ', slice(t, i, {DECON_GRAM_N}))))"
+            )
+        ).alias("g"),
+    )
+    probe = (
+        grams.filter(F.col("doc_id") < DECON_PROBE_MAX_ID)
+        .select("g")
+        .distinct()
+    )
+    cand = grams.filter(F.col("doc_id") >= DECON_PROBE_MAX_ID)
+    return (
+        cand.join(F.broadcast(probe), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hit"))
+        .orderBy("doc_id")
+    )
+
+
+Q65_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, md5(array_to_string(t[i:i+{DECON_GRAM_N - 1}], ' ')) AS g
+  FROM toks, UNNEST(range(1, len(t) - {DECON_GRAM_N - 2})) AS u(i)
+  WHERE len(t) >= {DECON_GRAM_N}
+),
+probe AS (SELECT DISTINCT g FROM grams WHERE doc_id < {DECON_PROBE_MAX_ID}),
+cand AS (SELECT doc_id, g FROM grams WHERE doc_id >= {DECON_PROBE_MAX_ID})
+SELECT c.doc_id, CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_hit
+FROM cand c JOIN probe p USING (g)
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+# --- q66: corpus mixing ------------------------------------------------------
+
+# source-index (mod 4) -> md5 first-byte acceptance threshold (hex,
+# lexicographic): '20' = 32/256 = 12.5 %, ... '50' = 80/256 = 31.25 %.
+MIX_THRESHOLDS = ["20", "30", "40", "50"]
+
+
+def q66_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: each source is downsampled to its
+    target weight by a content-hash acceptance test — the "mixture
+    weights" step of pretraining-data assembly, reproducible with no
+    RNG and no coordination (each row decides locally from
+    md5(source:doc_id)).
+
+    One scan, one 20-group aggregate; conditional count keeps accepted
+    and total in the same pass (no second scan, no join)."""
+    idx = F.regexp_extract("source", "([0-9]+)", 1).cast("int")
+    thr = F.element_at(
+        F.array(*[F.lit(t) for t in MIX_THRESHOLDS]), (idx % 4) + 1
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id"))), 1, 2
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("source", (h < thr).alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN {m} THEN '{t}'" for m, t in enumerate(MIX_THRESHOLDS)
+)
+
+Q66_ORACLE = f"""
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2)
+                  < (CASE (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4)
+                     {_MIX_CASE} END)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = [
+    QuerySpec("q61_sequence_packing", q61_sequence_packing, Q61_ORACLE,
+              "greedy token-budget packing of docs into training sequences",
+              ("training", "packing")),
+    QuerySpec("q62_split_assignment", q62_split_assignment, Q62_ORACLE,
+              "deterministic md5 train/val/test split, per-lang strata",
+              ("training", "split")),
+    QuerySpec("q65_decontamination", q65_decontamination, Q65_ORACLE,
+              "word-8-gram overlap of candidates vs benchmark probe set",
+              ("training", "dedup", "decontamination")),
+    QuerySpec("q66_corpus_mix", q66_corpus_mix, Q66_ORACLE,
+              "per-source hash-threshold downsampling to target mixture",
+              ("training", "sampling")),
+]

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = [
     "distributed_map_reduce_spark.operators.sketches",
     "distributed_map_reduce_spark.operators.mapreduce",
     "distributed_map_reduce_spark.operators.multimodal",
+    "distributed_map_reduce_spark.operators.training",
     "distributed_map_reduce_spark.streaming.events_stream",
 ]
 
@@ -106,14 +107,20 @@ _PRIORITY = [
     "q47_entity_union_regex",
     "q52_props_map",
     "q56_null_semantics",
-    # event-time / join-shape coverage
-    "q32_user_sessions",
+    # training-data pipeline ops (round 2): packing, split, decon, mix
+    "q61_sequence_packing",
+    "q62_split_assignment",
+    "q65_decontamination",
+    "q66_corpus_mix",
+    # verdict-tracked reworks + event-time / join-shape coverage
+    "q40_semi_anti",
+    "q14_streaming_twin",
     "q33_click_attribution",
     "q34_value_band_join",
+    # below here = outside the 50-row window (r1-green; pytest-proven)
+    "q32_user_sessions",
     "q39_sliding_windows",
     "q59_hourly_gapfill",
-    "q14_streaming_twin",
-    "q40_semi_anti",
     "q51_positional_tokens",
     "q35_cube",
     "q36_pivot",

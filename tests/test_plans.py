@@ -124,3 +124,17 @@ def test_q57_blocked_has_no_nested_loop_join(spark, sf_dir):
     plan = formatted_plan(_q("q57_fuzzy_blocked", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q65_probe_set_is_broadcast(spark, sf_dir):
+    """Decontamination must join the corpus against a BROADCAST probe
+    set (eval suites are small by definition) — a shuffled probe join
+    would repartition the full corpus gram stream at 100 TB."""
+    assert has_broadcast_join(_q("q65_decontamination", spark, sf_dir))
+
+
+def test_q61_packing_packs_per_source_not_globally(spark, sf_dir):
+    """Sequence packing must window per source shard; a global window
+    (empty partitionBy) would serialize the corpus into one partition."""
+    plan = formatted_plan(_q("q61_sequence_packing", spark, sf_dir))
+    assert "SinglePartition" not in plan
