@@ -16,7 +16,10 @@ SWEEP = ["q1_wordcount", "q4_pricing_summary", "q7_region_revenue",
          "q24_ngram_jaccard_dedup", "q18_nearest_neighbor",
          "q32_user_sessions", "q27_embedding_neardup",
          "q45_percentiles", "q46_small_qty_revenue",
-         "q53_winnowing_fingerprints", "q54_tfidf"]
+         "q53_winnowing_fingerprints", "q54_tfidf",
+         "q57_fuzzy_blocked", "q61_sequence_packing",
+         "q62_split_assignment", "q65_decontamination",
+         "q66_corpus_mix"]
 
 
 def _canon(df):
