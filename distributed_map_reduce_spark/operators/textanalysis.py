@@ -478,6 +478,51 @@ ORDER BY digits
 """
 
 
+# --- q68: unigram language-model log-probability -----------------------------
+
+def q68_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the KenLM-style perplexity stand-in used to
+    quality-filter pretraining data (word-salad scores low, natural
+    repetition scores high).
+
+    Shape: one explode + one token-frequency aggregate, a scalar total
+    (1-row broadcast, stays in-plan), then tokens join frequencies and
+    re-aggregate per doc. The vocab frame is the only mid-size
+    structure (unique tokens); at 100 TB it is GBs and the join is a
+    plain hash join on the token key — AQE broadcasts it while it fits,
+    shuffles when it doesn't. No Python anywhere."""
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias(
+                "logprob"
+            ),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q68_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({DUCK_TOKS_EXPR}) AS token FROM documents),
+freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq)
+SELECT doc_id, ROUND(AVG(LN(c / n)), 4) AS logprob, COUNT(*) AS n_tok
+FROM tok JOIN freq USING (token) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("q28_token_counts", q28_token_counts, Q28_ORACLE,
               "whitespace + BPE-ish regex token counts by source",
@@ -505,4 +550,7 @@ QUERIES = [
               Q55_ORACLE,
               "Zipf-curve token-frequency histogram (digit buckets)",
               ("textanalysis", "vocab")),
+    QuerySpec("q68_unigram_logprob", q68_unigram_logprob, Q68_ORACLE,
+              "per-doc mean unigram log-prob (perplexity-style quality)",
+              ("textanalysis", "quality")),
 ]

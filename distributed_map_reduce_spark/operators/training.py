@@ -265,6 +265,69 @@ ORDER BY source
 """
 
 
+# --- q67: sliding token-window chunking --------------------------------------
+
+CHUNK_SIZE = 48  # tokens per chunk
+CHUNK_STRIDE = 32  # tokens between chunk starts (overlap = SIZE - STRIDE)
+
+
+def q67_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: every document split into overlapping
+    token windows (size 48, stride 32) with an md5 content fingerprint
+    per chunk — the chunker feeding RAG indexes and fixed-context
+    training examples. Chunk count per doc is ceil(max(n-size,0)/stride)
+    + 1, so the final chunk may be short and every token is covered.
+
+    Pure projection + explode (no shuffle at all before the output
+    sort): chunking is row-local, the fingerprint keeps downstream
+    chunk-dedup joins fixed-width, and the op scales embarrassingly."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_TOKS).alias("t")
+    ).withColumn("n", F.size("t"))
+    n_chunks = F.expr(
+        f"(greatest(n - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE} - 1)"
+        f" div {CHUNK_STRIDE} + 1"
+    )
+    return (
+        toks.withColumn(
+            "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.expr(
+                f"slice(t, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})"
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("c").cast("bigint").alias("n_tok"),
+            F.md5(F.concat_ws(" ", "c")).alias("fp"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+Q67_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t, len({_DUCK_TOKS}) AS n FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_id,
+         t[(i * {CHUNK_STRIDE} + 1):(i * {CHUNK_STRIDE} + {CHUNK_SIZE})] AS c
+  FROM toks, UNNEST(range(0,
+      CAST((GREATEST(n - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE} - 1)
+           // {CHUNK_STRIDE} AS BIGINT) + 1)) AS u(i)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(c) AS BIGINT) AS n_tok,
+       md5(array_to_string(c, ' ')) AS fp
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = [
     QuerySpec("q61_sequence_packing", q61_sequence_packing, Q61_ORACLE,
               "greedy token-budget packing of docs into training sequences",
@@ -278,4 +341,7 @@ QUERIES = [
     QuerySpec("q66_corpus_mix", q66_corpus_mix, Q66_ORACLE,
               "per-source hash-threshold downsampling to target mixture",
               ("training", "sampling")),
+    QuerySpec("q67_chunking", q67_chunking, Q67_ORACLE,
+              "sliding token-window chunking with md5 chunk fingerprints",
+              ("training", "chunking")),
 ]

@@ -117,7 +117,10 @@ _PRIORITY = [
     "q14_streaming_twin",
     "q33_click_attribution",
     "q34_value_band_join",
-    # below here = outside the 50-row window (r1-green; pytest-proven)
+    # below here = outside the 50-row window (pytest-parity-proven)
+    "q67_chunking",
+    "q68_unigram_logprob",
+    "q39_streaming_twin",
     "q32_user_sessions",
     "q39_sliding_windows",
     "q59_hourly_gapfill",

@@ -305,8 +305,27 @@ def q14_streaming_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table).orderBy("w", "event_type")
 
 
+def q39_streaming_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (2 h / 1 h) stream drained with availableNow —
+    the overlapping-window state path, checked against batch q39's
+    oracle. Every event lives in two windows, so this also proves the
+    stream replicates rows into member windows identically to batch."""
+    import tempfile
+    import uuid
+
+    table = f"stream_q39_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dmrs_q39_stream_ckpt_")
+    run_available_now(
+        hourly_windows_stream(spark, sf_dir, window="2 hours", slide="1 hour"),
+        checkpoint_dir=ckpt,
+        table_name=table,
+        output_mode="complete",
+    )
+    return spark.table(table).orderBy("w", "event_type")
+
+
 def _build_queries():
-    from ..operators.events import Q14_ORACLE
+    from ..operators.events import Q14_ORACLE, Q39_ORACLE
     from ..registry import QuerySpec
 
     return [
@@ -316,7 +335,14 @@ def _build_queries():
             Q14_ORACLE,
             "availableNow drain of the tumbling-window stream (== q14)",
             ("streaming", "events"),
-        )
+        ),
+        QuerySpec(
+            "q39_streaming_twin",
+            q39_streaming_twin,
+            Q39_ORACLE,
+            "availableNow drain of the sliding-window stream (== q39)",
+            ("streaming", "events"),
+        ),
     ]
 
 
