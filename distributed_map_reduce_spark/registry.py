@@ -48,6 +48,7 @@ _OPERATOR_MODULES = [
     "distributed_map_reduce_spark.operators.multimodal",
     "distributed_map_reduce_spark.operators.training",
     "distributed_map_reduce_spark.streaming.events_stream",
+    "distributed_map_reduce_spark.sources.stats",
 ]
 
 # The driver writes CORRECTNESS rows for the FIRST 50 registry entries
@@ -121,6 +122,7 @@ _PRIORITY = [
     "q67_chunking",
     "q68_unigram_logprob",
     "q39_streaming_twin",
+    "q69_footer_stats",
     "q32_user_sessions",
     "q39_sliding_windows",
     "q59_hourly_gapfill",

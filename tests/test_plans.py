@@ -138,3 +138,13 @@ def test_q61_packing_packs_per_source_not_globally(spark, sf_dir):
     (empty partitionBy) would serialize the corpus into one partition."""
     plan = formatted_plan(_q("q61_sequence_packing", spark, sf_dir))
     assert "SinglePartition" not in plan
+
+
+def test_q69_aggregates_are_pushed_to_parquet_footers(spark, sf_dir):
+    """The stats fast path must answer from row-group metadata: the v2
+    scan node advertises PushedAggregation for all five aggregates."""
+    plan = formatted_plan(_q("q69_footer_stats", spark, sf_dir))
+    assert "PushedAggregation" in plan
+    assert "COUNT(*)" in plan
+    assert "MIN(l_extendedprice)" in plan
+    assert "MAX(l_quantity)" in plan
