@@ -47,6 +47,7 @@ _OPERATOR_MODULES = [
     "distributed_map_reduce_spark.operators.mapreduce",
     "distributed_map_reduce_spark.operators.multimodal",
     "distributed_map_reduce_spark.operators.training",
+    "distributed_map_reduce_spark.operators.udaf",
     "distributed_map_reduce_spark.streaming.events_stream",
     "distributed_map_reduce_spark.sources.stats",
 ]
@@ -123,6 +124,7 @@ _PRIORITY = [
     "q68_unigram_logprob",
     "q39_streaming_twin",
     "q69_footer_stats",
+    "q70_udaf_geomean",
     "q32_user_sessions",
     "q39_sliding_windows",
     "q59_hourly_gapfill",
