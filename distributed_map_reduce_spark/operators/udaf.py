@@ -82,8 +82,56 @@ ORDER BY o_orderpriority
 """
 
 
+# --- q71: Python UDTF (table function) ---------------------------------------
+
+def q71_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined TABLE function surface: a Python UDTF that explodes
+    each nation name into (pos, token) rows, applied laterally — the
+    one-row-to-many extension point (§2.3: the reference has "no
+    UDAF/UDTF interfaces"; its only fan-out is the map function's kv
+    list). Deliberately demonstrated on a 25-row dimension: row-at-a-
+    time Python is the slow path, and every hot-path fan-out in this
+    engine (shingling, chunking, q51 posexplode) stays on codegen
+    explode — the UDTF is API surface, not a scan operator."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, name: str):
+            for i, tok in enumerate(name.split(" "), start=1):
+                yield i, tok
+
+    spark.udtf.register("tokenize_name", Tokenize)
+    load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") < UDTF_KEY_CAP
+    ).createOrReplaceTempView("__q71_part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, t.pos, t.token
+        FROM __q71_part p, LATERAL tokenize_name(p.p_name) t
+        ORDER BY p.p_partkey, t.pos
+        """
+    )
+
+
+UDTF_KEY_CAP = 200  # bound the demo fan-out (p_name is ~5 tokens each)
+
+Q71_ORACLE = f"""
+WITH toks AS (
+  SELECT p_partkey, string_split(p_name, ' ') AS t FROM part
+  WHERE p_partkey < {UDTF_KEY_CAP}
+)
+SELECT p_partkey, CAST(i AS INT) AS pos, t[i] AS token
+FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+ORDER BY p_partkey, pos
+"""
+
+
 QUERIES = [
     QuerySpec("q70_udaf_geomean", q70_udaf_geomean, Q70_ORACLE,
               "grouped-agg pandas UDAF (vectorized custom aggregate)",
               ("udaf", "pandas")),
+    QuerySpec("q71_udtf_tokenize", q71_udtf_tokenize, Q71_ORACLE,
+              "Python UDTF lateral fan-out (table-function interface)",
+              ("udtf",)),
 ]

@@ -125,6 +125,8 @@ _PRIORITY = [
     "q39_streaming_twin",
     "q69_footer_stats",
     "q70_udaf_geomean",
+    "q71_udtf_tokenize",
+    "q32_streaming_twin",
     "q32_user_sessions",
     "q39_sliding_windows",
     "q59_hourly_gapfill",

@@ -324,8 +324,28 @@ def q39_streaming_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table).orderBy("w", "event_type")
 
 
+def q32_streaming_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization stream drained with availableNow —
+    'complete' mode emits every session including those a watermark
+    would still hold open, so the full drain equals batch q32 exactly
+    and the DuckDB oracle can check the session-window STATE path, not
+    just the batch expression."""
+    import tempfile
+    import uuid
+
+    table = f"stream_q32_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dmrs_q32_stream_ckpt_")
+    run_available_now(
+        sessionized_stream(spark, sf_dir),
+        checkpoint_dir=ckpt,
+        table_name=table,
+        output_mode="complete",
+    )
+    return spark.table(table).orderBy("user_id", "session_start")
+
+
 def _build_queries():
-    from ..operators.events import Q14_ORACLE, Q39_ORACLE
+    from ..operators.events import Q14_ORACLE, Q32_ORACLE, Q39_ORACLE
     from ..registry import QuerySpec
 
     return [
@@ -342,6 +362,13 @@ def _build_queries():
             Q39_ORACLE,
             "availableNow drain of the sliding-window stream (== q39)",
             ("streaming", "events"),
+        ),
+        QuerySpec(
+            "q32_streaming_twin",
+            q32_streaming_twin,
+            Q32_ORACLE,
+            "availableNow drain of the session-window stream (== q32)",
+            ("streaming", "events", "session"),
         ),
     ]
 
