@@ -79,12 +79,12 @@ _SW_LIST_SPARK = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 _SW_LIST_DUCK = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 
-def q29_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic doc-quality score in [0, 1]:
-    length factor (saturates at 100 tokens) x stopword-sanity factor
-    (penalizes distance from a 20% stopword ratio). Binned for a compact
-    hash-checked output; the per-doc frame is the real pipeline product.
-    """
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): the per-document quality frame — length factor
+    (saturates at 100 tokens) x stopword-sanity factor (penalizes
+    distance from a 20% stopword ratio), rounded to 2 so both engines
+    compare identically. Consumed by q29 (histogram) and q72 (canonical
+    selection among near-duplicates)."""
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.expr(f"size({_TOKS})").alias("n_tok"),
@@ -92,7 +92,7 @@ def q29_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"size(filter({_TOKS}, x -> array_contains({_SW_LIST_SPARK}, x)))"
         ).alias("n_stop"),
     )
-    scored = d.select(
+    return d.select(
         "doc_id",
         F.round(
             F.least(F.col("n_tok") / 100.0, F.lit(1.0))
@@ -100,6 +100,26 @@ def q29_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("score"),
     )
+
+
+# Standalone SELECT twin of doc_quality_scores for oracle composition.
+DUCK_SCORED_SQL = f"""
+SELECT doc_id,
+       ROUND(LEAST(n_tok / 100.0, 1.0)
+             * (1 - ABS(CAST(n_stop AS DOUBLE) / n_tok - 0.2)), 2) AS score
+FROM (SELECT doc_id,
+             len({DUCK_TOKS_EXPR}) AS n_tok,
+             len(list_filter({DUCK_TOKS_EXPR},
+                             x -> list_contains({_SW_LIST_DUCK}, x))) AS n_stop
+      FROM documents)
+"""
+
+
+def q29_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc-quality score in [0, 1], binned for a compact
+    hash-checked output; the per-doc frame (doc_quality_scores) is the
+    real pipeline product."""
+    scored = doc_quality_scores(spark, sf_dir)
     return (
         scored.groupBy(F.floor(F.col("score") * 10).alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc"))

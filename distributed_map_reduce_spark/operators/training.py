@@ -328,6 +328,59 @@ ORDER BY doc_id, chunk_id
 """
 
 
+# --- q72: canonical-document selection among near-duplicates -----------------
+
+def q72_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup POLICY: for every near-duplicate pair, keep the higher-
+    quality copy (ties keep the lower doc_id) — the selection step
+    between "pairs found" (q24/q25) and "corpus written". Composes the
+    shingle-Jaccard pair detector with the per-doc quality frame; two
+    hash joins on doc_id, no new shuffles beyond them. At 100 TB the
+    same join runs against the LSH candidate pairs instead of the exact
+    detector — the policy is detector-agnostic."""
+    from .dedup import q24_ngram_jaccard_dedup
+    from .textanalysis import doc_quality_scores
+
+    pairs = q24_ngram_jaccard_dedup(spark, sf_dir).select("ad", "bd")
+    s = doc_quality_scores(spark, sf_dir)
+    sa = s.select(F.col("doc_id").alias("ad"), F.col("score").alias("score_a"))
+    sb = s.select(F.col("doc_id").alias("bd"), F.col("score").alias("score_b"))
+    better_b = F.col("score_b") > F.col("score_a")
+    return (
+        pairs.join(sa, "ad")
+        .join(sb, "bd")
+        .select(
+            "ad",
+            "bd",
+            F.when(better_b, F.col("bd")).otherwise(F.col("ad")).alias(
+                "keep_doc"
+            ),
+            F.when(better_b, F.col("score_b"))
+            .otherwise(F.col("score_a"))
+            .alias("score_kept"),
+        )
+        .orderBy("ad", "bd")
+    )
+
+
+def _q72_oracle() -> str:
+    from .dedup import Q24_ORACLE
+    from .textanalysis import DUCK_SCORED_SQL
+
+    return f"""
+WITH pairs AS ({Q24_ORACLE.replace("ORDER BY ad, bd", "")}),
+scored AS ({DUCK_SCORED_SQL})
+SELECT p.ad, p.bd,
+       CASE WHEN sb.score > sa.score THEN p.bd ELSE p.ad END AS keep_doc,
+       CASE WHEN sb.score > sa.score THEN sb.score ELSE sa.score END
+         AS score_kept
+FROM pairs p
+JOIN scored sa ON sa.doc_id = p.ad
+JOIN scored sb ON sb.doc_id = p.bd
+ORDER BY ad, bd
+"""
+
+
 QUERIES = [
     QuerySpec("q61_sequence_packing", q61_sequence_packing, Q61_ORACLE,
               "greedy token-budget packing of docs into training sequences",
@@ -344,4 +397,7 @@ QUERIES = [
     QuerySpec("q67_chunking", q67_chunking, Q67_ORACLE,
               "sliding token-window chunking with md5 chunk fingerprints",
               ("training", "chunking")),
+    QuerySpec("q72_canonical_pairs", q72_canonical_pairs, _q72_oracle(),
+              "keep the higher-quality copy of each near-dup pair",
+              ("training", "dedup", "policy")),
 ]

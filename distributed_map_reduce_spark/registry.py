@@ -127,6 +127,7 @@ _PRIORITY = [
     "q70_udaf_geomean",
     "q71_udtf_tokenize",
     "q32_streaming_twin",
+    "q72_canonical_pairs",
     "q32_user_sessions",
     "q39_sliding_windows",
     "q59_hourly_gapfill",
