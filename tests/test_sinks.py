@@ -1,0 +1,65 @@
+"""Training-shard writer contract: Hive layout, lossless read-back,
+partition-pruned reads, bounded files."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from distributed_map_reduce_spark.plans.inspect import formatted_plan
+from distributed_map_reduce_spark.sinks import write_training_shards
+from distributed_map_reduce_spark.sources import load_table
+
+
+def _sharded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    return docs.withColumn("split", split)
+
+
+def test_shard_layout_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    df = _sharded(spark, sf_dir)
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        df, out, partition_by=("split", "source"), max_records_per_file=50
+    )
+
+    # Hive-style layout: split=<v>/source=<v> directories
+    splits = sorted(d for d in os.listdir(out) if d.startswith("split="))
+    assert splits == ["split=test", "split=train", "split=val"]
+    train_sources = [
+        d
+        for d in os.listdir(os.path.join(out, "split=train"))
+        if d.startswith("source=")
+    ]
+    assert train_sources, "no source partitions under split=train"
+
+    # lossless read-back (partition columns come back as columns)
+    back = spark.read.parquet(out)
+    want = sorted(
+        tuple(r) for r in df.select("doc_id", "split", "source").collect()
+    )
+    got = sorted(
+        tuple(r) for r in back.select("doc_id", "split", "source").collect()
+    )
+    assert got == want
+
+    # a filter on the partition column prunes at the source: the scan
+    # carries it as a PartitionFilter, not a post-scan Filter
+    q = back.filter(F.col("split") == "train").select("doc_id")
+    plan = formatted_plan(q)
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters:" in l]
+    assert pf_lines and "split" in pf_lines[0], (
+        f"split filter not pushed to partition pruning: {pf_lines}"
+    )
+    n_train = q.count()
+    n_all = back.count()
+    assert 0 < n_train < n_all
+
+    # maxRecordsPerFile held: no data file exceeds the cap
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            n = spark.read.parquet(os.path.join(root, f)).count()
+            assert n <= 50, f"{f} has {n} rows > cap"
