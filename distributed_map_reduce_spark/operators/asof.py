@@ -41,33 +41,61 @@ def asof_join(
     right_ts: str,
     right_payload: dict[str, str],
     tiebreak: str,
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """For each left row: columns of the latest right row with
-    ``right[right_ts] <= left[left_ts]`` and equal ``by`` key (NULLs when
-    none exists).
+    """For each left row: columns of the nearest right row at or before
+    (``direction='backward'``) / at or after (``'forward'``) its
+    timestamp with an equal ``by`` key — NULLs when none exists.
 
-    ``right_payload`` maps right column -> output alias;
-    ``tiebreak`` is a right column ordering equal-timestamp right rows
-    (the largest wins), required so results are deterministic.
+    ``right_payload`` maps right column -> output alias; ``tiebreak``
+    is a right column ordering equal-timestamp right rows (the largest
+    wins), required so results are deterministic. ``tolerance`` (an
+    INTERVAL literal body, e.g. ``'1 hour'``) bounds the match: a right
+    row farther than the tolerance nulls out, inclusive at the bound —
+    pandas ``merge_asof`` semantics.
+
+    Forward direction reuses the backward machinery on a negated time
+    axis (order by ``-unix_micros(ts)``): "latest at-or-before" in
+    negated time IS "earliest at-or-after" in real time, so both
+    directions share one plan shape — a union, one shuffle on the key,
+    one per-partition sort.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload_cols = dict(right_payload)
+    payload_cols["__rts"] = "__rts"  # carry the matched row's timestamp
     payload: Column = F.struct(
-        *[F.col(c).alias(a) for c, a in right_payload.items()]
+        *[
+            (F.col(right_ts) if c == "__rts" else F.col(c)).alias(a)
+            for c, a in payload_cols.items()
+        ]
     )
     # SQL equi-join semantics: NULL keys never match. Window.partitionBy
     # groups NULLs together, so an unfiltered NULL-key right row would
     # leak its payload into NULL-key left rows — drop them up front.
     # (Left NULL-key rows stay: they emit NULL payload, as a left join
     # would.)
+    def _ord(df: DataFrame, ts_col: str) -> Column:
+        ts = F.col(ts_col)
+        if direction == "backward":
+            return ts  # any ordered type, unchanged axis
+        # forward: negate the axis (numerics directly, timestamps via
+        # their microsecond count)
+        if df.schema[ts_col].dataType.simpleString().startswith("timestamp"):
+            return -F.unix_micros(ts.cast("timestamp"))
+        return -ts
+
     r0 = right.filter(F.col(by).isNotNull()).select(
         F.col(by).alias("__by"),
-        F.col(right_ts).alias("__ts"),
+        _ord(right, right_ts).alias("__ord"),
         F.lit(0).alias("__side"),
         F.col(tiebreak).alias("__tb"),
         payload.alias("__p"),
     )
     l = left.select(
         F.col(by).alias("__by"),
-        F.col(left_ts).alias("__ts"),
+        _ord(left, left_ts).alias("__ord"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(r0.schema["__tb"].dataType).alias("__tb"),
         F.lit(None).cast(r0.schema["__p"].dataType).alias("__p"),
@@ -78,7 +106,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy("__by")
-        .orderBy("__ts", "__side", "__tb")
+        .orderBy("__ord", "__side", "__tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -86,6 +114,24 @@ def asof_join(
         .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
+    if tolerance is not None:
+        is_ts = (
+            left.schema[left_ts].dataType.simpleString().startswith("timestamp")
+        )
+        lts = F.col(f"__l.{left_ts}")
+        rts = F.col("__m.__rts")
+        if is_ts:
+            delta = F.expr(f"INTERVAL {tolerance}")
+            lts, rts = lts.cast("timestamp"), rts.cast("timestamp")
+        else:
+            delta = F.lit(tolerance)  # numeric axis: numeric tolerance
+        in_tol = (
+            rts >= lts - delta
+            if direction == "backward"
+            else rts <= lts + delta
+        )
+        # inclusive at the bound (pandas merge_asof semantics)
+        matched = matched.withColumn("__m", F.when(in_tol, F.col("__m")))
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"__m.{a}").alias(a) for a in right_payload.values()]
     return matched.select(*out_cols)
@@ -192,9 +238,55 @@ GROUP BY band
 ORDER BY band
 """
 
+def q73_next_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each purchase matched to the
+    user's NEXT click at or within one hour after it (post-purchase
+    engagement) — the direction+tolerance surface of pandas merge_asof,
+    same single-shuffle plan as q33's backward join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return (
+        asof_join(
+            purchases,
+            clicks,
+            by="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload={"event_id": "click_id", "ts": "click_ts"},
+            tiebreak="event_id",
+            direction="forward",
+            tolerance="1 HOUR",
+        )
+        .orderBy("event_id")
+    )
+
+
+Q73_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT c.event_id AS click_id, c.ts AS click_ts
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+    AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+  ORDER BY c.ts ASC, c.event_id DESC
+  LIMIT 1
+) c ON TRUE
+ORDER BY p.event_id
+"""
+
+
 QUERIES = [
     QuerySpec("q33_click_attribution", q33_click_attribution, Q33_ORACLE,
               "as-of join: purchases attributed to most recent prior click",
+              ("events", "asof", "join")),
+    QuerySpec("q73_next_click_window", q73_next_click_window, Q73_ORACLE,
+              "forward as-of join with 1h tolerance (next click after buy)",
               ("events", "asof", "join")),
     QuerySpec("q34_value_band_join", q34_value_band_join, Q34_ORACLE,
               "range join: events into value bands via broadcast interval join",

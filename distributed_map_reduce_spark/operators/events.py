@@ -176,6 +176,48 @@ ORDER BY h.w, t.event_type
 """
 
 
+def q74_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup reuse (the hypertable continuous-
+    aggregate pattern): the DAILY aggregate is computed FROM the hourly
+    layer, never from raw events — count and sum re-aggregate exactly
+    because they are algebraic, so the hourly layer carries UNROUNDED
+    sums and rounding happens once at the final resolution. At 100 TB
+    the hourly layer is materialized once (~events/3600 rows) and every
+    coarser resolution (day/week/month) reads it instead of re-scanning
+    the fact table; the oracle aggregates raw events directly, proving
+    rollup-from-rollup == direct."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("tot"),  # unrounded: re-aggregated below
+    )
+    return (
+        # .cast("date"): Spark date_trunc returns a timestamp, DuckDB's
+        # day-truncation a DATE — and a day IS a date
+        hourly.groupBy(
+            F.date_trunc("day", "w").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("tot"), 2).alias("total"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+Q74_ORACLE = """
+SELECT DATE_TRUNC('day', ts) AS day,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
 def q39_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows: 2 h length, 1 h slide — each event counts in two
     overlapping windows (vs q14's tumbling windows, where it counts
@@ -296,6 +338,9 @@ QUERIES = [
     QuerySpec("q32_user_sessions", q32_user_sessions, Q32_ORACLE,
               "gap-based sessionization (session_window, 6h gap)",
               ("events", "session", "streaming-twin")),
+    QuerySpec("q74_multires_rollup", q74_multires_rollup, Q74_ORACLE,
+              "daily aggregates derived from the hourly rollup layer",
+              ("events", "rollup")),
     QuerySpec("q39_sliding_windows", q39_sliding_windows, Q39_ORACLE,
               "sliding 2h/1h event windows (each event in two windows)",
               ("events", "window", "streaming-twin")),

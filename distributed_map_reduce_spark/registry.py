@@ -128,6 +128,8 @@ _PRIORITY = [
     "q71_udtf_tokenize",
     "q32_streaming_twin",
     "q72_canonical_pairs",
+    "q73_next_click_window",
+    "q74_multires_rollup",
     "q32_user_sessions",
     "q39_sliding_windows",
     "q59_hourly_gapfill",

@@ -102,3 +102,86 @@ def test_asof_join_null_keys_never_match(spark):
         ).collect()
     }
     assert out == {1: None, 2: 11}
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _t("2024-01-01T10:00:00")),  # next right at 12:00
+            (2, 100, _t("2024-01-01T12:00:00")),  # exactly at right ts
+            (3, 100, _t("2024-01-01T13:00:00")),  # nothing after
+        ],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, _t("2024-01-01T12:00:00")),
+            (11, 100, _t("2024-01-01T12:00:00")),  # tie: larger id wins
+        ],
+        "rid long, k long, ts timestamp",
+    )
+    out = {
+        r["id"]: r["m"]
+        for r in asof_join(
+            left, right,
+            by="k", left_ts="ts", right_ts="ts",
+            right_payload={"rid": "m"}, tiebreak="rid",
+            direction="forward",
+        ).collect()
+    }
+    assert out == {1: 11, 2: 11, 3: None}
+
+
+def test_asof_tolerance_bounds_match(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _t("2024-01-01T12:00:00"))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, 100, _t("2024-01-01T10:00:00"))], "rid long, k long, ts timestamp"
+    )
+    kw = dict(
+        by="k", left_ts="ts", right_ts="ts",
+        right_payload={"rid": "m"}, tiebreak="rid",
+    )
+    # 2h gap: within a 2-hour tolerance (inclusive), outside 1 hour
+    hit = asof_join(left, right, tolerance="2 HOURS", **kw).collect()[0]["m"]
+    miss = asof_join(left, right, tolerance="1 HOUR", **kw).collect()[0]["m"]
+    assert hit == 10
+    assert miss is None
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_rows, _rows)
+def test_asof_forward_matches_bruteforce(spark, lrows, rrows):
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lrows)],
+        "id long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(rrows)],
+        "rid long, k long, ts long",
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in asof_join(
+            left, right,
+            by="k", left_ts="ts", right_ts="ts",
+            right_payload={"rid": "m"}, tiebreak="rid",
+            direction="forward",
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(lrows):
+        cands = [
+            (rts, rid)
+            for rid, (rk, rts) in enumerate(rrows)
+            if rk == k and rts >= ts
+        ]
+        want = max(
+            (c for c in cands if c[0] == min(x[0] for x in cands)),
+            default=None,
+        )
+        assert got[i] == (want[1] if want else None), (i, k, ts, cands)
