@@ -595,12 +595,24 @@ def fuzzy_pairs_blocked(
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     if key_cap is not None:
         part = part.filter(F.col("p_partkey") < key_cap)
+    return fuzzy_blocked_pairs_frame(part, q=q, k=k)
 
+
+def fuzzy_blocked_pairs_frame(
+    part: DataFrame, q: int = QGRAM_Q, k: int = LEV_MAX
+) -> DataFrame:
+    """Core of :func:`fuzzy_pairs_blocked` over any (p_partkey, p_name)
+    frame — separable so the short-string length-band path (which the
+    part corpus never exercises: every p_name is long) is unit-testable
+    on synthetic names."""
     prefix_len = k * q + 1
     min_long = q * (k + 1)  # count-filter guarantee threshold
     band_w = k + 1
 
-    grams = part.select(
+    # strings shorter than q contribute no grams (guard needed: Spark's
+    # sequence(1, 0) DESCENDS, which would fabricate bogus grams); they
+    # are still paired via the length-band elements below.
+    grams = part.filter(F.length("p_name") >= q).select(
         "p_partkey",
         F.length("p_name").alias("len"),
         F.posexplode(

@@ -76,3 +76,44 @@ def test_fuzzy_blocked_equals_nested_loop_variant(spark):
         dd.LEV_KEY_CAP = part_cap
     assert blocked == reference
     assert blocked, "cap-400 range must contain fuzzy pairs"
+
+
+def test_fuzzy_blocked_short_strings_use_length_bands(spark):
+    """The part corpus never has names below the q*(k+1) count-filter
+    threshold, so pin the short-string path synthetically: short names
+    sharing NO q-gram must still pair when within edit distance k
+    (length-band blocking), and the result must equal brute force."""
+    from distributed_map_reduce_spark.operators.dedup import (
+        LEV_MAX,
+        fuzzy_blocked_pairs_frame,
+    )
+
+    names = ["ab", "xy", "abcd", "abcf", "x", "", "gainsboro peru red sandy",
+             "gainsboro peru red sandz"]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "p_partkey long, p_name string"
+    )
+    got = {
+        (r["ak"], r["bk"]): r["dist"]
+        for r in fuzzy_blocked_pairs_frame(df).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (i, j): lev(names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= LEV_MAX
+    }
+    assert got == want
+    # the interesting case really is in there: zero shared grams, ed<=k
+    assert (0, 1) in want  # "ab" vs "xy"
