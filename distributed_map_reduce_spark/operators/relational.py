@@ -956,6 +956,48 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
 
+# --- Q75: string scalar-function sweep ----------------------------------------
+
+def q75_string_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function library coverage in one hash-checked pass (the
+    scalar-matrix pattern of q42 arrays / q43 dates): upper/lower, trim,
+    length, reverse, lpad, substr, replace — each wrapped in an
+    aggregate so the output stays a 5-row frame. All codegen scalars on
+    one scan; no Python, no extra shuffle beyond the group."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.upper("c_name")).alias("min_upper"),
+            F.max(F.reverse(F.lower("c_name"))).alias("max_revlower"),
+            F.sum(F.length(F.trim(F.col("c_name"))))
+            .cast("bigint")
+            .alias("sum_len"),
+            F.min(
+                F.lpad(F.substring("c_name", 10, 6), 10, "_")
+            ).alias("min_padded"),
+            F.max(
+                F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C"))
+            ).alias("max_replaced"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q75_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       MIN(UPPER(c_name)) AS min_upper,
+       MAX(REVERSE(LOWER(c_name))) AS max_revlower,
+       CAST(SUM(LENGTH(TRIM(c_name))) AS BIGINT) AS sum_len,
+       MIN(LPAD(SUBSTR(c_name, 10, 6), 10, '_')) AS min_padded,
+       MAX(REPLACE(c_name, 'Customer', 'C')) AS max_replaced
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
 # --- Q56: null-handling semantics ---------------------------------------------
 
 def q56_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,6 +1099,9 @@ QUERIES = [
     QuerySpec("q50_unpivot", q50_unpivot, Q50_ORACLE,
               "wide-to-long unpivot of per-priority order metrics",
               ("relational", "reshape")),
+    QuerySpec("q75_string_sweep", q75_string_sweep, Q75_ORACLE,
+              "string scalar-function sweep (upper/trim/lpad/replace/...)",
+              ("relational", "functions")),
     QuerySpec("q56_null_semantics", q56_null_semantics, Q56_ORACLE,
               "null semantics: NULLIF/COALESCE, COUNT(col), null-safe compare",
               ("relational", "nulls")),

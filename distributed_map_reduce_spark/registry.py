@@ -130,6 +130,7 @@ _PRIORITY = [
     "q72_canonical_pairs",
     "q73_next_click_window",
     "q74_multires_rollup",
+    "q75_string_sweep",
     "q32_user_sessions",
     "q39_sliding_windows",
     "q59_hourly_gapfill",
