@@ -998,6 +998,54 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
 
+# --- Q76: math scalar-function sweep ------------------------------------------
+
+def q76_math_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar coverage in one pass: abs, ceil, floor, sqrt, ln,
+    pow, mod, sign — aggregated per returnflag so the hash-checked
+    output stays 3 rows. Inputs are chosen so every function is exact
+    or rounds identically across engines (sqrt/ln of positive doubles,
+    ROUND(...,2) at the end)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.ceil("l_extendedprice")).cast("bigint").alias("sum_ceil"),
+            F.sum(F.floor("l_extendedprice")).cast("bigint").alias("sum_floor"),
+            F.round(F.sum(F.sqrt("l_quantity")), 2).alias("sum_sqrt_qty"),
+            F.round(F.sum(F.log(F.col("l_extendedprice"))), 2).alias(
+                "sum_ln_price"
+            ),
+            F.round(F.sum(F.pow("l_discount", F.lit(3))), 2).alias(
+                "sum_disc_cubed"
+            ),
+            F.sum(F.pmod(F.col("l_linenumber"), F.lit(3)))
+            .cast("bigint")
+            .alias("sum_mod3"),
+            F.sum(F.signum(F.col("l_extendedprice") - 50000))
+            .cast("bigint")
+            .alias("net_sign_50k"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q76_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CEIL(l_extendedprice)) AS BIGINT) AS sum_ceil,
+       CAST(SUM(FLOOR(l_extendedprice)) AS BIGINT) AS sum_floor,
+       ROUND(SUM(SQRT(l_quantity)), 2) AS sum_sqrt_qty,
+       ROUND(SUM(LN(l_extendedprice)), 2) AS sum_ln_price,
+       ROUND(SUM(POW(l_discount, 3)), 2) AS sum_disc_cubed,
+       CAST(SUM(l_linenumber % 3) AS BIGINT) AS sum_mod3,
+       CAST(SUM(SIGN(l_extendedprice - 50000)) AS BIGINT) AS net_sign_50k
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
 # --- Q56: null-handling semantics ---------------------------------------------
 
 def q56_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1101,6 +1149,9 @@ QUERIES = [
               ("relational", "reshape")),
     QuerySpec("q75_string_sweep", q75_string_sweep, Q75_ORACLE,
               "string scalar-function sweep (upper/trim/lpad/replace/...)",
+              ("relational", "functions")),
+    QuerySpec("q76_math_sweep", q76_math_sweep, Q76_ORACLE,
+              "math scalar-function sweep (ceil/floor/sqrt/ln/pow/mod/sign)",
               ("relational", "functions")),
     QuerySpec("q56_null_semantics", q56_null_semantics, Q56_ORACLE,
               "null semantics: NULLIF/COALESCE, COUNT(col), null-safe compare",

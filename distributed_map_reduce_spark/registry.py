@@ -131,6 +131,7 @@ _PRIORITY = [
     "q73_next_click_window",
     "q74_multires_rollup",
     "q75_string_sweep",
+    "q76_math_sweep",
     "q32_user_sessions",
     "q39_sliding_windows",
     "q59_hourly_gapfill",
