@@ -10,6 +10,15 @@ plan — scans, shuffles, sorts — without driver-side collect overhead).
 A tiny warmup action runs first so JVM/session startup isn't billed to
 the first query. BASELINE.md's working bound: every query < 45 s at
 sf0.1 (the reference harness's per-test timeout analog).
+
+Output contract: the FINAL stdout line is one compact JSON object and
+is guaranteed < 1900 chars, because the driver that records BENCH_r*.json
+keeps only the last 2000 chars of stdout (rounds 1-3 recorded
+``"parsed": null`` — the full-name queries dict alone is ~2300 chars, so
+the line's head fell off the tail window). Query keys in that final line
+are therefore shortened to their ``qNN`` prefix when unambiguous; the
+full-name results are written to ``bench_results.json`` next to this
+file and also printed (pretty) to stderr for humans.
 """
 
 from __future__ import annotations
@@ -23,6 +32,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from distributed_map_reduce_spark.registry import all_queries  # noqa: E402
 from distributed_map_reduce_spark.session import get_spark  # noqa: E402
+
+
+def _short_keys(names: list[str]) -> dict[str, str]:
+    """name -> short key for the final stdout line: the ``qNN`` prefix
+    when it identifies exactly one query (q10/q14/q32/q39/q57 each have
+    two entries — those keep full names, as do non-qNN names)."""
+    import re
+
+    counts: dict[str, int] = {}
+    for n in names:
+        t = n.split("_", 1)[0]
+        counts[t] = counts.get(t, 0) + 1
+    out = {}
+    for n in names:
+        t = n.split("_", 1)[0]
+        out[n] = t if re.fullmatch(r"q\d+", t) and counts[t] == 1 else n
+    return out
 
 
 def main() -> int:
@@ -49,17 +75,36 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Full-fidelity record: file + stderr (both outside the driver's
+    # 2000-char stdout tail).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_results.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full, indent=1), file=sys.stderr)
+    short = _short_keys(list(timings))
+    line = json.dumps(
+        {
+            "metric": "suite_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": {short[n]: round(t, 2) for n, t in timings.items()},
+            "sf": sf,
+            "full_results": "bench_results.json",
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 1900, f"final bench line too long ({len(line)} chars)"
+    print(line)
     return 0
 
 

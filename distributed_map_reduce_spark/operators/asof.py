@@ -42,7 +42,7 @@ def asof_join(
     right_payload: dict[str, str],
     tiebreak: str,
     direction: str = "backward",
-    tolerance: str | None = None,
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
     """For each left row: columns of the nearest right row at or before
     (``direction='backward'``) / at or after (``'forward'``) its
@@ -50,10 +50,14 @@ def asof_join(
 
     ``right_payload`` maps right column -> output alias; ``tiebreak``
     is a right column ordering equal-timestamp right rows (the largest
-    wins), required so results are deterministic. ``tolerance`` (an
-    INTERVAL literal body, e.g. ``'1 hour'``) bounds the match: a right
-    row farther than the tolerance nulls out, inclusive at the bound —
-    pandas ``merge_asof`` semantics.
+    wins), required so results are deterministic. ``tolerance`` bounds
+    the match: a right row farther than the tolerance nulls out,
+    inclusive at the bound — pandas ``merge_asof`` semantics. On a
+    timestamp axis it is an INTERVAL literal body (e.g. ``'1 hour'``);
+    on a numeric axis it must be a number (or a numeric string —
+    anything else raises, rather than silently NULLing every match via
+    implicit string->numeric coercion, which also breaks under ANSI
+    mode).
 
     Forward direction reuses the backward machinery on a negated time
     axis (order by ``-unix_micros(ts)``): "latest at-or-before" in
@@ -124,7 +128,23 @@ def asof_join(
             delta = F.expr(f"INTERVAL {tolerance}")
             lts, rts = lts.cast("timestamp"), rts.cast("timestamp")
         else:
-            delta = F.lit(tolerance)  # numeric axis: numeric tolerance
+            # Numeric axis: validate up front. A non-numeric string
+            # would implicitly coerce to NULL (nulling every match
+            # silently) or raise mid-job under ANSI mode.
+            if isinstance(tolerance, str):
+                try:
+                    tolerance = float(tolerance)
+                except ValueError:
+                    raise ValueError(
+                        "numeric as-of axis needs a numeric tolerance, "
+                        f"got {tolerance!r}"
+                    ) from None
+            elif not isinstance(tolerance, (int, float)):
+                raise TypeError(
+                    "tolerance must be str|int|float, "
+                    f"got {type(tolerance).__name__}"
+                )
+            delta = F.lit(tolerance)
         in_tol = (
             rts >= lts - delta
             if direction == "backward"

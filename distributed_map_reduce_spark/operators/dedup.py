@@ -199,7 +199,9 @@ def jaccard_neardup_pairs(
     return _finish_jaccard(inter, sizes)
 
 
-Q24_ORACLE = f"""
+# ORDER-BY-free body, exported so composers (training.py q72) can embed
+# it as a CTE without string surgery on the ordered text.
+Q24_ORACLE_BODY = f"""
 WITH s AS ({_DUCK_DOC_SHINGLES}),
 cands AS (
   SELECT DISTINCT a.doc_id AS ad, b.doc_id AS bd
@@ -219,8 +221,9 @@ FROM inter
 JOIN sz x ON x.doc_id = ad
 JOIN sz y ON y.doc_id = bd
 WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {JACCARD_T}
-ORDER BY ad, bd
 """
+
+Q24_ORACLE = Q24_ORACLE_BODY + "ORDER BY ad, bd\n"
 
 # --- q25: MinHash + LSH banding ---------------------------------------------
 

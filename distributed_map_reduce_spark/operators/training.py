@@ -237,9 +237,14 @@ def q66_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.substring(
         F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id"))), 1, 2
     )
+    # A digit-free source name makes regexp_extract return '' -> idx
+    # NULL -> thr NULL -> (h < thr) NULL; the oracle's CASE yields 0 for
+    # that row while Spark's SUM would yield NULL for an all-NULL group.
+    # Pin NULL -> reject so both engines agree for any source naming.
+    keep = F.coalesce(h < thr, F.lit(False))
     return (
         _docs(spark, sf_dir)
-        .select("source", (h < thr).alias("keep"))
+        .select("source", keep.alias("keep"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
@@ -364,11 +369,11 @@ def q72_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q72_oracle() -> str:
-    from .dedup import Q24_ORACLE
+    from .dedup import Q24_ORACLE_BODY
     from .textanalysis import DUCK_SCORED_SQL
 
     return f"""
-WITH pairs AS ({Q24_ORACLE.replace("ORDER BY ad, bd", "")}),
+WITH pairs AS ({Q24_ORACLE_BODY}),
 scored AS ({DUCK_SCORED_SQL})
 SELECT p.ad, p.bd,
        CASE WHEN sb.score > sa.score THEN p.bd ELSE p.ad END AS keep_doc,

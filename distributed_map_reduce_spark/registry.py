@@ -89,26 +89,13 @@ _PRIORITY = [
     "q21_mr_inverted_index",
     "q22_mr_sorted_values",
     "q23_cosine_topk",
-    # LLM-pipeline family: dedup, clustering, text analysis
+    # LLM-pipeline family: dedup + clustering core (green r1–r3, keep pinned)
     "q24_ngram_jaccard_dedup",
     "q25_minhash_lsh_dedup",
     "q26_simhash_dedup",
     "q27_embedding_neardup",
-    "q28_token_counts",
-    "q29_quality_score",
-    "q30_lang_id",
-    "q31_kmv_fingerprint",
-    "q37_repetition_ratio",
     "q38_dedup_clusters",
-    "q53_winnowing_fingerprints",
-    "q54_tfidf",
-    "q55_token_freq_histogram",
-    "q57_fuzzy_name_pairs",
     "q57_fuzzy_blocked",
-    # round-1 hash-fail fixes whose green rows prove the repair
-    "q47_entity_union_regex",
-    "q52_props_map",
-    "q56_null_semantics",
     # training-data pipeline ops (round 2): packing, split, decon, mix
     "q61_sequence_packing",
     "q62_split_assignment",
@@ -119,19 +106,36 @@ _PRIORITY = [
     "q14_streaming_twin",
     "q33_click_attribution",
     "q34_value_band_join",
-    # below here = outside the 50-row window (pytest-parity-proven)
+    # round-4 rotation (VERDICT r3 item 1): the 12 oracle-bearing entries
+    # that never had a driver row in rounds 1–3 take the window slots of
+    # 12 thrice-green text-analysis rows, so the cross-round union covers
+    # every oracle-bearing entry.
     "q67_chunking",
     "q68_unigram_logprob",
-    "q39_streaming_twin",
     "q69_footer_stats",
     "q70_udaf_geomean",
     "q71_udtf_tokenize",
-    "q32_streaming_twin",
     "q72_canonical_pairs",
     "q73_next_click_window",
     "q74_multires_rollup",
     "q75_string_sweep",
     "q76_math_sweep",
+    "q32_streaming_twin",
+    "q39_streaming_twin",
+    # below here = outside the 50-row window (green in r1–r3 driver rows
+    # and still covered by the pytest parity gate every round)
+    "q28_token_counts",
+    "q29_quality_score",
+    "q30_lang_id",
+    "q31_kmv_fingerprint",
+    "q37_repetition_ratio",
+    "q53_winnowing_fingerprints",
+    "q54_tfidf",
+    "q55_token_freq_histogram",
+    "q57_fuzzy_name_pairs",
+    "q47_entity_union_regex",
+    "q52_props_map",
+    "q56_null_semantics",
     "q32_user_sessions",
     "q39_sliding_windows",
     "q59_hourly_gapfill",

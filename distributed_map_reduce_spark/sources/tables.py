@@ -139,13 +139,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Plain ``spark.read.parquet`` so Catalyst keeps full
     pushdown/pruning freedom; callers select only the columns they need.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    reader rejects (PARQUET_TYPE_ILLEGAL) — Spark timestamps are
-    microsecond. We read nanos as int64 (``nanosAsLong``, an engine-level
-    conf declared in :mod:`..session` — it cannot be scoped set/restore
-    around this lazy read because execution consults it again) and
-    truncate ns -> us, matching DuckDB's own ns -> us truncation, so both
-    engines see identical microsecond timestamps.
+    ``events.ts`` has shipped with two physical parquet types across
+    testdata generations, so the loader adapts to the file footer:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects it (PARQUET_TYPE_ILLEGAL)
+      — Spark timestamps are microsecond. We read nanos as int64
+      (``nanosAsLong``, an engine-level conf declared in
+      :mod:`..session` — it cannot be scoped set/restore around this
+      lazy read because execution consults it again) and truncate
+      ns -> us, matching DuckDB's own ns -> us truncation, so both
+      engines see identical microsecond timestamps.
+    - TIMESTAMP(MICROS) (current generation): read natively; only
+      normalize to TIMESTAMP_NTZ so every downstream plan and oracle
+      sees the same wall-clock values regardless of session timezone.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -161,9 +167,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        if df.schema["ts"].dataType.simpleString() == "bigint":
+            # TIMESTAMP(NANOS) surfaced as int64 under nanosAsLong
+            return df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(path)
 
 

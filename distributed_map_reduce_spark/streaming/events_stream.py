@@ -20,19 +20,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# readStream needs an explicit schema (no inference on streams). ts is
-# physically TIMESTAMP(NANOS) -> read as long under nanosAsLong, convert
-# exactly like sources/tables.py does for batch.
-_EVENTS_PHYS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# readStream needs an explicit schema (no inference on streams). The
+# physical type of ts has varied across testdata generations
+# (TIMESTAMP(NANOS) -> long under nanosAsLong; TIMESTAMP(MICROS) ->
+# timestamp_ntz), so the stream schema is derived from the batch footer
+# read — exactly the posture of sources/tables.py, one footer read of
+# driver-side setup cost.
+
+
+def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    return batch.schema
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,16 +39,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file-stream source requires a directory; target the sf dir and
     # glob-filter down to the events table file.
+    phys = _events_stream_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(_EVENTS_PHYS)
+        spark.readStream.schema(phys)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir.rstrip("/"))
     )
-    # NOTE: stays TIMESTAMP (ltz) here — watermarks require it
+    # NOTE: ends as TIMESTAMP (ltz) here — watermarks require it
     # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ). Session tz is UTC, so
     # wall-clock values equal the batch NTZ path; outputs cast back.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if phys["ts"].dataType.simpleString() == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_windows_stream(

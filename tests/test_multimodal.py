@@ -93,3 +93,81 @@ def test_resize_transform_deterministic(spark, media_dir):
     assert {k: v["out_crc"] for k, v in rows.items()} == {
         k: v["out_crc"] for k, v in again.items()
     }
+
+
+# --- real stdlib header decoding (VERDICT r3 item 4) -------------------------
+
+import struct
+
+from distributed_map_reduce_spark.operators.multimodal import (
+    _fabricated_media,
+    multimodal_features,
+    parse_media_header,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00")
+
+
+def _wav(sr, ch):
+    return (b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+            + struct.pack("<I", 16) + struct.pack("<HH", 1, ch)
+            + struct.pack("<I", sr) + struct.pack("<I", sr * ch)
+            + struct.pack("<HH", ch, 8))
+
+
+def test_parse_media_header_true_dimensions():
+    assert parse_media_header(_png(320, 200)) == {
+        "fmt": "png", "width": 320, "height": 200}
+    assert parse_media_header(b"GIF89a" + struct.pack("<HH", 99, 44)) == {
+        "fmt": "gif", "width": 99, "height": 44}
+    bmp = (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+           + struct.pack("<ii", 640, -480))  # negative height = top-down
+    assert parse_media_header(bmp) == {"fmt": "bmp", "width": 640, "height": 480}
+    jpeg = (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 66, 77) + b"\x03" + b"\x00" * 3)
+    assert parse_media_header(jpeg) == {"fmt": "jpeg", "width": 77, "height": 66}
+    assert parse_media_header(_wav(22050, 2)) == {
+        "fmt": "wav", "sample_rate": 22050, "n_channels": 2}
+
+
+def test_parse_media_header_rejects_garbage():
+    for b in (b"", b"plain text", b"\x89PNG\r\n\x1a\n\x00\x00",  # truncated
+              b"\xff\xd8not-jpeg", b"RIFFxxxxWAVE", b"BM\x00"):
+        assert parse_media_header(b) is None
+
+
+def test_decode_media_real_dims_on_synthesized_payloads(spark, tmp_path):
+    (tmp_path / "p.img").write_bytes(_png(512, 384))
+    (tmp_path / "w.img").write_bytes(_wav(44100, 1))
+    media = media_from_binary_files(
+        read_binary_dir(spark, str(tmp_path), glob="*.img"), "image"
+    )
+    rows = {r["fmt"]: r for r in decode_media(media, fake=True).collect()}
+    assert rows["png"]["width"] == 512 and rows["png"]["height"] == 384
+    assert rows["wav"]["sample_rate"] == 44100
+    assert rows["wav"]["width"] is None  # audio has no dims
+
+
+def test_fabricated_corpus_decodes_with_true_headers(spark):
+    """The registered multimodal queries run the REAL header parser:
+    every fabricated payload must parse (fmt non-null) with dims/rate
+    matching the synthesis formula."""
+    import pyspark.sql.functions as F
+
+    feats = decode_media(_fabricated_media(spark, SF_SMOKE), fake=True)
+    bad = feats.filter(
+        F.col("fmt").isNull()
+        | ((F.col("fmt") == "png")
+           & (F.col("width") != F.col("media_id") % 640 + 1))
+        | ((F.col("fmt") == "wav")
+           & (F.col("sample_rate") != F.col("media_id") % 48000 + 8000))
+    ).count()
+    assert bad == 0
+    fmts = {r["fmt"] for r in multimodal_features(spark, SF_SMOKE).collect()}
+    assert fmts == {"png", "wav"}
