@@ -230,10 +230,16 @@ def q66_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One scan, one 20-group aggregate; conditional count keeps accepted
     and total in the same pass (no second scan, no join)."""
-    idx = F.regexp_extract("source", "([0-9]+)", 1).cast("int")
-    thr = F.element_at(
-        F.array(*[F.lit(t) for t in MIX_THRESHOLDS]), (idx % 4) + 1
-    )
+    # try_cast: a digit-free source extracts '' which must become NULL,
+    # not an ANSI-mode CAST_INVALID_INPUT crash. The threshold lookup is
+    # a CASE chain (not element_at) for two reasons: it mirrors the
+    # oracle SQL one-for-one, and element_at was observed returning the
+    # LAST array element — not NULL — for a runtime-NULL index in this
+    # Spark build (constant-folded NULL indexes behave correctly).
+    idx = F.regexp_extract("source", "([0-9]+)", 1).try_cast("int")
+    thr = F.lit(None).cast("string")
+    for m, t in enumerate(MIX_THRESHOLDS):
+        thr = F.when(idx % 4 == m, F.lit(t)).otherwise(thr)
     h = F.substring(
         F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id"))), 1, 2
     )
@@ -261,7 +267,7 @@ _MIX_CASE = " ".join(
 Q66_ORACLE = f"""
 SELECT source, COUNT(*) AS n_total,
        CAST(SUM(CASE WHEN substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2)
-                  < (CASE (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4)
+                  < (CASE (TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4)
                      {_MIX_CASE} END)
              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents

@@ -55,3 +55,56 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
         spark.sql(f"DROP DATABASE IF EXISTS {DB} CASCADE")
+
+
+def test_bucketed_q6_twin_has_no_join_shuffle(spark, sf_dir, tmp_path):
+    """The q6 (segment revenue) join on a bucketed layout: orders and
+    customer bucketed on the join key sort-merge join with zero
+    Exchange before the join — the repeated-join amortization story at
+    100 TB (shuffle once at write time, never per query). The final
+    groupBy(c_mktsegment) still exchanges; the pin is scoped to the
+    join inputs."""
+    db = "bucket_demo_q6"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{tmp_path}/wh'")
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .saveAsTable(f"{db}.orders_b"))
+        (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .saveAsTable(f"{db}.cust_b"))
+
+        ob, cb = spark.table(f"{db}.orders_b"), spark.table(f"{db}.cust_b")
+        twin = (
+            ob.join(cb, ob.o_custkey == cb.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+        plan = formatted_plan(twin)
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_section, join_section
+
+        # same answer as the declared q6 over plain parquet
+        from distributed_map_reduce_spark.registry import all_queries
+
+        want = sorted(
+            tuple(r)
+            for r in all_queries()["q6_segment_revenue"]
+            .build(spark, sf_dir)
+            .collect()
+        )
+        got = sorted(tuple(r) for r in twin.collect())
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

@@ -117,3 +117,62 @@ def test_fuzzy_blocked_short_strings_use_length_bands(spark):
     assert got == want
     # the interesting case really is in there: zero shared grams, ed<=k
     assert (0, 1) in want  # "ab" vs "xy"
+
+
+def test_cap_bounds_candidates_on_hot_shingle_corpus(spark):
+    """VERDICT r3 item 5a: a corpus where one boilerplate block sits in
+    80% of documents. Uncapped, that block alone generates
+    C(40,2)=780 candidate pairs; with the df-cap the hot shingles never
+    enter the self-join, so the candidate count collapses to the pairs
+    sharing at least one sub-cap shingle — and surviving results equal
+    the cap-free run minus boilerplate-only pairs."""
+    import pyspark.sql.functions as F
+
+    from distributed_map_reduce_spark.operators.dedup import (
+        _doc_shingle_keys,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again today"
+    n_hot, n_clean = 40, 10
+
+    def wid(i):  # letter-only id: the tokenizer drops digits
+        return "".join(chr(97 + int(d)) for d in str(i))
+
+    rows = [(i, f"{boiler} tag{wid(i)} mark{wid(i)}") for i in range(n_hot)]
+    rows += [
+        (100 + i, " ".join(f"{w}{wid(i)}" for w in
+                           ["item", "alpha", "beta", "gamma", "delta", "zeta"]))
+        for i in range(n_clean)
+    ]
+    # one genuine near-dup pair among the clean docs
+    rows += [
+        (200, "orange purple silver golden copper bronze iron steel"),
+        (201, "orange purple silver golden copper bronze iron METAL"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 8  # < n_hot, > any clean shingle's df
+
+    def cand_count(sh):
+        a = sh.select(F.col("doc_id").alias("ad"), "k")
+        b = sh.select(F.col("doc_id").alias("bd"), "k")
+        return (
+            a.join(b, "k").filter(F.col("ad") < F.col("bd"))
+            .select("ad", "bd").distinct().count()
+        )
+
+    sh = _doc_shingle_keys(spark, "", docs=docs)
+    df_per_key = sh.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    keep = df_per_key.filter(F.col("df") <= cap).select("k")
+    uncapped_cands = cand_count(sh)
+    capped_cands = cand_count(sh.join(keep, "k"))
+    assert uncapped_cands >= (n_hot * (n_hot - 1)) // 2  # hot blowup real
+    assert capped_cands < 20  # bounded: no hot bucket survives
+
+    uncapped = _pairs(jaccard_neardup_pairs(spark, "", docs=docs))
+    capped = _pairs(jaccard_neardup_pairs(spark, "", max_doc_freq=cap, docs=docs))
+    hot_ids = set(range(n_hot))
+    # capped = cap-free minus the pairs that exist only via boilerplate
+    assert set(capped) == {
+        p for p in uncapped if not (p[0] in hot_ids and p[1] in hot_ids)
+    }
+    assert (200, 201) in capped

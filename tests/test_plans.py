@@ -148,3 +148,24 @@ def test_q69_aggregates_are_pushed_to_parquet_footers(spark, sf_dir):
     assert "COUNT(*)" in plan
     assert "MIN(l_extendedprice)" in plan
     assert "MAX(l_quantity)" in plan
+
+
+def test_q9_window_group_limit_pushdown(spark, sf_dir):
+    """rn <= 2 on a ROW_NUMBER window must trigger WindowGroupLimit:
+    each partition keeps only its top-2 rows through the sort instead
+    of sorting everything and filtering after — the top-k-per-group
+    pattern that decides whether q9 scales to 100 TB of orders."""
+    plan = formatted_plan(_q("q9_window_rank", spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q58_window_nav_partition_bounded(spark, sf_dir):
+    """Companion pin for the window-nav sweep: the window must be
+    partitioned (no global Window.orderBy => no single-partition
+    serialization)."""
+    plan = formatted_plan(_q("q58_window_nav_sweep", spark, sf_dir))
+    assert "Window" in plan
+    # a global (unpartitioned) window plans as 'Exchange SinglePartition'
+    # feeding the Window node
+    window_input = plan.split("Window")[0]
+    assert "SinglePartition" not in window_input, plan

@@ -1,0 +1,53 @@
+"""Repeat-N soak trials — the analog of the reference's soak runner
+(/root/reference/src/main/test-mr-many.sh:15-23: run the whole test
+suite N times under a time bound; any failed trial fails the run).
+
+Each trial runs the full declared §2.4 contract suite under a different
+shuffle-partition count, asserts every query beats the per-query time
+bound (the reference harness's 45 s timeout analog, scaled to smoke
+data), and all trials must produce byte-identical canonical results.
+This catches flakiness that a single pass hides: result dependence on
+partition count, accumulated session state, non-deterministic ordering
+inside ties.
+"""
+
+import time
+
+import pytest
+
+from distributed_map_reduce_spark.registry import _PRIORITY, all_queries
+
+# §2.4 declared contract queries = the first 24 priority entries
+# (q1..q23 with q10 contributing two).
+DECLARED = _PRIORITY[:24]
+
+N_TRIALS = 3
+TRIAL_PARTITIONS = (2, 5, 11)  # co-prime-ish sweep, incl. < and > cores
+PER_QUERY_BOUND_S = 45.0  # the reference's per-test timeout
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", DECLARED)
+def test_soak_declared_query_stable_across_trials(spark, sf_dir, name):
+    spec = all_queries()[name]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    trials = []
+    try:
+        for parts in TRIAL_PARTITIONS[:N_TRIALS]:
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            t0 = time.perf_counter()
+            trials.append(_canon(spec.build(spark, sf_dir)))
+            elapsed = time.perf_counter() - t0
+            assert elapsed < PER_QUERY_BOUND_S, (
+                f"{name} trial at {parts} partitions took {elapsed:.1f}s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    # (q10_except is legitimately empty; stability, not cardinality,
+    # is the soak property)
+    for i, t in enumerate(trials[1:], 2):
+        assert t == trials[0], f"{name} trial {i} diverged from trial 1"
