@@ -688,6 +688,95 @@ def q57_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs_blocked(spark, sf_dir)
 
 
+# --- q77: cross-source duplication matrix ------------------------------------
+
+def q77_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE duplication comes from: near-dup pair counts aggregated by
+    (source_a, source_b) — the audit every multi-crawl corpus runs to
+    find which feeds re-serve each other's content. Canonical ordering
+    (least/greatest) folds the matrix to upper-triangular.
+
+    Pure composition: q24's pair frame + two joins against the (small
+    relative to pairs) doc->source map, which broadcast at any realistic
+    source-count; the pair detector is swappable for the LSH candidates
+    at 100 TB exactly like q72."""
+    pairs = q24_ngram_jaccard_dedup(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.withColumnsRenamed({"doc_id": "ad", "source": "sa"})
+    sb = src.withColumnsRenamed({"doc_id": "bd", "source": "sb"})
+    return (
+        pairs.join(sa, "ad")
+        .join(sb, "bd")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jacc"), 2).alias("avg_jacc"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+Q77_ORACLE = f"""
+WITH pairs AS ({Q24_ORACLE_BODY})
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs,
+       ROUND(AVG(jacc), 2) AS avg_jacc
+FROM pairs p
+JOIN documents da ON da.doc_id = p.ad
+JOIN documents db ON db.doc_id = p.bd
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+# --- q78: per-document shingle novelty ---------------------------------------
+
+def q78_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty scoring for dedup-aware sampling: the fraction of a
+    document's shingles whose FIRST appearance (lowest doc_id) is this
+    document. Boilerplate-heavy late documents score near 0; the
+    curation policy "sample novel content first" keys on exactly this.
+
+    Two linear shuffles (groupBy shingle for first-owner, groupBy doc
+    for the ratio) + one keyed join — no pair materialization at all,
+    so it scales where even LSH pairing is too expensive; both
+    aggregations partial-aggregate map-side."""
+    sh = _doc_shingle_keys(spark, sf_dir)
+    own = sh.groupBy("k").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(own, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 4)
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q78_ORACLE = f"""
+WITH s AS ({_DUCK_DOC_SHINGLES}),
+own AS (SELECT sh, MIN(doc_id) AS first_doc FROM s GROUP BY sh)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS novelty
+FROM s JOIN own o USING (sh)
+GROUP BY s.doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("q24_ngram_jaccard_dedup", q24_ngram_jaccard_dedup, Q24_ORACLE,
               "exact 3-gram shingle Jaccard near-dup pairs (J >= 0.5)",
@@ -707,4 +796,10 @@ QUERIES = [
     QuerySpec("q57_fuzzy_blocked", q57_fuzzy_blocked, Q57_ORACLE,
               "same pairs via q-gram prefix-filter blocking (no NL join)",
               ("dedup", "fuzzy", "blocking")),
+    QuerySpec("q77_source_dup_matrix", q77_source_dup_matrix, Q77_ORACLE,
+              "near-dup pair counts by (source_a, source_b) feed pair",
+              ("dedup", "audit")),
+    QuerySpec("q78_shingle_novelty", q78_shingle_novelty, Q78_ORACLE,
+              "per-doc fraction of first-seen shingles (novelty score)",
+              ("dedup", "scoring")),
 ]

@@ -221,6 +221,28 @@ ORDER BY doc_id
 MIX_THRESHOLDS = ["20", "30", "40", "50"]
 
 
+def _mix_keep() -> "F.Column":
+    """The q66 acceptance rule as a Column (shared with q79).
+
+    try_cast: a digit-free source extracts '' which must become NULL,
+    not an ANSI-mode CAST_INVALID_INPUT crash. The threshold lookup is
+    a CASE chain (not element_at) for two reasons: it mirrors the
+    oracle SQL one-for-one, and element_at was observed returning the
+    LAST array element — not NULL — for a runtime-NULL index in this
+    Spark build (constant-folded NULL indexes behave correctly). The
+    final coalesce pins NULL threshold -> reject, agreeing with the
+    oracle's CASE (which yields 0, where a Spark SUM over an all-NULL
+    group would yield NULL)."""
+    idx = F.regexp_extract("source", "([0-9]+)", 1).try_cast("int")
+    thr = F.lit(None).cast("string")
+    for m, t in enumerate(MIX_THRESHOLDS):
+        thr = F.when(idx % 4 == m, F.lit(t)).otherwise(thr)
+    h = F.substring(
+        F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id"))), 1, 2
+    )
+    return F.coalesce(h < thr, F.lit(False))
+
+
 def q66_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus mixing: each source is downsampled to its
     target weight by a content-hash acceptance test — the "mixture
@@ -230,27 +252,9 @@ def q66_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One scan, one 20-group aggregate; conditional count keeps accepted
     and total in the same pass (no second scan, no join)."""
-    # try_cast: a digit-free source extracts '' which must become NULL,
-    # not an ANSI-mode CAST_INVALID_INPUT crash. The threshold lookup is
-    # a CASE chain (not element_at) for two reasons: it mirrors the
-    # oracle SQL one-for-one, and element_at was observed returning the
-    # LAST array element — not NULL — for a runtime-NULL index in this
-    # Spark build (constant-folded NULL indexes behave correctly).
-    idx = F.regexp_extract("source", "([0-9]+)", 1).try_cast("int")
-    thr = F.lit(None).cast("string")
-    for m, t in enumerate(MIX_THRESHOLDS):
-        thr = F.when(idx % 4 == m, F.lit(t)).otherwise(thr)
-    h = F.substring(
-        F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id"))), 1, 2
-    )
-    # A digit-free source name makes regexp_extract return '' -> idx
-    # NULL -> thr NULL -> (h < thr) NULL; the oracle's CASE yields 0 for
-    # that row while Spark's SUM would yield NULL for an all-NULL group.
-    # Pin NULL -> reject so both engines agree for any source naming.
-    keep = F.coalesce(h < thr, F.lit(False))
     return (
         _docs(spark, sf_dir)
-        .select("source", keep.alias("keep"))
+        .select("source", _mix_keep().alias("keep"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
@@ -264,13 +268,71 @@ _MIX_CASE = " ".join(
     f"WHEN {m} THEN '{t}'" for m, t in enumerate(MIX_THRESHOLDS)
 )
 
+# The q66 acceptance rule as a DuckDB boolean expression (shared with
+# the q79 oracle) — generated from the same constants as _mix_keep().
+_DUCK_MIX_KEEP = f"""substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2)
+                  < (CASE (TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4)
+                     {_MIX_CASE} END)"""
+
 Q66_ORACLE = f"""
 SELECT source, COUNT(*) AS n_total,
-       CAST(SUM(CASE WHEN substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2)
-                  < (CASE (TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4)
-                     {_MIX_CASE} END)
+       CAST(SUM(CASE WHEN {_DUCK_MIX_KEEP}
              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- q79: mixture yield estimation -------------------------------------------
+
+def q79_mixture_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much training data the mix actually yields: per source, the
+    kept document count under the q66 acceptance rule, their total
+    token mass, and the number of SEQ_BUDGET-token sequences that mass
+    packs into (ceil) — the capacity-planning number every pretraining
+    run needs before launching the full pipeline.
+
+    One scan (tokenize + hash-accept in the same projection), one
+    20-group aggregate with map-side partials; composition of the q66
+    rule and q61's budget with no join at all. SEQ_BUDGET is a power of
+    two, so tokens/budget is float-exact and ceil agrees across
+    engines."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.size(F.expr(_TOKS)).alias("toks"),
+        _mix_keep().alias("keep"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("toks")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .withColumn(
+            "n_sequences",
+            F.ceil(F.col("kept_tokens") / SEQ_BUDGET).cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
+Q79_ORACLE = f"""
+WITH d AS (
+  SELECT source, len({_DUCK_TOKS}) AS toks,
+         ({_DUCK_MIX_KEEP}) AS keep
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(CEIL(CAST(SUM(CASE WHEN keep THEN toks ELSE 0 END) AS DOUBLE)
+                 / {SEQ_BUDGET}) AS BIGINT) AS n_sequences
+FROM d
 GROUP BY source
 ORDER BY source
 """
@@ -411,4 +473,7 @@ QUERIES = [
     QuerySpec("q72_canonical_pairs", q72_canonical_pairs, _q72_oracle(),
               "keep the higher-quality copy of each near-dup pair",
               ("training", "dedup", "policy")),
+    QuerySpec("q79_mixture_yield", q79_mixture_yield, Q79_ORACLE,
+              "per-source kept docs/tokens/sequences under the mix rule",
+              ("training", "sampling", "capacity")),
 ]
