@@ -701,9 +701,11 @@ def q77_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-count; the pair detector is swappable for the LSH candidates
     at 100 TB exactly like q72."""
     pairs = q24_ngram_jaccard_dedup(spark, sf_dir)
+    # doc_id -> source is 2 narrow columns — broadcast both sides of the
+    # decoration so the (already shuffled) pair frame never re-shuffles.
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    sa = src.withColumnsRenamed({"doc_id": "ad", "source": "sa"})
-    sb = src.withColumnsRenamed({"doc_id": "bd", "source": "sb"})
+    sa = F.broadcast(src.withColumnsRenamed({"doc_id": "ad", "source": "sa"}))
+    sb = F.broadcast(src.withColumnsRenamed({"doc_id": "bd", "source": "sb"}))
     return (
         pairs.join(sa, "ad")
         .join(sb, "bd")

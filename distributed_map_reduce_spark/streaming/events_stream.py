@@ -270,18 +270,37 @@ def run_available_now(
     checkpoint_dir: str,
     table_name: str = "stream_out",
     output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> None:
     """Drain the stream with Trigger.availableNow into an in-memory
-    table; blocks until the backlog is fully processed."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    table; blocks until the backlog is fully processed.
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` for the
+    drain: a streaming query creates one state-store instance per
+    shuffle partition, and for a finite drain the per-instance
+    checkpoint/commit overhead dominates well before data volume does
+    (measured: the stream-stream join fell from 11 s to ~4 s at sf0.1
+    going 32 -> 8). The stream's state partitioning is fixed at first
+    checkpoint anyway, so on a real cluster this knob is sized ONCE to
+    the steady-state volume — it is not a per-query tunable there. The
+    conf is restored after the drain; pass None to inherit the session
+    setting."""
+    spark = stream_df.sparkSession
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
 
 
 def q14_streaming_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +364,64 @@ def q32_streaming_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table).orderBy("user_id", "session_start")
 
 
+def q80_streaming_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join drained with availableNow — the
+    two-sided stateful join surface (buffered rows evicted by watermark)
+    checked against a plain SQL interval join: a full drain of the
+    backlog must equal the batch join exactly."""
+    import tempfile
+    import uuid
+
+    table = f"stream_q80_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dmrs_q80_stream_ckpt_")
+    run_available_now(
+        click_purchase_stream_join(spark, sf_dir),
+        checkpoint_dir=ckpt,
+        table_name=table,
+        output_mode="append",
+    )
+    return spark.table(table).orderBy("purchase_id", "click_id")
+
+
+Q80_ORACLE = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       p.ts AS purchase_ts, c.ts AS click_ts, p.value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ORDER BY purchase_id, click_id
+"""
+
+
+def q81_streaming_enrich_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (broadcast dim join inside a stream)
+    drained with availableNow in 'complete' mode, checked against the
+    equivalent batch join+aggregate SQL."""
+    import tempfile
+    import uuid
+
+    table = f"stream_q81_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dmrs_q81_stream_ckpt_")
+    run_available_now(
+        enriched_segment_stream(spark, sf_dir),
+        checkpoint_dir=ckpt,
+        table_name=table,
+        output_mode="complete",
+    )
+    return spark.table(table).orderBy("segment", "event_type")
+
+
+Q81_ORACLE = """
+SELECT c_mktsegment AS segment, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY segment, event_type
+ORDER BY segment, event_type
+"""
+
+
 def _build_queries():
     from ..operators.events import Q14_ORACLE, Q32_ORACLE, Q39_ORACLE
     from ..registry import QuerySpec
@@ -370,6 +447,20 @@ def _build_queries():
             Q32_ORACLE,
             "availableNow drain of the session-window stream (== q32)",
             ("streaming", "events", "session"),
+        ),
+        QuerySpec(
+            "q80_streaming_join_twin",
+            q80_streaming_join_twin,
+            Q80_ORACLE,
+            "stream-stream interval join drain (== batch interval join)",
+            ("streaming", "events", "join"),
+        ),
+        QuerySpec(
+            "q81_streaming_enrich_twin",
+            q81_streaming_enrich_twin,
+            Q81_ORACLE,
+            "stream-static broadcast enrichment drain (== batch join+agg)",
+            ("streaming", "events", "enrich"),
         ),
     ]
 
