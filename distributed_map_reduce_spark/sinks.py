@@ -44,3 +44,50 @@ def write_training_shards(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def compact_parquet_dir(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: tuple[str, ...] = (),
+) -> int:
+    """Rewrite a small-files parquet directory into ~target-sized files;
+    returns the output file count.
+
+    The small-files problem is the dual of the monolith problem: a
+    1000-executor streaming/append pipeline leaves thousands of KB-scale
+    files per partition, and every later scan pays per-file open/footer
+    costs that dwarf the data read (driver-side listing + task-per-file
+    scheduling at 100 TB is hours). Compaction = one read + one
+    repartition to ceil(bytes/target) + one write; ``sort_within_by``
+    optionally re-clusters rows inside each output file so row-group
+    min/max stats stay narrow (tests/test_data_skipping.py is the
+    companion property). File count derives from the SOURCE byte size —
+    cheap directory metadata, no data pass — so the compaction plan is
+    one job end to end.
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    df = df.repartition(n_files)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    df.write.mode("overwrite").parquet(dst)
+    return len(
+        [
+            f
+            for r, _, fs in os.walk(dst)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    )

@@ -63,3 +63,38 @@ def test_shard_layout_roundtrip_and_pruning(spark, sf_dir, tmp_path):
                 continue
             n = spark.read.parquet(os.path.join(root, f)).count()
             assert n <= 50, f"{f} has {n} rows > cap"
+
+
+def test_compact_parquet_dir(spark, sf_dir, tmp_path):
+    """Small-files compaction: a 40-file directory compacts to the
+    byte-derived target count, loses no rows, and (with sort_within_by)
+    re-clusters rows so row-group stats stay narrow."""
+    import glob
+
+    from distributed_map_reduce_spark.sinks import compact_parquet_dir
+    from distributed_map_reduce_spark.sources import load_table
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.repartition(40).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+
+    total_bytes = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(f"{src}/*.parquet")
+    )
+    n_out = compact_parquet_dir(
+        spark, src, dst,
+        target_file_bytes=(total_bytes + 1) // 2,  # ask for ~2 files
+        sort_within_by=("o_orderkey",),
+    )
+    assert n_out == 2
+    assert len(glob.glob(f"{dst}/*.parquet")) == 2
+
+    want = sorted(r["o_orderkey"] for r in orders.collect())
+    got = sorted(
+        r["o_orderkey"] for r in spark.read.parquet(dst).collect()
+    )
+    assert got == want
