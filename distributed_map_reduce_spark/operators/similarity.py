@@ -235,6 +235,88 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q82: per-vector int8 quantization error ---------------------------------
+
+QUANT_LEVELS = 255  # uint8 value range
+QUANT_MAX_ID = 100  # bound the hash-checked output window
+
+
+def q82_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min-max int8 quantization with reconstruction-error
+    stats — the compression every 100 TB vector index applies before
+    serving (4x smaller than float32, error bounded by scale/2). Per
+    vector: scale = (max-min)/255, q_i = round((x_i-min)/scale),
+    x'_i = min + q_i*scale; report the scale and max-abs / mean-squared
+    reconstruction error.
+
+    Row-local array expressions only (transform/aggregate inside
+    codegen) — zero shuffles before the output sort, so the op is
+    embarrassingly parallel at any scale. Constant vectors (scale 0)
+    quantize to error 0 by contract. All arithmetic in float64 with
+    sequential left-to-right folds, mirrored exactly by the DuckDB
+    oracle's list functions, so the rounded stats hash-match."""
+    emb = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < QUANT_MAX_ID)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    mn, mx = F.array_min("v"), F.array_max("v")
+    scale = (mx - mn) / QUANT_LEVELS
+    # reconstruction x' = mn + round((x-mn)/scale)*scale; scale=0 -> x
+    recon = F.when(
+        scale > 0,
+        F.transform(
+            "v", lambda x: mn + F.round((x - mn) / scale, 0) * scale
+        ),
+    ).otherwise(F.col("v"))
+    err = F.zip_with("v", recon, lambda a, b: F.abs(a - b))
+    d = emb.select(
+        "vec_id",
+        F.size("v").alias("dim"),
+        F.round(scale, 6).alias("q_scale"),
+        err.alias("e"),
+    )
+    return d.select(
+        "vec_id",
+        "dim",
+        "q_scale",
+        (F.round(F.array_max("e"), 6) + 0.0).alias("max_abs_err"),
+        (
+            F.round(
+                F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)
+                / F.col("dim"),
+                9,
+            )
+            + 0.0
+        ).alias("mse"),
+    ).orderBy("vec_id")
+
+
+Q82_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_min(embedding)::DOUBLE AS mn,
+         (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE)
+           / {QUANT_LEVELS} AS scale
+  FROM embeddings WHERE vec_id < {QUANT_MAX_ID}
+),
+e AS (
+  SELECT vec_id, len(v) AS dim, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> abs(x - (mn + ROUND((x - mn) / scale, 0) * scale)))
+              ELSE list_transform(v, x -> 0.0) END AS e
+  FROM v
+)
+SELECT vec_id, CAST(dim AS INT) AS dim,
+       ROUND(scale, 6) AS q_scale,
+       ROUND(list_max(e), 6) + 0.0 AS max_abs_err,
+       ROUND(list_aggregate(list_transform(e, x -> x * x), 'sum') / dim, 9)
+         + 0.0 AS mse
+FROM e
+ORDER BY vec_id
+"""
+
+
 QUERIES = [
     QuerySpec("q18_nearest_neighbor", q18_nearest_neighbor, Q18_ORACLE,
               "exact 1-NN by squared L2 for 20 query vectors (argmin via min(struct))",
@@ -248,4 +330,8 @@ QUERIES = [
     QuerySpec("ann_ivf_probe", ann_ivf_probe, None,
               "approximate top-3 NN via IVF coarse quantizer + nProbe cells (rows-only)",
               ("similarity", "approx")),
+    QuerySpec("q82_embedding_quantization", q82_embedding_quantization,
+              Q82_ORACLE,
+              "per-vector int8 min-max quantization reconstruction error",
+              ("similarity", "compression")),
 ]
