@@ -49,6 +49,21 @@ def connected_components(
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+
+    def _label_sum(lb: DataFrame) -> int:
+        # Order-free fingerprint of the label assignment (same pattern
+        # as _edge_checksum): labels only ever decrease, so the
+        # assignment changed iff this hash-sum changed. One map-side
+        # partial aggregate — no join of old vs new labels per round.
+        row = lb.agg(
+            F.coalesce(
+                F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")),
+                F.lit(0),
+            ).alias("h")
+        ).first()
+        return int(row["h"])
+
+    prev = _label_sum(labels)
     for _ in range(max_iter):
         # candidate label per node: min of own label and neighbors' labels
         neighbor = (
@@ -57,7 +72,7 @@ def connected_components(
             .agg(F.min("nl").alias("nl"))
             .withColumnsRenamed({"a": "node"})
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor, "node", "left")
             .select(
                 "node",
@@ -65,17 +80,10 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnsRenamed({"label": "old"}), "node"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur = _label_sum(labels)
+        if cur == prev:
             break
+        prev = cur
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -206,6 +214,10 @@ def pagerank(
     )
     n = nodes.count()
     out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    # Loop-invariant: the degree-annotated edge list never changes, so
+    # join it ONCE and checkpoint — each power iteration then costs one
+    # join (ranks) + one groupBy instead of two joins + one groupBy.
+    e_deg = e.join(out_deg, "s").localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         # Lazy checkpoints inside the loop: lineage is still truncated at
@@ -217,7 +229,7 @@ def pagerank(
         # stores its partitions on first use so the second use reads,
         # not recomputes.
         contribs = (
-            e.join(out_deg, "s")
+            e_deg
             .join(ranks.withColumnsRenamed({"node": "s"}), "s")
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("recv"))
