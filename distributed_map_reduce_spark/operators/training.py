@@ -382,7 +382,9 @@ def q67_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q67_ORACLE = f"""
+# ORDER-BY-free body, exported so composers (q83) can embed it as a CTE
+# without string surgery on the ordered text.
+Q67_ORACLE_BODY = f"""
 WITH toks AS (
   SELECT doc_id, {_DUCK_TOKS} AS t, len({_DUCK_TOKS}) AS n FROM documents
 ),
@@ -397,7 +399,50 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        CAST(len(c) AS BIGINT) AS n_tok,
        md5(array_to_string(c, ' ')) AS fp
 FROM chunks
-ORDER BY doc_id, chunk_id
+"""
+
+Q67_ORACLE = Q67_ORACLE_BODY + "ORDER BY doc_id, chunk_id\n"
+
+
+# --- q83: exact-substring duplication via chunk fingerprints -----------------
+
+def q83_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication detector: full CHUNK_SIZE-token
+    windows whose md5 fingerprint appears in more than one document —
+    the windowed form of exact-substring dedup (long verbatim passages
+    shared across documents are the strongest contamination/boilerplate
+    signal, invisible to whole-doc hashing). Sliding windows with
+    stride < size guarantee any verbatim run of >= size+stride-1 tokens
+    produces at least one aligned colliding window in both documents.
+
+    Composition: the q67 chunker (row-local explode) + one groupBy on
+    the 16-byte fingerprint with map-side partials — cost is linear in
+    corpus tokens, no pair join; the fingerprint groupBy is the same
+    shape as exact dedup (q16) one level below document granularity."""
+    chunks = q67_chunking(spark, sf_dir).filter(
+        F.col("n_tok") == CHUNK_SIZE  # short tail windows collide trivially
+    )
+    return (
+        chunks.groupBy("fp")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+Q83_ORACLE = f"""
+WITH chunks AS ({Q67_ORACLE_BODY})
+SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_doc
+FROM chunks
+WHERE n_tok = {CHUNK_SIZE}
+GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY fp
 """
 
 
@@ -476,4 +521,7 @@ QUERIES = [
     QuerySpec("q79_mixture_yield", q79_mixture_yield, Q79_ORACLE,
               "per-source kept docs/tokens/sequences under the mix rule",
               ("training", "sampling", "capacity")),
+    QuerySpec("q83_substring_dup", q83_substring_dup, Q83_ORACLE,
+              "cross-doc duplicated full token windows (exact-substring dup)",
+              ("training", "dedup", "substring")),
 ]
