@@ -404,6 +404,49 @@ FROM chunks
 Q67_ORACLE = Q67_ORACLE_BODY + "ORDER BY doc_id, chunk_id\n"
 
 
+# --- q84: deterministic per-stratum k-sample ---------------------------------
+
+SAMPLE_K = 5  # documents per stratum
+
+
+def q84_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: the SAMPLE_K documents
+    with the smallest md5(doc_id) in each language — how a pipeline
+    pins a fixed eval/inspection subset per stratum that never changes
+    under reruns, engine swaps, or corpus appends-at-the-end (contrast
+    rate-based q66, which cannot promise an exact count).
+
+    One shuffle on the stratum key; the rank<=k predicate triggers
+    WindowGroupLimit (pinned for this pattern in test_plans.py), so
+    each partition keeps k rows through the sort instead of sorting the
+    stratum — at 100 TB the per-executor state is k rows per stratum,
+    not the stratum."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", "doc_id", h.alias("sample_rank_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_K)
+        .select("lang", "doc_id", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+Q84_ORACLE = f"""
+SELECT lang, doc_id, CAST(rn AS INT) AS rn
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rn
+  FROM documents
+)
+WHERE rn <= {SAMPLE_K}
+ORDER BY lang, rn
+"""
+
+
 # --- q83: exact-substring duplication via chunk fingerprints -----------------
 
 def q83_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,4 +567,7 @@ QUERIES = [
     QuerySpec("q83_substring_dup", q83_substring_dup, Q83_ORACLE,
               "cross-doc duplicated full token windows (exact-substring dup)",
               ("training", "dedup", "substring")),
+    QuerySpec("q84_stratified_sample", q84_stratified_sample, Q84_ORACLE,
+              "deterministic exactly-k-per-language md5-ranked sample",
+              ("training", "sampling")),
 ]
