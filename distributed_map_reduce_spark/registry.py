@@ -110,6 +110,10 @@ _PRIORITY = [
     # that never had a driver row in rounds 1–3 take the window slots of
     # 12 thrice-green text-analysis rows, so the cross-round union covers
     # every oracle-bearing entry.
+    # ROUND-5 PLAN: rotate the 8 round-4 additions (q77–q84, all
+    # oracle-bearing, currently outside the window but green in the
+    # pytest parity gate at sf0.01 AND sf0.1) into these slots once
+    # q67–q76 + the streaming twins have their green r4 rows.
     "q67_chunking",
     "q68_unigram_logprob",
     "q69_footer_stats",
