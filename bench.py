@@ -92,18 +92,21 @@ def main() -> int:
         json.dump(full, f, indent=1)
     print(json.dumps(full, indent=1), file=sys.stderr)
     short = _short_keys(list(timings))
-    line = json.dumps(
-        {
-            "metric": "suite_total_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": {short[n]: round(t, 2) for n, t in timings.items()},
-            "sf": sf,
-            "full_results": "bench_results.json",
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < 1900, f"final bench line too long ({len(line)} chars)"
+    payload = {
+        "metric": "suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {short[n]: round(t, 2) for n, t in timings.items()},
+        "sf": sf,
+        "full_results": "bench_results.json",
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) >= 1900:
+        # Degrade gracefully rather than fail after the whole suite ran:
+        # drop per-query timings from stdout (they're in
+        # bench_results.json) and keep the summary parseable.
+        payload["queries"] = {"_see": "bench_results.json"}
+        line = json.dumps(payload, separators=(",", ":"))
     print(line)
     return 0
 

@@ -125,6 +125,14 @@ def asof_join(
         lts = F.col(f"__l.{left_ts}")
         rts = F.col("__m.__rts")
         if is_ts:
+            # A bare number here would render "INTERVAL 3600" — a
+            # unit-less interval literal that fails to parse. Demand the
+            # INTERVAL body string up front with a readable error.
+            if not isinstance(tolerance, str):
+                raise TypeError(
+                    "timestamp as-of axis needs an INTERVAL literal body "
+                    f"string (e.g. '1 hour'), got {type(tolerance).__name__}"
+                )
             delta = F.expr(f"INTERVAL {tolerance}")
             lts, rts = lts.cast("timestamp"), rts.cast("timestamp")
         else:

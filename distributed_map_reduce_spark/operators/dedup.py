@@ -755,7 +755,11 @@ def q78_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the ratio) + one keyed join — no pair materialization at all,
     so it scales where even LSH pairing is too expensive; both
     aggregations partial-aggregate map-side."""
-    sh = _doc_shingle_keys(spark, sf_dir)
+    # Same shared-consumer shape as jaccard_neardup_pairs: the shingle
+    # frame feeds both the first-owner aggregate and the join side, and
+    # the partial-agg exchange differs from the join's so ReuseExchange
+    # can't unify them — checkpoint once, explode once.
+    sh = _doc_shingle_keys(spark, sf_dir).localCheckpoint(eager=False)
     own = sh.groupBy("k").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(own, "k")

@@ -53,8 +53,11 @@ def connected_components(
     def _label_sum(lb: DataFrame) -> int:
         # Order-free fingerprint of the label assignment (same pattern
         # as _edge_checksum): labels only ever decrease, so the
-        # assignment changed iff this hash-sum changed. One map-side
-        # partial aggregate — no join of old vs new labels per round.
+        # assignment changed iff this hash-sum changed (up to a ~2^-64
+        # collision, excluded by the exact join below before we commit
+        # to convergence). One map-side partial aggregate per round — no
+        # join of old vs new labels except on the single converging
+        # round.
         row = lb.agg(
             F.coalesce(
                 F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")),
@@ -63,8 +66,18 @@ def connected_components(
         ).first()
         return int(row["h"])
 
+    def _exactly_equal(a: DataFrame, b: DataFrame) -> bool:
+        return (
+            a.join(b.withColumnsRenamed({"label": "old"}), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+            == 0
+        )
+
     prev = _label_sum(labels)
     for _ in range(max_iter):
+        old_labels = labels
         # candidate label per node: min of own label and neighbors' labels
         neighbor = (
             sym.join(labels.withColumnsRenamed({"node": "b", "label": "nl"}), "b")
@@ -81,7 +94,7 @@ def connected_components(
             .localCheckpoint()
         )
         cur = _label_sum(labels)
-        if cur == prev:
+        if cur == prev and _exactly_equal(labels, old_labels):
             break
         prev = cur
     return labels.select("node", F.col("label").alias("component"))
@@ -213,10 +226,14 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
-    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     # Loop-invariant: the degree-annotated edge list never changes, so
     # join it ONCE and checkpoint — each power iteration then costs one
     # join (ranks) + one groupBy instead of two joins + one groupBy.
+    # out_deg is checkpointed too, although it has one consumer: the
+    # barrier lets AQE finalize its coalesced partitioning before the
+    # e_deg join plans (trended faster at sf0.1 across sessions, though
+    # within this box's documented run-to-run variance).
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     e_deg = e.join(out_deg, "s").localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):

@@ -95,6 +95,10 @@ def parse_media_header(b: bytes) -> dict | None:
             while i + 9 < len(b):
                 if b[i] != 0xFF:
                     return None
+                # JPEG allows any number of 0xFF fill bytes before a
+                # marker — skip them (a bare 0xFF is never a marker id)
+                while i + 9 < len(b) and b[i + 1] == 0xFF:
+                    i += 1
                 marker = b[i + 1]
                 if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
                     i += 2  # standalone markers have no length field
@@ -125,14 +129,10 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     PNG, GIF, BMP, JPEG, WAV) is real and dependency-free via
     :func:`parse_media_header`. Payloads with no recognized header need
     a full codec: PIL when present (import-gated), else the
-    deterministic ``fake=True`` stand-in, else NotImplementedError."""
+    deterministic ``fake=True`` stand-in, else a per-payload
+    NotImplementedError at execution time (header-decodable corpora
+    therefore run with no codec installed at all)."""
     decoder = _try_real_decoder()
-    if decoder is None and not fake:
-        raise NotImplementedError(
-            "payloads without a parseable container header need a full "
-            "image codec, which this environment lacks; pass fake=True "
-            "to fall back to the deterministic stand-in decoder"
-        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -153,9 +153,20 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                     img = decoder.open(io.BytesIO(b))
                     w, h = img.size
                     fmt, sr = (img.format or "").lower(), None
-                else:
+                elif fake:
                     w, h = _fake_dims(b)
                     fmt, sr = None, None
+                else:
+                    # Deferred per-payload: header-decodable payloads
+                    # never reach here, so a PNG/WAV-only corpus works
+                    # with no codec at all; only a genuinely opaque
+                    # payload with no PIL and no fake fallback errors.
+                    raise NotImplementedError(
+                        f"payload for media_id={mid} has no parseable "
+                        "container header and no full image codec is "
+                        "available; pass fake=True for the "
+                        "deterministic stand-in decoder"
+                    )
                 rows.append(
                     {
                         "media_id": mid,

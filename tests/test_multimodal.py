@@ -50,12 +50,15 @@ def test_decode_pipeline_deterministic(spark, media_dir):
 
 
 def test_decode_requires_codec_or_fake(spark, media_dir):
+    """Unparseable payloads with no codec and no fake fallback error
+    per-payload at execution time (header-decodable payloads never
+    need the gate — see test_decode_header_only_corpus_needs_no_codec)."""
     media = media_from_binary_files(
         read_binary_dir(spark, media_dir, glob="*.img"), "image"
     )
     if _try_real_decoder() is None:
-        with pytest.raises(NotImplementedError):
-            decode_media(media, fake=False)
+        with pytest.raises(Exception, match="no parseable container header"):
+            decode_media(media, fake=False).collect()
     else:
         pytest.skip("real codec present; stub gate not applicable")
 
@@ -171,3 +174,25 @@ def test_fabricated_corpus_decodes_with_true_headers(spark):
     assert bad == 0
     fmts = {r["fmt"] for r in multimodal_features(spark, SF_SMOKE).collect()}
     assert fmts == {"png", "wav"}
+
+
+def test_decode_header_only_corpus_needs_no_codec(spark, tmp_path):
+    """A corpus whose payloads all carry parseable container headers
+    decodes fully with fake=False and no image library installed."""
+    (tmp_path / "p.img").write_bytes(_png(320, 200))
+    (tmp_path / "w.img").write_bytes(_wav(8000, 1))
+    media = media_from_binary_files(
+        read_binary_dir(spark, str(tmp_path), glob="*.img"), "image"
+    )
+    rows = {r["fmt"]: r for r in decode_media(media, fake=False).collect()}
+    assert rows["png"]["width"] == 320
+    assert rows["wav"]["sample_rate"] == 8000
+
+
+def test_parse_media_header_jpeg_fill_bytes():
+    """JPEG allows 0xFF fill bytes before a marker — the scanner must
+    skip them, not misread the marker byte as a segment length."""
+    jpeg = (b"\xff\xd8" + b"\xff\xff\xff\xe0" + struct.pack(">H", 4)
+            + b"\x00\x00" + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 10, 20) + b"\x03" + b"\x00" * 3)
+    assert parse_media_header(jpeg) == {"fmt": "jpeg", "width": 20, "height": 10}
