@@ -322,6 +322,99 @@ GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
 
+# --- q85: ordered funnel analysis --------------------------------------------
+
+def q85_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view -> click -> purchase): a click
+    qualifies only with a PRIOR view by the same user; a purchase
+    counts as full-funnel only with a prior qualified click — order
+    matters, which plain per-type counts cannot express. The
+    match_recognize-style pattern, built from two stacked running-max
+    windows.
+
+    Both windows share one (user_id, ts) partition+sort, so the whole
+    funnel is one shuffle + one per-partition sort followed by a
+    global 1-row aggregate (partial-aggregated distinct counts). At
+    100 TB: state per user is two running bits — no joins, no
+    per-stage passes over the events table."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s1 = ev.withColumn(
+        "seen_view",
+        F.max((F.col("event_type") == "view").cast("int")).over(w),
+    )
+    # seen_view is NULL on a user's first event (empty ROWS frame); the
+    # oracle's CASE folds that to 0, so pin the same here.
+    s2 = s1.withColumn(
+        "qclick",
+        F.coalesce(
+            (
+                (F.col("event_type") == "click") & (F.col("seen_view") == 1)
+            ).cast("int"),
+            F.lit(0),
+        ),
+    )
+    s3 = s2.withColumn("seen_qclick", F.max("qclick").over(w))
+    return s3.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("users_view"),
+        F.count_distinct(
+            F.when(F.col("qclick") == 1, F.col("user_id"))
+        ).alias("users_click_after_view"),
+        F.count_distinct(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("seen_qclick") == 1),
+                F.col("user_id"),
+            )
+        ).alias("users_full_funnel"),
+    )
+
+
+Q85_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, event_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS seen_view
+  FROM events
+),
+s2 AS (
+  SELECT *, CASE WHEN event_type = 'click' AND seen_view = 1
+                 THEN 1 ELSE 0 END AS qclick
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+         MAX(qclick)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS seen_qclick
+  FROM s2
+)
+SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                THEN user_id END) AS BIGINT) AS users_view,
+       CAST(COUNT(DISTINCT CASE WHEN qclick = 1
+                                THEN user_id END) AS BIGINT)
+         AS users_click_after_view,
+       CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                 AND seen_qclick = 1
+                                THEN user_id END) AS BIGINT)
+         AS users_full_funnel
+FROM s3
+"""
+
+
 QUERIES = [
     QuerySpec("q14_hourly_windows", q14_hourly_windows, Q14_ORACLE,
               "tumbling 1h event windows (batch twin of the streaming path)",
@@ -344,4 +437,7 @@ QUERIES = [
     QuerySpec("q39_sliding_windows", q39_sliding_windows, Q39_ORACLE,
               "sliding 2h/1h event windows (each event in two windows)",
               ("events", "window", "streaming-twin")),
+    QuerySpec("q85_funnel_stages", q85_funnel_stages, Q85_ORACLE,
+              "ordered view->click->purchase funnel via stacked windows",
+              ("events", "funnel")),
 ]
