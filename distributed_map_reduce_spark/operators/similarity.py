@@ -317,6 +317,71 @@ ORDER BY vec_id
 """
 
 
+# --- q86: per-label centroids + cluster inertia ------------------------------
+
+def q86_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid statistics: member count, centroid squared
+    norm, and inertia (mean squared distance of members to their
+    centroid) — the E-step/quality-metric shape of k-means and of
+    every embedding-cluster audit (label purity, collapsed clusters).
+
+    posexplode to (label, vec_id, dim) rows, one groupBy for the
+    centroid (n_labels x dim rows — tiny), broadcast it back, one
+    groupBy per vector then per label. All aggregations are avg/sum
+    with map-side partials; the centroid table is n_labels x dim
+    regardless of corpus size, so the join side is always
+    broadcast-able. Stats rounded to 4 decimals (same float posture as
+    the q49 moment aggregates)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = emb.select(
+        "label", "vec_id", F.posexplode("v").alias("pos", "x")
+    )
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    d2 = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2"))
+    )
+    norms = cent.groupBy("label").agg(
+        F.round(F.sum(F.col("c") ** 2), 4).alias("centroid_sq_norm")
+    )
+    return (
+        d2.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("d2"), 4).alias("inertia"),
+        )
+        .join(norms, "label")
+        .select("label", "n", "inertia", "centroid_sq_norm")
+        .orderBy("label")
+    )
+
+
+Q86_ORACLE = """
+WITH ex AS (
+  SELECT label, vec_id, CAST(embedding[i] AS DOUBLE) AS x, i AS pos
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+cent AS (SELECT label, pos, AVG(x) AS c FROM ex GROUP BY label, pos),
+d AS (
+  SELECT e.label, e.vec_id, SUM((e.x - c.c) * (e.x - c.c)) AS d2
+  FROM ex e JOIN cent c USING (label, pos)
+  GROUP BY e.label, e.vec_id
+),
+norms AS (
+  SELECT label, ROUND(SUM(c * c), 4) AS centroid_sq_norm
+  FROM cent GROUP BY label
+)
+SELECT d.label, COUNT(*) AS n, ROUND(AVG(d2), 4) AS inertia,
+       ANY_VALUE(norms.centroid_sq_norm) AS centroid_sq_norm
+FROM d JOIN norms USING (label)
+GROUP BY d.label
+ORDER BY d.label
+"""
+
+
 QUERIES = [
     QuerySpec("q18_nearest_neighbor", q18_nearest_neighbor, Q18_ORACLE,
               "exact 1-NN by squared L2 for 20 query vectors (argmin via min(struct))",
@@ -334,4 +399,7 @@ QUERIES = [
               Q82_ORACLE,
               "per-vector int8 min-max quantization reconstruction error",
               ("similarity", "compression")),
+    QuerySpec("q86_label_centroids", q86_label_centroids, Q86_ORACLE,
+              "per-label centroid sq-norm + inertia (k-means E-step shape)",
+              ("similarity", "clustering")),
 ]
