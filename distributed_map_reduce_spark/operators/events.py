@@ -415,6 +415,50 @@ FROM s3
 """
 
 
+# --- q87: per-group linear trend ---------------------------------------------
+
+def q87_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of value over time: OLS slope,
+    intercept, and R-squared via the regr_* aggregate family — drift
+    detection over a metric stream ("is error volume trending up?"),
+    distinct from q49's symmetric moments (corr quantifies association;
+    the regression line quantifies direction and rate).
+
+    Single-pass algebraic aggregates (sums of x, y, xy, x2 under the
+    hood) — map-side partials, one tiny shuffle, no window and no
+    second scan. The time axis is hours since a FIXED origin inside the
+    data range (not the 1970 epoch): the intercept is evaluated at
+    x = 0, and extrapolating ~473k hours back amplifies last-ulp float
+    differences between engines past any sane rounding (observed at
+    the 4th decimal)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ("(unix_timestamp(ts) - unix_timestamp(TIMESTAMP '2024-01-01"
+         " 00:00:00')) / 3600.0")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr(f"regr_slope(value, {x})"), 6).alias("slope"),
+            F.round(F.expr(f"regr_intercept(value, {x})"), 4).alias(
+                "intercept"
+            ),
+            F.round(F.expr(f"regr_r2(value, {x})"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q87_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(regr_slope(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 3600.0), 6) AS slope,
+       ROUND(regr_intercept(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 3600.0), 4) AS intercept,
+       ROUND(regr_r2(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 3600.0), 6) AS r2
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = [
     QuerySpec("q14_hourly_windows", q14_hourly_windows, Q14_ORACLE,
               "tumbling 1h event windows (batch twin of the streaming path)",
@@ -440,4 +484,7 @@ QUERIES = [
     QuerySpec("q85_funnel_stages", q85_funnel_stages, Q85_ORACLE,
               "ordered view->click->purchase funnel via stacked windows",
               ("events", "funnel")),
+    QuerySpec("q87_value_trend", q87_value_trend, Q87_ORACLE,
+              "per-type OLS trend of value over time (regr_* aggregates)",
+              ("events", "regression")),
 ]
