@@ -1083,6 +1083,81 @@ ORDER BY status_class
 """
 
 
+# --- q88: RANGE-frame moving average -----------------------------------------
+
+def q88_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily order revenue per priority — the
+    RANGE-interval window frame (value-based, not row-based): days with
+    no orders contribute nothing and the frame still spans exactly 7
+    calendar days, which a ROWS frame cannot express over sparse dates.
+
+    Daily pre-aggregate first (one shuffle, map-side partials), then
+    the window runs over ~days x priorities rows — thousands at any
+    corpus size, partitioned by priority so no single-partition sort.
+    The frame key is integer days-since-epoch: identical semantics in
+    both engines, no interval-type coercion differences. Money is
+    summed as integer CENTS (prices are 2-decimal by construction):
+    float sums of daily revenue landed exactly on a x.xx5 rounding
+    boundary at sf0.001, where engine summation order flips the
+    rounded cent — integer sums are order-free and exact."""
+    orders = _t(spark, sf_dir, "orders")
+    # floor(x*100 + 0.5), NOT round(x*100): the engines' round-to-int
+    # implementations disagree on exact-half doubles, floor of the same
+    # double is bit-identical everywhere.
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    daily = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+        .withColumn("day_num", F.unix_date("day"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "o_orderpriority",
+            "day",
+            F.round(F.col("cents") / 100.0, 2).alias("rev"),
+            # round-half-up to the cent via floor(x + 0.5) on the SAME
+            # double in both engines: a 7-day mean lands on exact .xx5
+            # fractions (sum_cents/n with small n), where Spark rounds
+            # the shortest decimal repr and DuckDB the exact binary —
+            # floor arithmetic sidesteps both ROUND implementations.
+            (
+                F.floor(
+                    F.sum("cents").over(w) / F.count("cents").over(w) + 0.5
+                )
+                / 100.0
+            ).alias("ma7"),
+        )
+        .orderBy("o_orderpriority", "day")
+    )
+
+
+Q88_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_num
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority, day, ROUND(cents / 100.0, 2) AS rev,
+       FLOOR(SUM(cents) OVER w * 1.0 / COUNT(cents) OVER w + 0.5)
+         / 100.0 AS ma7
+FROM daily
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderpriority, day
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -1162,4 +1237,7 @@ QUERIES = [
     QuerySpec("q60_bool_conditional_agg", q60_bool_conditional_agg, Q60_ORACLE,
               "bool_and/bool_or + count_if (FILTER-clause) aggregates",
               ("relational", "agg")),
+    QuerySpec("q88_moving_average", q88_moving_average, Q88_ORACLE,
+              "7-day RANGE-frame moving average of daily revenue per priority",
+              ("relational", "window", "timeseries")),
 ]
