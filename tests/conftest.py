@@ -1,3 +1,5 @@
+import os
+
 import pytest
 
 from distributed_map_reduce_spark.session import get_spark
@@ -18,4 +20,7 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
+    # Skip (not error) on machines without the driver-generated corpus.
+    if not os.path.isdir(SF_SMOKE):
+        pytest.skip(f"test corpus {SF_SMOKE} not present on this machine")
     return SF_SMOKE

@@ -108,8 +108,6 @@ from distributed_map_reduce_spark.operators.multimodal import (
     parse_media_header,
 )
 
-SF_SMOKE = "/root/testdata/sf0.001"
-
 
 def _png(w, h):
     return (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
@@ -157,23 +155,25 @@ def test_decode_media_real_dims_on_synthesized_payloads(spark, tmp_path):
     assert rows["wav"]["width"] is None  # audio has no dims
 
 
-def test_fabricated_corpus_decodes_with_true_headers(spark):
+def test_fabricated_corpus_decodes_with_true_headers(spark, sf_dir):
     """The registered multimodal queries run the REAL header parser:
     every fabricated payload must parse (fmt non-null) with dims/rate
     matching the synthesis formula."""
     import pyspark.sql.functions as F
 
-    feats = decode_media(_fabricated_media(spark, SF_SMOKE), fake=True)
+    feats = decode_media(_fabricated_media(spark, sf_dir), fake=True)
     bad = feats.filter(
         F.col("fmt").isNull()
         | ((F.col("fmt") == "png")
            & (F.col("width") != F.col("media_id") % 640 + 1))
         | ((F.col("fmt") == "wav")
            & (F.col("sample_rate") != F.col("media_id") % 48000 + 8000))
+        | ((F.col("fmt") == "bmp")
+           & (F.col("width") != 4 * (F.col("media_id") % 4 + 1)))
     ).count()
     assert bad == 0
-    fmts = {r["fmt"] for r in multimodal_features(spark, SF_SMOKE).collect()}
-    assert fmts == {"png", "wav"}
+    fmts = {r["fmt"] for r in multimodal_features(spark, sf_dir).collect()}
+    assert fmts == {"png", "wav", "bmp"}
 
 
 def test_decode_header_only_corpus_needs_no_codec(spark, tmp_path):
@@ -187,6 +187,103 @@ def test_decode_header_only_corpus_needs_no_codec(spark, tmp_path):
     rows = {r["fmt"]: r for r in decode_media(media, fake=False).collect()}
     assert rows["png"]["width"] == 320
     assert rows["wav"]["sample_rate"] == 8000
+
+
+# --- real stdlib pixel/sample decoding (VERDICT r4 item 3) -------------------
+
+from distributed_map_reduce_spark.operators.multimodal import (
+    decode_bmp_pixels,
+    decode_wav_samples,
+    resize_media,
+)
+
+
+def _bmp24(pixels_rgb):
+    """rows of RGB tuples (top-down) -> uncompressed bottom-up 24bpp BMP."""
+    h, w = len(pixels_rgb), len(pixels_rgb[0])
+    stride = (3 * w + 3) // 4 * 4
+    body = b""
+    for row in reversed(pixels_rgb):  # bottom-up storage
+        raw = b"".join(bytes([b_, g, r]) for (r, g, b_) in row)  # BGR
+        body += raw + b"\x00" * (stride - len(raw))
+    return (b"BM" + struct.pack("<I", 54 + len(body)) + b"\x00" * 4
+            + struct.pack("<I", 54) + struct.pack("<I", 40)
+            + struct.pack("<ii", w, h) + struct.pack("<HH", 1, 24)
+            + struct.pack("<I", 0) + struct.pack("<I", len(body))
+            + b"\x00" * 16 + body)
+
+
+def _wav16(sr, samples):
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    return (b"RIFF" + struct.pack("<I", 36 + 8 + len(data)) + b"WAVEfmt "
+            + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_decode_bmp_pixels_true_values():
+    px = [[(10, 20, 30), (40, 50, 60)],
+          [(70, 80, 90), (100, 110, 120)]]
+    arr = decode_bmp_pixels(_bmp24(px))
+    assert arr.shape == (2, 2, 3)
+    assert arr.tolist() == [[list(p) for p in row] for row in px]
+    # odd width exercises row padding: stride 8 for 3*1=3 data bytes
+    arr1 = decode_bmp_pixels(_bmp24([[(1, 2, 3)], [(4, 5, 6)]]))
+    assert arr1.tolist() == [[[1, 2, 3]], [[4, 5, 6]]]
+
+
+def test_decode_wav_samples_true_values():
+    sr, samples = decode_wav_samples(_wav16(8000, [100, -200, 300, -400]))
+    assert sr == 8000
+    assert samples.ravel().tolist() == [100, -200, 300, -400]
+
+
+def test_resize_true_pixel_stats_no_codec(spark, tmp_path):
+    """A BMP corpus resizes with fake=False and NO image library: the
+    stdlib pixel decode + nearest-neighbor resample computes true means.
+    2x2 -> 1x1 nearest-neighbor keeps the top-left pixel exactly."""
+    px = [[(12, 24, 36), (200, 200, 200)],
+          [(90, 90, 90), (250, 250, 250)]]
+    (tmp_path / "m.img").write_bytes(_bmp24(px))
+    media = media_from_binary_files(
+        read_binary_dir(spark, str(tmp_path), glob="*.img"), "image"
+    )
+    [row] = resize_media(media, width=1, height=1, fake=False).collect()
+    assert row["out_bytes"] == 3
+    assert row["out_crc"] == zlib.crc32(bytes([12, 24, 36]))
+    assert row["mean_px"] == pytest.approx((12 + 24 + 36) / 3)
+    # identity resize reproduces the full true pixel mean
+    [row2] = resize_media(media, width=2, height=2, fake=False).collect()
+    flat = [c for r in px for p in r for c in p]
+    assert row2["mean_px"] == pytest.approx(sum(flat) / len(flat))
+
+
+def test_frame_sample_true_rms(spark, tmp_path):
+    """A PCM WAV corpus frame-samples through the REAL decode: per-frame
+    RMS matches the hand-computed sample values."""
+    samples = [30, -40, 0, 120, -120, 5, 6, 7]
+    (tmp_path / "s.img").write_bytes(_wav16(16000, samples))
+    media = media_from_binary_files(
+        read_binary_dir(spark, str(tmp_path), glob="*.img"), "audio"
+    )
+    rows = sorted(
+        sample_frames(media, n_frames=4).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    for r, (a, b) in zip(rows, [(30, -40), (0, 120), (-120, 5), (6, 7)]):
+        assert r["frame_bytes"] == 4  # 2 samples x 2 bytes
+        assert r["rms"] == pytest.approx(((a * a + b * b) / 2) ** 0.5)
+
+
+def test_parse_media_header_bmp_edge_cases():
+    """Negative width is invalid (None); a minimal 22-byte
+    BITMAPCOREHEADER parses."""
+    bad = (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+           + struct.pack("<ii", -640, 480))
+    assert parse_media_header(bad) is None
+    core = (b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+            + struct.pack("<HH", 7, 9))
+    assert len(core) == 22
+    assert parse_media_header(core) == {"fmt": "bmp", "width": 7, "height": 9}
 
 
 def test_parse_media_header_jpeg_fill_bytes():
