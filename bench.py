@@ -15,10 +15,12 @@ Output contract: the FINAL stdout line is one compact JSON object and
 is guaranteed < 1900 chars, because the driver that records BENCH_r*.json
 keeps only the last 2000 chars of stdout (rounds 1-3 recorded
 ``"parsed": null`` — the full-name queries dict alone is ~2300 chars, so
-the line's head fell off the tail window). Query keys in that final line
-are therefore shortened to their ``qNN`` prefix when unambiguous; the
-full-name results are written to ``bench_results.json`` next to this
-file and also printed (pretty) to stderr for humans.
+the line's head fell off the tail window). The line's size is bounded
+INDEPENDENT of suite growth (round 4's short-key line would have breached
+the budget around ~115 entries): ``queries`` carries only the 5 slowest
+entries (qNN-shortened when unambiguous) plus ``n_queries``; the
+full-name per-query map is written to ``bench_results.json`` next to
+this file and also printed (pretty) to stderr for humans.
 """
 
 from __future__ import annotations
@@ -92,21 +94,18 @@ def main() -> int:
         json.dump(full, f, indent=1)
     print(json.dumps(full, indent=1), file=sys.stderr)
     short = _short_keys(list(timings))
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     payload = {
         "metric": "suite_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": {short[n]: round(t, 2) for n, t in timings.items()},
+        "queries": {short[n]: round(t, 2) for n, t in slowest},
         "sf": sf,
+        "n_queries": len(timings),
         "full_results": "bench_results.json",
     }
     line = json.dumps(payload, separators=(",", ":"))
-    if len(line) >= 1900:
-        # Degrade gracefully rather than fail after the whole suite ran:
-        # drop per-query timings from stdout (they're in
-        # bench_results.json) and keep the summary parseable.
-        payload["queries"] = {"_see": "bench_results.json"}
-        line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) < 1900, "bench final line breached the parse budget"
     print(line)
     return 0
 

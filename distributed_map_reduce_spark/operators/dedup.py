@@ -236,10 +236,10 @@ Q24_ORACLE = Q24_ORACLE_BODY + "ORDER BY ad, bd\n"
 
 # --- q25: MinHash + LSH banding ---------------------------------------------
 
-def q25_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # min() is dedup-insensitive, so signatures come from the raw
-    # (non-distinct) shingle stream — no distinct shuffle.
-    sh = _doc_shingles(spark, sf_dir, distinct=False)
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """Raw shingle stream -> one (doc_id, band, x, y) row per LSH band.
+    min() is dedup-insensitive, so signatures come straight from the
+    non-distinct stream — no distinct shuffle."""
     h = _hash7(F.col("sh"))
     sigs = sh.groupBy("doc_id").agg(
         *[
@@ -249,7 +249,7 @@ def q25_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_PERM)
         ]
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -264,26 +264,25 @@ def q25_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.x", "b.y")
-    cands = (
-        bands.select(F.col("doc_id").alias("ad"), "band", "x", "y")
-        .join(
-            bands.select(F.col("doc_id").alias("bd"), "band", "x", "y"),
-            ["band", "x", "y"],
-        )
-        .filter(F.col("ad") < F.col("bd"))
-        .select("ad", "bd")
-        .distinct()
-    )
-    # Verify candidates with one array_intersect per pair (codegen)
-    # instead of re-joining the exploded shingle table: candidate count
-    # bounds the work, and the hashed-set frame (8B/shingle, not raw
-    # strings — collect_set dedupes, no distinct shuffle needed) is small
-    # enough to hash-join (AQE broadcasts when it fits).
-    sets = (
+
+
+def _hashed_shingle_sets(sh: DataFrame) -> DataFrame:
+    """Raw shingle stream -> (doc_id, shs) hashed shingle sets — 8 B per
+    shingle, not raw strings; collect_set dedupes, so no distinct
+    shuffle."""
+    return (
         sh.select("doc_id", F.xxhash64("sh").alias("k"))
         .groupBy("doc_id")
         .agg(F.collect_set("k").alias("shs"))
     )
+
+
+def _verify_band_candidates(cands: DataFrame, sets: DataFrame) -> DataFrame:
+    """Candidate (ad, bd) pairs + hashed shingle sets -> exact-Jaccard
+    verified, thresholded, rounded pairs. One array_intersect per pair
+    (codegen) instead of re-joining the exploded shingle table:
+    candidate count bounds the work, and the set frame is small enough
+    to hash-join (AQE broadcasts when it fits)."""
     pairs = (
         cands.join(
             sets.select(F.col("doc_id").alias("ad"), F.col("shs").alias("sa")), "ad"
@@ -305,6 +304,22 @@ def q25_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q25_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir, distinct=False)
+    bands = _minhash_bands(sh)
+    cands = (
+        bands.select(F.col("doc_id").alias("ad"), "band", "x", "y")
+        .join(
+            bands.select(F.col("doc_id").alias("bd"), "band", "x", "y"),
+            ["band", "x", "y"],
+        )
+        .filter(F.col("ad") < F.col("bd"))
+        .select("ad", "bd")
+        .distinct()
+    )
+    return _verify_band_candidates(cands, _hashed_shingle_sets(sh))
+
+
 _DUCK_SIG_COLS = ",\n         ".join(
     f"MIN(({A_CONST[i]} * {_DUCK_HASH7.format(x='sh')} + {B_CONST[i]}) % {P_MOD}) AS s{i}"
     for i in range(N_PERM)
@@ -314,7 +329,10 @@ _DUCK_BAND_ROWS = "\n  UNION ALL\n".join(
     for j in range(N_BANDS)
 )
 
-Q25_ORACLE = f"""
+# Core shared by Q25 (full corpus) and Q90 (incremental): candidate
+# generation + exact verification; consumers append their final
+# predicate / ORDER BY structurally (no string surgery).
+_Q25_ORACLE_CORE = f"""
 WITH s AS ({_DUCK_DOC_SHINGLES}),
 sigs AS (
   SELECT doc_id,
@@ -342,8 +360,9 @@ FROM inter
 JOIN sz x ON x.doc_id = ad
 JOIN sz y ON y.doc_id = bd
 WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {JACCARD_T}
-ORDER BY ad, bd
 """
+
+Q25_ORACLE = _Q25_ORACLE_CORE + "ORDER BY ad, bd\n"
 
 # --- q26: SimHash fingerprints ----------------------------------------------
 
@@ -795,6 +814,108 @@ ORDER BY doc_id
 """
 
 
+# --- q90: incremental dedup against a stored fingerprint store ---------------
+
+# The delta split is part of the declared semantics (and the oracle):
+# docs with doc_id % INC_MOD == INC_REM are "new this crawl".
+INC_MOD = 10
+INC_REM = 7
+
+
+def minhash_store_tables(
+    spark: SparkSession, sf_dir: str, base: DataFrame, n_buckets: int = 8
+) -> tuple[str, str]:
+    """Write the MinHash fingerprint store for ``base`` docs: band rows
+    bucketed by the LSH bucket key and hashed shingle sets bucketed by
+    doc_id. The write shuffles ONCE; every later probe join reads the
+    stored side with NO Exchange (pinned in tests/test_bucketing.py) —
+    the append-only-crawl amortization story at 100 TB, where
+    recomputing (or reshuffling) the corpus fingerprints per crawl is
+    the thing you cannot afford. Returns (bands_table, sets_table)."""
+    import uuid
+
+    sh = _doc_shingles(spark, sf_dir, distinct=False, docs=base)
+    sfx = uuid.uuid4().hex[:8]
+    bands_tbl, sets_tbl = f"mh_store_bands_{sfx}", f"mh_store_sets_{sfx}"
+    (
+        _minhash_bands(sh)
+        .write.bucketBy(n_buckets, "band", "x", "y")
+        .saveAsTable(bands_tbl)
+    )
+    (
+        _hashed_shingle_sets(sh)
+        .write.bucketBy(n_buckets, "doc_id")
+        .saveAsTable(sets_tbl)
+    )
+    return bands_tbl, sets_tbl
+
+
+def incremental_minhash_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    bands_tbl: str,
+    sets_tbl: str,
+    delta: DataFrame,
+) -> DataFrame:
+    """Dedup NEW docs against an existing fingerprint store without
+    recomputing the corpus: candidates = (new x stored) band-bucket
+    collisions + (new x new) self-collisions; verification reads stored
+    shingle sets. Returns exactly the full-corpus q25 pairs that involve
+    at least one delta doc — recompute equivalence is the oracle.
+
+    Scale shape: per crawl, cost is O(delta fingerprints + collisions).
+    The stored side arrives pre-bucketed on the probe key, so the big
+    table is never shuffled; only the (small) delta side exchanges."""
+    sh_new = _doc_shingles(spark, sf_dir, distinct=False, docs=delta)
+    new_bands = _minhash_bands(sh_new)
+    stored_bands = spark.table(bands_tbl)
+    cross = (
+        new_bands.select(F.col("doc_id").alias("nd"), "band", "x", "y")
+        .join(
+            stored_bands.select(F.col("doc_id").alias("sd"), "band", "x", "y"),
+            ["band", "x", "y"],
+        )
+        .select(
+            F.least("nd", "sd").alias("ad"), F.greatest("nd", "sd").alias("bd")
+        )
+    )
+    within = (
+        new_bands.select(F.col("doc_id").alias("ad"), "band", "x", "y")
+        .join(
+            new_bands.select(F.col("doc_id").alias("bd"), "band", "x", "y"),
+            ["band", "x", "y"],
+        )
+        .filter(F.col("ad") < F.col("bd"))
+        .select("ad", "bd")
+    )
+    cands = cross.unionByName(within).distinct()
+    all_sets = spark.table(sets_tbl).unionByName(_hashed_shingle_sets(sh_new))
+    return _verify_band_candidates(cands, all_sets)
+
+
+def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only-crawl dedup: the corpus minus this crawl's docs
+    (doc_id % 10 == 7) is fingerprinted into a bucketed store, then only
+    the new docs are probed against it. Hash-checked against the
+    full-corpus q25 recompute restricted to pairs touching a new doc —
+    the incremental path must find EXACTLY what the batch path finds."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_delta = F.col("doc_id") % INC_MOD == INC_REM
+    bands_tbl, sets_tbl = minhash_store_tables(
+        spark, sf_dir, docs.filter(~is_delta)
+    )
+    return incremental_minhash_pairs(
+        spark, sf_dir, bands_tbl, sets_tbl, docs.filter(is_delta)
+    )
+
+
+Q90_ORACLE = (
+    _Q25_ORACLE_CORE
+    + f"  AND (ad % {INC_MOD} = {INC_REM} OR bd % {INC_MOD} = {INC_REM})\n"
+    + "ORDER BY ad, bd\n"
+)
+
+
 QUERIES = [
     QuerySpec("q24_ngram_jaccard_dedup", q24_ngram_jaccard_dedup, Q24_ORACLE,
               "exact 3-gram shingle Jaccard near-dup pairs (J >= 0.5)",
@@ -820,4 +941,7 @@ QUERIES = [
     QuerySpec("q78_shingle_novelty", q78_shingle_novelty, Q78_ORACLE,
               "per-doc fraction of first-seen shingles (novelty score)",
               ("dedup", "scoring")),
+    QuerySpec("q90_incremental_dedup", q90_incremental_dedup, Q90_ORACLE,
+              "new-crawl docs probed against a bucketed MinHash store",
+              ("dedup", "lsh", "incremental")),
 ]

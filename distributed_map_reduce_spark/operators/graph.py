@@ -319,6 +319,28 @@ def q38_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q89_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q38's dedup-cluster pipeline on the O(log^2 n) large-star/
+    small-star variant — the 100 TB connected-components answer
+    (diameter-independent round count), hash-checked against the SAME
+    recursive-CTE oracle as q38: both algorithms must produce identical
+    clusters."""
+    from .dedup import q24_ngram_jaccard_dedup
+
+    pairs = q24_ngram_jaccard_dedup(spark, sf_dir)
+    cc = connected_components_star(pairs, "ad", "bd")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("keeper"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # The oracle closes the same pair list transitively with a recursive CTE
 # (min reachable node = component). Reuses q24's oracle as the edge set.
 def _q38_oracle() -> str:
@@ -347,6 +369,9 @@ QUERIES = [
     QuerySpec("q38_dedup_clusters", q38_dedup_clusters, _q38_oracle(),
               "connected components over near-dup pairs: cluster + keeper per doc",
               ("dedup", "graph", "iterative")),
+    QuerySpec("q89_dedup_clusters_star", q89_dedup_clusters_star, _q38_oracle(),
+              "same clusters via O(log^2 n) large-star/small-star rounds",
+              ("dedup", "graph", "iterative", "scale")),
     QuerySpec("pagerank_suppliers", pagerank_suppliers, None,
               "PageRank over the part->supplier graph (iterative, property-tested)",
               ("graph", "iterative", "approx")),

@@ -102,10 +102,13 @@ _PRIORITY = [
     "q65_decontamination",
     "q66_corpus_mix",
     # verdict-tracked reworks + event-time / join-shape coverage
-    "q40_semi_anti",
     "q14_streaming_twin",
     "q33_click_attribution",
-    "q34_value_band_join",
+    # round-5 additions (VERDICT r4 items 4 + 6): the star-CC twin and
+    # the incremental-dedup store probe take the slots of q40/q34 (both
+    # green r1-r4) so their first driver check lands this round.
+    "q89_dedup_clusters_star",
+    "q90_incremental_dedup",
     # round-5 rotation (VERDICT r4 item 1): the 12 round-4 additions —
     # the only oracle-bearing entries never driver-checked — take the
     # window slots of q67–q76 + the q32/q39 streaming twins (all green
@@ -125,6 +128,8 @@ _PRIORITY = [
     "q81_streaming_enrich_twin",
     # below here = outside the 50-row window (green in r1–r4 driver rows
     # and still covered by the pytest parity gate every round)
+    "q40_semi_anti",
+    "q34_value_band_join",
     "q67_chunking",
     "q68_unigram_logprob",
     "q69_footer_stats",

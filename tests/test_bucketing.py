@@ -57,6 +57,47 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql(f"DROP DATABASE IF EXISTS {DB} CASCADE")
 
 
+def test_minhash_store_probe_join_never_shuffles_stored_side(spark, sf_dir):
+    """q90's append-only-crawl contract: the MinHash fingerprint store is
+    written bucketed on the LSH bucket key, so a new-crawl probe join
+    reads it with ZERO Exchange — only the (small) delta side shuffles.
+    At 100 TB the store is the corpus; reshuffling it per crawl is the
+    cost this layout exists to delete."""
+    import pyspark.sql.functions as F
+
+    from distributed_map_reduce_spark.operators.dedup import (
+        INC_MOD,
+        INC_REM,
+        _doc_shingles,
+        _minhash_bands,
+        minhash_store_tables,
+    )
+
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        is_delta = F.col("doc_id") % INC_MOD == INC_REM
+        bands_tbl, _ = minhash_store_tables(spark, sf_dir, docs.filter(~is_delta))
+        # checkpoint the delta bands so the probe plan is exactly
+        # [checkpoint scan -> Exchange -> join <- bucketed store scan]:
+        # any second Exchange would be a shuffle of the stored side.
+        new_bands = _minhash_bands(
+            _doc_shingles(spark, sf_dir, distinct=False, docs=docs.filter(is_delta))
+        ).localCheckpoint()
+        probe = new_bands.withColumnsRenamed({"doc_id": "nd"}).join(
+            spark.table(bands_tbl), ["band", "x", "y"]
+        )
+        plan = formatted_plan(probe)
+        assert "SelectedBucketsCount" in plan, plan  # bucketed read used
+        # count Exchange NODES in the tree section only (the per-node
+        # details below it repeat the word): exactly one = delta side
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") == 1, tree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+
+
 def test_bucketed_q6_twin_has_no_join_shuffle(spark, sf_dir, tmp_path):
     """The q6 (segment revenue) join on a bucketed layout: orders and
     customer bucketed on the join key sort-merge join with zero

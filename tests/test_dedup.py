@@ -176,3 +176,30 @@ def test_cap_bounds_candidates_on_hot_shingle_corpus(spark):
         p for p in uncapped if not (p[0] in hot_ids and p[1] in hot_ids)
     }
     assert (200, 201) in capped
+
+
+def test_incremental_dedup_equals_batch_recompute(spark, sf_dir):
+    """The incremental store probe (q90) must find EXACTLY the pairs the
+    full-corpus batch recompute (q25) finds among pairs touching a new
+    doc — the recompute-equivalence contract of append-only-crawl
+    dedup."""
+    import pyspark.sql.functions as F
+
+    from distributed_map_reduce_spark.operators.dedup import (
+        INC_MOD,
+        INC_REM,
+        q25_minhash_lsh_dedup,
+        q90_incremental_dedup,
+    )
+
+    touches_delta = (F.col("ad") % INC_MOD == INC_REM) | (
+        F.col("bd") % INC_MOD == INC_REM
+    )
+    want = sorted(
+        tuple(r)
+        for r in q25_minhash_lsh_dedup(spark, sf_dir)
+        .filter(touches_delta)
+        .collect()
+    )
+    got = sorted(tuple(r) for r in q90_incremental_dedup(spark, sf_dir).collect())
+    assert got == want and len(got) > 0
