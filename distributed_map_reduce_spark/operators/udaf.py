@@ -89,13 +89,14 @@ def q71_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     each nation name into (pos, token) rows, applied laterally — the
     one-row-to-many extension point (§2.3: the reference has "no
     UDAF/UDTF interfaces"; its only fan-out is the map function's kv
-    list). Deliberately demonstrated on a 25-row dimension: row-at-a-
-    time Python is the slow path, and every hot-path fan-out in this
-    engine (shingling, chunking, q51 posexplode) stays on codegen
-    explode — the UDTF is API surface, not a scan operator."""
+    list). Arrow-optimized (useArrow=True): rows cross the Python
+    boundary in Arrow batches (ArrowEvalPythonUDTF), keeping even the
+    API-surface demo off the row-at-a-time path; every hot-path fan-out
+    in this engine (shingling, chunking, q51 posexplode) stays on
+    codegen explode — the UDTF is API surface, not a scan operator."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, token string")
+    @udtf(returnType="pos int, token string", useArrow=True)
     class Tokenize:
         def eval(self, name: str):
             for i, tok in enumerate(name.split(" "), start=1):

@@ -159,6 +159,35 @@ def test_q9_window_group_limit_pushdown(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
 
 
+# --- global sweep: every registered query (VERDICT r4 item 5) ----------------
+# The per-query pins above guard specific shapes; this sweep turns the
+# plan audit into a regression gate for the WHOLE suite: no query may
+# plan a Cartesian product, fall off the Arrow path into a row-at-a-time
+# Python UDF, or run a keyed aggregate without a map-side partial phase.
+
+import re as _re
+
+import pytest
+
+from distributed_map_reduce_spark.registry import all_queries as _all_queries
+
+_SWEEP_NAMES = list(_all_queries())
+
+
+@pytest.mark.parametrize("name", _SWEEP_NAMES)
+def test_plan_sweep_scale_invariants(spark, sf_dir, name):
+    plan = formatted_plan(_q(name, spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    # any aggregate computing functions must have a partial (map-side
+    # combine) phase; distinct-only aggregates (Functions [0]) and
+    # Pandas group-map nodes are exempt by construction
+    if _re.search(r"Functions \[[1-9]\d*\]", plan):
+        assert _re.search(r"Functions \[\d+\]: \[partial_", plan), (
+            f"{name}: keyed aggregate with no partial phase"
+        )
+
+
 def test_q58_window_nav_partition_bounded(spark, sf_dir):
     """Companion pin for the window-nav sweep: the window must be
     partitioned (no global Window.orderBy => no single-partition
