@@ -1,0 +1,159 @@
+"""Lexical retrieval over the document corpus — BM25 top-k.
+
+The RAG-side counterpart of the dedup/quality family: given a set of
+query documents, rank the corpus by Okapi BM25 (Robertson & Zaragoza
+2009, eq. 2.2-2.4) and keep the top-k hits per query. This is the
+retrieval pass a training pipeline runs to mine hard negatives or to
+decontaminate against benchmark queries by *semantic* lookup rather
+than exact n-gram match (q65's complement).
+
+Scale shape (the part that matters at 100 TB):
+- The query term set is tiny by construction (queries x <=12 distinct
+  terms) and is **broadcast** into the corpus-sized term-frequency
+  frame, so the only big shuffles are the two linear aggregates that
+  build tf and df — both map-side-combinable groupBys on (doc, token)
+  / (token).
+- Everything after the broadcast semi-join is proportional to the hit
+  set, not the corpus. Corpus-wide stats (N, avgdl) are a 1-row
+  broadcast that stays in-plan.
+- No Python anywhere; the scoring expression is whole-stage codegen.
+
+Reference lineage: the reference's inverted-index app
+(/root/reference/src/mrapps/indexer.go:14-31) builds exactly the
+token -> documents posting structure BM25 consumes; this operator is
+that index put to its canonical use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import DUCK_TOKS_EXPR, SPARK_TOKS_EXPR
+from ..registry import QuerySpec
+from ..sources import load_table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 5
+QUERY_DOC_MOD = 100  # doc_id % MOD == 0 -> query doc
+QUERY_TERMS = 12  # first-N token prefix forms the query
+
+
+def q93_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{k} per query doc (every doc_id % {mod} == 0;
+    query = its first {n} tokens, distinct). Self-hits are excluded.
+    Rank ties break on the 4-decimal rounded score then doc_id, so
+    both engines select identical hit sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qterms = (
+        docs.filter(F.col("doc_id") % QUERY_DOC_MOD == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(
+                F.expr(f"slice({SPARK_TOKS_EXPR}, 1, {QUERY_TERMS})")
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    per_term = (
+        tf.join(F.broadcast(qterms), "token")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    scored = per_term.groupBy("qid", "doc_id").agg(
+        F.round(F.sum("s"), 4).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    )
+
+
+Q93_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_TOKS_EXPR}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS qid, unnest(t[1:{QUERY_TERMS}]) AS token
+  FROM (SELECT doc_id, {DUCK_TOKS_EXPR} AS t FROM documents
+        WHERE doc_id % {QUERY_DOC_MOD} = 0)
+),
+per_term AS (
+  SELECT qterms.qid, tf.doc_id,
+         LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * (CAST({BM25_K1} AS DOUBLE) + 1.0))
+           / (tf + CAST({BM25_K1} AS DOUBLE)
+              * (1.0 - CAST({BM25_B} AS DOUBLE)
+                 + CAST({BM25_B} AS DOUBLE) * dl / avgdl)) AS s
+  FROM tf
+  JOIN qterms USING (token)
+  JOIN dfreq USING (token)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id <> qterms.qid
+),
+scored AS (
+  SELECT qid, doc_id, ROUND(SUM(s), 4) AS score
+  FROM per_term GROUP BY qid, doc_id
+)
+SELECT qid, rank, doc_id, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+WHERE rank <= {BM25_TOP_K}
+ORDER BY qid, rank
+"""
+
+
+QUERIES = [
+    QuerySpec(
+        "q93_bm25_retrieval",
+        q93_bm25_retrieval,
+        Q93_ORACLE,
+        "Okapi BM25 top-k retrieval per query doc (broadcast query set)",
+        ("retrieval", "similarity"),
+    ),
+]

@@ -543,6 +543,218 @@ ORDER BY doc_id
 """
 
 
+# --- q91: Gopher/C4-style quality-rule funnel --------------------------------
+
+# Rule thresholds chosen so each rule splits the synthetic corpus
+# non-trivially (sf0.01: 106 too-short, 99 too-long, 183 stopword-poor
+# docs of 500). Mean word length is integer-sum / integer-count in
+# double on both engines, so the boundary comparison is exact.
+RULE_MIN_TOK = 30
+RULE_MAX_TOK = 80
+RULE_MIN_MEANLEN = 4.0
+RULE_MAX_MEANLEN = 5.0
+RULE_MIN_STOPWORDS = 2
+
+
+def q91_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-based quality filter funnel (Rae et al. 2021
+    §A1.1.1 document filters, re-expressed as Spark column rules): word
+    count bounds, mean-word-length band, and a minimum distinct-stopword
+    hit count. Emits the curation dashboard — per-source doc counts,
+    per-rule fail counts, and the final keep rate.
+
+    Scale shape: one row-local projection computes every rule inside
+    whole-stage codegen (aggregate() for the length sum, array_intersect
+    for distinct stopword hits — no explode, no Python), then one tiny
+    per-source aggregation. Embarrassingly parallel at 100 TB; the rule
+    booleans would feed a `.filter(passes)` writer in production."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.expr(f"size({_TOKS})").alias("n_tok"),
+        F.expr(
+            f"aggregate({_TOKS}, 0L, (a, x) -> a + length(x))"
+        ).alias("len_sum"),
+        F.expr(
+            f"size(array_intersect({_TOKS}, {_SW_LIST_SPARK}))"
+        ).alias("n_stop_distinct"),
+    ).select(
+        "source",
+        "n_tok",
+        (F.col("len_sum") / F.col("n_tok")).alias("mean_len"),
+        "n_stop_distinct",
+    )
+    rules = d.select(
+        "source",
+        (F.col("n_tok") < RULE_MIN_TOK).alias("f_short"),
+        (F.col("n_tok") > RULE_MAX_TOK).alias("f_long"),
+        (
+            (F.col("mean_len") < RULE_MIN_MEANLEN)
+            | (F.col("mean_len") > RULE_MAX_MEANLEN)
+        ).alias("f_wordlen"),
+        (F.col("n_stop_distinct") < RULE_MIN_STOPWORDS).alias("f_stop"),
+    )
+    return (
+        rules.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("f_short").cast("long")).alias("fail_short"),
+            F.sum(F.col("f_long").cast("long")).alias("fail_long"),
+            F.sum(F.col("f_wordlen").cast("long")).alias("fail_wordlen"),
+            F.sum(F.col("f_stop").cast("long")).alias("fail_stop"),
+            F.sum(
+                (
+                    ~F.col("f_short")
+                    & ~F.col("f_long")
+                    & ~F.col("f_wordlen")
+                    & ~F.col("f_stop")
+                ).cast("long")
+            ).alias("n_pass"),
+        )
+        .withColumn(
+            "pass_rate", F.round(F.col("n_pass") / F.col("n_docs"), 4)
+        )
+        .orderBy("source")
+    )
+
+
+Q91_ORACLE = f"""
+WITH sig AS (
+  SELECT source,
+         len(t) AS n_tok,
+         CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+           / len(t) AS mean_len,
+         len(list_intersect(t, {_SW_LIST_DUCK})) AS n_stop_distinct
+  FROM (SELECT source, {DUCK_TOKS_EXPR} AS t FROM documents)
+),
+rules AS (
+  SELECT source,
+         n_tok < {RULE_MIN_TOK} AS f_short,
+         n_tok > {RULE_MAX_TOK} AS f_long,
+         (mean_len < {RULE_MIN_MEANLEN} OR mean_len > {RULE_MAX_MEANLEN})
+           AS f_wordlen,
+         n_stop_distinct < {RULE_MIN_STOPWORDS} AS f_stop
+  FROM sig
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_short,
+       CAST(SUM(CASE WHEN f_long THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_long,
+       CAST(SUM(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_wordlen,
+       CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_stop,
+       CAST(SUM(CASE WHEN NOT f_short AND NOT f_long AND NOT f_wordlen
+                      AND NOT f_stop THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       ROUND(SUM(CASE WHEN NOT f_short AND NOT f_long AND NOT f_wordlen
+                       AND NOT f_stop THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS pass_rate
+FROM rules
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- q92: bigram PMI collocations --------------------------------------------
+
+PMI_MIN_COUNT = 20  # bigram support floor — kills noise pairs
+PMI_TOP_K = 20
+
+
+def q92_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K bigram collocations by pointwise mutual information —
+    the phrase-mining pass (word2vec-style phrase detection, Mikolov et
+    al. 2013 §4) a pipeline runs to decide which token pairs to merge
+    before tokenizer training.
+
+    Shape: posexplode + one lead() window keyed by doc gives adjacent
+    pairs without a self-join; bigram and unigram counts are two linear
+    aggregates; the unigram frame joins back twice (vocab-sized —
+    broadcast while it fits, plain hash join when it doesn't). The
+    final top-K is a sort over the *filtered* bigram frame (support
+    >= {PMI_MIN_COUNT}), which is tiny by construction."""
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.expr(_TOKS)).alias("pos", "token")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        tok.withColumn("nxt", F.lead("token").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("token", "nxt")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n_u"))
+    n_bi = (
+        tok.groupBy("doc_id")
+        .agg((F.count(F.lit(1)) - 1).alias("nb"))
+        .agg(F.sum("nb").cast("double").alias("n_b"))
+    )
+    scored = (
+        bi.join(uni.withColumnRenamed("token", "t1")
+                   .withColumnRenamed("c", "c_x"),
+                F.col("token") == F.col("t1"))
+        .join(uni.withColumnRenamed("token", "t2")
+                 .withColumnRenamed("c", "c_y"),
+              F.col("nxt") == F.col("t2"))
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat_ws(" ", "token", "nxt").alias("bigram"),
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("n_b"))
+                    / ((F.col("c_x") / F.col("n_u"))
+                       * (F.col("c_y") / F.col("n_u")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("bigram")
+    ).limit(PMI_TOP_K)
+
+
+Q92_ORACLE = f"""
+WITH docs_t AS (SELECT doc_id, {DUCK_TOKS_EXPR} AS t FROM documents),
+pairs AS (
+  SELECT t[i] AS token, t[i + 1] AS nxt
+  FROM docs_t, UNNEST(range(1, len(t))) AS u(i)
+),
+bi AS (
+  SELECT token, nxt, COUNT(*) AS c_xy
+  FROM pairs
+  GROUP BY token, nxt
+  HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+uni AS (
+  SELECT token, COUNT(*) AS c
+  FROM (SELECT unnest(t) AS token FROM docs_t)
+  GROUP BY token
+),
+n_uni AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_u FROM uni),
+n_bi AS (
+  SELECT CAST(SUM(GREATEST(len(t) - 1, 0)) AS DOUBLE) AS n_b FROM docs_t
+)
+SELECT bi.token || ' ' || bi.nxt AS bigram,
+       c_xy,
+       ROUND(LN((c_xy / n_b) / ((x.c / n_u) * (y.c / n_u))), 4) AS pmi
+FROM bi
+JOIN uni x ON bi.token = x.token
+JOIN uni y ON bi.nxt = y.token
+CROSS JOIN n_uni CROSS JOIN n_bi
+ORDER BY pmi DESC, bigram
+LIMIT {PMI_TOP_K}
+"""
+
+
 QUERIES = [
     QuerySpec("q28_token_counts", q28_token_counts, Q28_ORACLE,
               "whitespace + BPE-ish regex token counts by source",
@@ -573,4 +785,10 @@ QUERIES = [
     QuerySpec("q68_unigram_logprob", q68_unigram_logprob, Q68_ORACLE,
               "per-doc mean unigram log-prob (perplexity-style quality)",
               ("textanalysis", "quality")),
+    QuerySpec("q91_gopher_rules", q91_gopher_rules, Q91_ORACLE,
+              "Gopher/C4 quality-rule filter funnel per source",
+              ("textanalysis", "quality")),
+    QuerySpec("q92_bigram_pmi", q92_bigram_pmi, Q92_ORACLE,
+              "top-K bigram collocations by PMI (phrase mining)",
+              ("textanalysis", "vocab")),
 ]
