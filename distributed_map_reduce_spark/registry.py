@@ -134,6 +134,7 @@ _PRIORITY = [
     "q91_gopher_rules",
     "q92_bigram_pmi",
     "q93_bm25_retrieval",
+    "q94_stateful_user_stats",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",

@@ -271,6 +271,171 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+# --- custom stateful operator: per-user stats (old + new API twins) ----------
+
+USER_STATS_OUT = (
+    "user_id bigint, n_events bigint, cents bigint, max_value double"
+)
+_USER_STATS_STATE = "n bigint, cents bigint, mx double"
+
+
+def user_stats_stateful(events: DataFrame) -> DataFrame:
+    """Per-user cumulative (count, floor-cent value sum, max value) —
+    the hash-checkable custom-stateful operator behind q94. Same
+    ``applyInPandasWithState`` surface as user_running_totals, but the
+    value sum is maintained in integer cents (floor(v*100+0.5)) so the
+    cross-engine gate never hits double summation-order rounding (the
+    q81/q88 lesson). State is O(#users)."""
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, cents, mx = state.get if state.exists else (0, 0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(
+                np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum()
+            )
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, cents, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "cents": [cents],
+                "max_value": [mx],
+            }
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            USER_STATS_OUT,
+            _USER_STATS_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def user_stats_tws(events: DataFrame) -> DataFrame:
+    """Modern-API twin of user_stats_stateful on
+    ``transformWithStateInPandas`` — the Spark 4 successor to
+    ``applyInPandasWithState``: typed, named state slots on a handle
+    instead of one positional tuple, plus timers/TTL the old API lacks.
+
+    IMPORT-GATED: the transformWithState Python driver worker speaks a
+    protobuf protocol (pyspark/sql/streaming/proto/StateMessage_pb2),
+    so it requires ``google.protobuf`` at runtime — absent in this
+    container (verified: the pre-init worker dies on the import). The
+    operator raises ImportError eagerly when protobuf is missing;
+    tests skip on that. It also requires the RocksDB state store
+    provider (q94's drain wrapper shows the conf)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env without protobuf
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf (the "
+            "stateful-processor driver worker's wire protocol); install "
+            "protobuf or use user_stats_stateful (applyInPandasWithState) "
+            "for identical semantics"
+        ) from exc
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", _USER_STATS_STATE)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+            import pandas as pd
+
+            n, cents, mx = (
+                self._agg.get() if self._agg.exists()
+                else (0, 0, float("-inf"))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum()
+                )
+                mx = max(mx, float(pdf["value"].max()))
+            self._agg.update((n, cents, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "cents": [cents],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _UserStats(), USER_STATS_OUT, "Update", "None"
+        )
+    )
+
+
+def q94_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the custom-stateful per-user stats with availableNow and
+    reduce the update log to each user's final state (n_events strictly
+    increases per update, so max_by is exact). Checked against the batch
+    groupBy oracle — the custom-stateful path gets a hash-checked row,
+    not just a stream==batch pytest."""
+    import tempfile
+    import uuid
+
+    table = f"stream_q94_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dmrs_q94_stream_ckpt_")
+    ev = events_stream(spark, sf_dir)
+    run_available_now(
+        user_stats_stateful(ev),
+        checkpoint_dir=ckpt,
+        table_name=table,
+        output_mode="update",
+    )
+    return (
+        spark.table(table)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("cents", "n_events").alias("cents"),
+            F.max_by("max_value", "n_events").alias("max_value"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("cents") / 100.0).alias("total"),
+            "max_value",
+        )
+        .orderBy("user_id")
+    )
+
+
+Q94_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total,
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,
@@ -467,6 +632,13 @@ def _build_queries():
             Q81_ORACLE,
             "stream-static broadcast enrichment drain (== batch join+agg)",
             ("streaming", "events", "enrich"),
+        ),
+        QuerySpec(
+            "q94_stateful_user_stats",
+            q94_stateful_user_stats,
+            Q94_ORACLE,
+            "transformWithState per-user stats drain (== batch groupBy)",
+            ("streaming", "events", "stateful"),
         ),
     ]
 

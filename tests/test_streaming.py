@@ -278,3 +278,33 @@ def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
     # state really crossed batches: >1 distinct update row for some user
     n_updates = spark.table("running_totals_out").count()
     assert n_updates > len(want_m)
+
+
+def test_user_stats_tws_gate(spark, sf_dir):
+    """transformWithStateInPandas twin: its driver worker speaks
+    protobuf (StateMessage_pb2), so the operator import-gates on
+    google.protobuf. Without protobuf it must raise a readable
+    ImportError BEFORE any stream starts; with protobuf it must build a
+    streaming frame with the same schema as the old-API operator."""
+    import pytest
+
+    from distributed_map_reduce_spark.streaming.events_stream import (
+        events_stream,
+        user_stats_stateful,
+        user_stats_tws,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_pb = True
+    except ImportError:
+        has_pb = False
+    if not has_pb:
+        with pytest.raises(ImportError, match="protobuf"):
+            user_stats_tws(stream)
+    else:  # pragma: no cover - container has no protobuf
+        df = user_stats_tws(stream)
+        assert df.isStreaming
+        assert df.schema == user_stats_stateful(stream).schema
