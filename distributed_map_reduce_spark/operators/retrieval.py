@@ -49,7 +49,15 @@ def q93_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token")
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds four consumers (probe join side, dl, dfreq, and stats
+    # via dl) whose exchanges Catalyst can't unify — the q24 pattern: a
+    # lazy localCheckpoint materializes the (doc, token, tf) frame once
+    # so the corpus is tokenized exactly once, not four times.
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(

@@ -669,32 +669,44 @@ def q92_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. 2013 §4) a pipeline runs to decide which token pairs to merge
     before tokenizer training.
 
-    Shape: posexplode + one lead() window keyed by doc gives adjacent
-    pairs without a self-join; bigram and unigram counts are two linear
-    aggregates; the unigram frame joins back twice (vocab-sized —
+    Shape: adjacent pairs are built ROW-LOCALLY with zip_with over the
+    token array (no per-doc window, no shuffle by doc_id, no self-join),
+    so the corpus is scanned exactly twice (bigram explode + unigram
+    explode) and the bigram total comes from the pre-filter bigram
+    aggregate — its exchange is shared with the support filter via
+    ReuseExchange. The unigram frame joins back twice (vocab-sized —
     broadcast while it fits, plain hash join when it doesn't). The
     final top-K is a sort over the *filtered* bigram frame (support
     >= {PMI_MIN_COUNT}), which is tiny by construction."""
-    tok = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(F.expr(_TOKS)).alias("pos", "token")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bi = (
-        tok.withColumn("nxt", F.lead("token").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .groupBy("token", "nxt")
+    d = _docs(spark, sf_dir).select(F.expr(_TOKS).alias("t"))
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (a, b) -> struct(a AS x, b AS y))"
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("token"), F.col("p.y").alias("nxt"))
+    # Both count frames feed multiple consumers under different aliases
+    # (bi_all -> total + support filter; uni -> c_x join, c_y join,
+    # total) and ReuseExchange can't unify aliased subtrees (the q24
+    # lesson) — lazy-checkpoint each so the corpus is scanned exactly
+    # twice (bigram explode + unigram explode), never per consumer.
+    bi_all = (
+        pairs.groupBy("token", "nxt")
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .localCheckpoint(eager=False)
     )
-    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n_bi = bi_all.agg(F.sum("c_xy").cast("double").alias("n_b"))
+    bi = bi_all.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+    uni = (
+        d.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     n_uni = uni.agg(F.sum("c").cast("double").alias("n_u"))
-    n_bi = (
-        tok.groupBy("doc_id")
-        .agg((F.count(F.lit(1)) - 1).alias("nb"))
-        .agg(F.sum("nb").cast("double").alias("n_b"))
-    )
     scored = (
         bi.join(uni.withColumnRenamed("token", "t1")
                    .withColumnRenamed("c", "c_x"),

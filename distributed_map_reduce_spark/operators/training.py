@@ -542,6 +542,68 @@ ORDER BY ad, bd
 """
 
 
+# --- q95: deterministic epoch shuffle + sharding -----------------------------
+
+EPOCH_SEED = "epoch17:"  # change the prefix -> a fresh, reproducible epoch order
+N_SHARDS = 8
+
+
+def q95_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: every document gets a
+    pseudo-random but reproducible position from md5(seed || doc_id),
+    is routed to one of {N_SHARDS} shards by the hash's top 32 bits,
+    and ranked within its shard — the "global shuffle" step before
+    writing epoch shards, with no RNG state to ship (new epoch = new
+    seed prefix; same lineage as q62's hash split).
+
+    Scale shape: the hash is row-local codegen; the ONLY shuffle is the
+    per-shard ranking window (partitioned by shard — never a global
+    sort). At 100 TB the same frame feeds
+    ``write.partitionBy(shard)`` + ``sortWithinPartitions(m)`` so even
+    the rank materializes as a local sort per shard file."""
+    h = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(EPOCH_SEED), F.col("doc_id").cast("string"))
+        ).alias("m"),
+    )
+    s = h.withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("bigint"),
+            F.lit(N_SHARDS),
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("m", "doc_id")
+    return (
+        s.select(
+            "shard",
+            F.row_number().over(w).alias("ord"),
+            "doc_id",
+        )
+        .orderBy("shard", "ord")
+    )
+
+
+Q95_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         md5('{EPOCH_SEED}' || CAST(doc_id AS VARCHAR)) AS m
+  FROM documents
+),
+s AS (
+  SELECT doc_id, m,
+         CAST(('0x' || substr(m, 1, 8)) AS BIGINT) % {N_SHARDS} AS shard
+  FROM h
+)
+SELECT shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY m, doc_id) AS ord,
+       doc_id
+FROM s
+ORDER BY shard, ord
+"""
+
+
 QUERIES = [
     QuerySpec("q61_sequence_packing", q61_sequence_packing, Q61_ORACLE,
               "greedy token-budget packing of docs into training sequences",
@@ -570,4 +632,7 @@ QUERIES = [
     QuerySpec("q84_stratified_sample", q84_stratified_sample, Q84_ORACLE,
               "deterministic exactly-k-per-language md5-ranked sample",
               ("training", "sampling")),
+    QuerySpec("q95_epoch_shuffle", q95_epoch_shuffle, Q95_ORACLE,
+              "deterministic md5 epoch shuffle + shard routing + rank",
+              ("training", "shuffle")),
 ]

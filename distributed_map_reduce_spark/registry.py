@@ -135,6 +135,7 @@ _PRIORITY = [
     "q92_bigram_pmi",
     "q93_bm25_retrieval",
     "q94_stateful_user_stats",
+    "q95_epoch_shuffle",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
