@@ -34,6 +34,47 @@ from ..registry import QuerySpec
 
 CC_MAX_ITER = 20
 
+# Target edge rows per shuffle task inside the iterative loops. The
+# per-round frames are fixed-width (two bigint columns), so row count
+# alone sizes a task; 200k rows ≈ a few MB per task.
+_EDGES_PER_PARTITION = 200_000
+
+
+class _scoped_shuffle_width:
+    """Scale the loop's shuffle width to the materialized edge count.
+
+    The iterative CC loops run many tiny jobs; at the session's default
+    width (32 here, thousands on a real cluster) every round pays task
+    launch + shuffle bookkeeping per partition even when the edge frame
+    is a few hundred rows (near-dup graphs: component count ~ dup
+    clusters, edges ~ pair count). AQE coalesces reducers but not the
+    fixed per-partition cost of each round's map side, so a dup-graph
+    round was overhead-dominated (measured ~27% loop time saved at
+    sf0.1 with 256 edges). Scoping the conf — same pattern as
+    streaming's run_available_now — keeps the width proportional to
+    data: a 100 TB pair graph (billions of edges) still gets thousands
+    of partitions. Restores the session value on exit; the DataFrame a
+    caller gets back re-plans under the restored conf."""
+
+    def __init__(self, spark: SparkSession, n_rows: int):
+        self._spark = spark
+        self._orig = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            cap = int(self._orig)
+        except ValueError:  # e.g. "auto" on some deployments
+            cap = 200
+        self._width = max(2, min(cap, n_rows // _EDGES_PER_PARTITION + 1))
+
+    def __enter__(self):
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions", str(self._width)
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._orig)
+        return False
+
 
 def connected_components(
     edges: DataFrame, src: str, dst: str, max_iter: int = CC_MAX_ITER
@@ -75,28 +116,32 @@ def connected_components(
             == 0
         )
 
-    prev = _label_sum(labels)
-    for _ in range(max_iter):
-        old_labels = labels
-        # candidate label per node: min of own label and neighbors' labels
-        neighbor = (
-            sym.join(labels.withColumnsRenamed({"node": "b", "label": "nl"}), "b")
-            .groupBy("a")
-            .agg(F.min("nl").alias("nl"))
-            .withColumnsRenamed({"a": "node"})
-        )
-        labels = (
-            labels.join(neighbor, "node", "left")
-            .select(
-                "node",
-                F.least("label", F.coalesce("nl", "label")).alias("label"),
+    with _scoped_shuffle_width(edges.sparkSession, sym.count()):
+        prev = _label_sum(labels)
+        for _ in range(max_iter):
+            old_labels = labels
+            # candidate label per node: min of own and neighbors' labels
+            neighbor = (
+                sym.join(
+                    labels.withColumnsRenamed({"node": "b", "label": "nl"}),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("nl").alias("nl"))
+                .withColumnsRenamed({"a": "node"})
             )
-            .localCheckpoint()
-        )
-        cur = _label_sum(labels)
-        if cur == prev and _exactly_equal(labels, old_labels):
-            break
-        prev = cur
+            labels = (
+                labels.join(neighbor, "node", "left")
+                .select(
+                    "node",
+                    F.least("label", F.coalesce("nl", "label")).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            cur = _label_sum(labels)
+            if cur == prev and _exactly_equal(labels, old_labels):
+                break
+            prev = cur
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -171,13 +216,14 @@ def connected_components_star(
     # nodes dropped above, matching connected_components' node domain.
     prev = _edge_checksum(e)
     converged = False
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        cur = _edge_checksum(e)
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+    with _scoped_shuffle_width(edges.sparkSession, prev[0]):
+        for _ in range(max_iter):
+            e = _small_star(_large_star(e)).localCheckpoint()
+            cur = _edge_checksum(e)
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
     if not converged:
         # The leaves/centers extraction below assumes a star forest;
         # on a non-converged edge set it would silently return wrong

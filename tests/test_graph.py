@@ -116,3 +116,32 @@ def test_star_cc_raises_when_not_converged(spark):
     )
     with pytest.raises(RuntimeError, match="not a fixpoint"):
         connected_components_star(edges, "s", "d", max_iter=1)
+
+
+def test_scoped_shuffle_width_sizes_and_restores(spark):
+    """The iterative loops scale their shuffle width to the edge count
+    and must restore the session conf on every exit path — including
+    the non-convergence RuntimeError."""
+    import pytest
+
+    from distributed_map_reduce_spark.operators.graph import (
+        _EDGES_PER_PARTITION,
+        _scoped_shuffle_width,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    with _scoped_shuffle_width(spark, 10) as s:
+        assert spark.conf.get(key) == "2"  # tiny graph -> floor width
+    assert spark.conf.get(key) == orig
+    # proportional sizing, capped at the session width
+    assert _scoped_shuffle_width(spark, 5 * _EDGES_PER_PARTITION)._width == min(
+        int(orig), 6
+    )
+    # exception path restores too (star CC raising mid-loop)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "s long, d long"
+    )
+    with pytest.raises(RuntimeError):
+        connected_components_star(edges, "s", "d", max_iter=1)
+    assert spark.conf.get(key) == orig
