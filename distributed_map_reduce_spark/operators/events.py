@@ -459,6 +459,48 @@ ORDER BY event_type
 """
 
 
+def q97_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-row snapshot: treat events as an upsert changelog
+    keyed by user_id and materialize the current state — the MERGE /
+    compaction step of every mutable-table-on-immutable-files design
+    (Delta/Hudi/Iceberg row-level upserts reduce to exactly this).
+
+    Scale shape: ONE map-side-combinable aggregate — ``max(struct(ts,
+    event_id, payload...))`` picks the latest version per key inside the
+    partial aggregate, so the shuffle carries one candidate row per key
+    per map task, not the whole changelog. The window-function phrasing
+    (row_number() = 1) would shuffle and sort every version; the
+    struct-max phrasing is the 100 TB answer. event_id breaks ts ties
+    (unique), so the winner is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_updates"),
+        F.max(
+            F.struct("ts", "event_id", "event_type", "value")
+        ).alias("last"),
+    )
+    return latest.select(
+        "user_id",
+        "n_updates",
+        F.col("last.ts").cast("timestamp_ntz").alias("last_ts"),
+        F.col("last.event_type").alias("last_type"),
+        F.col("last.value").alias("last_value"),
+    ).orderBy("user_id")
+
+
+Q97_ORACLE = """
+SELECT user_id,
+       COUNT(*) OVER (PARTITION BY user_id) AS n_updates,
+       ts AS last_ts,
+       event_type AS last_type,
+       value AS last_value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
+
+
 QUERIES = [
     QuerySpec("q14_hourly_windows", q14_hourly_windows, Q14_ORACLE,
               "tumbling 1h event windows (batch twin of the streaming path)",
@@ -487,4 +529,8 @@ QUERIES = [
     QuerySpec("q87_value_trend", q87_value_trend, Q87_ORACLE,
               "per-type OLS trend of value over time (regr_* aggregates)",
               ("events", "regression")),
+    QuerySpec("q97_cdc_snapshot", q97_cdc_snapshot, Q97_ORACLE,
+              "CDC latest-row snapshot per key via struct-max partial "
+              "aggregate (the MERGE/upsert compaction shape)",
+              ("events", "cdc", "upsert")),
 ]

@@ -25,7 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_col, l2sq_col
@@ -382,6 +382,87 @@ ORDER BY d.label
 """
 
 
+# --- q98: SemDeDup-style per-cluster representative selection ----------------
+
+SEMDEDUP_KEEP_K = 5  # representatives kept per cluster
+
+
+def q98_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup pruning (SemDeDup, Abbas et al. 2023 §3 shape):
+    within each embedding cluster, rank members by cosine similarity to
+    the cluster centroid and keep the k most central as the cluster's
+    retained representatives — the "prune semantically redundant data"
+    pass that follows clustering in a curation pipeline. Emits
+    (label, rank, vec_id, cosine) for the kept set.
+
+    Scale shape: the centroid table is n_labels x dim (broadcast-able
+    at any corpus size); dot/norm reductions are linear map-side
+    partial aggregates; the final top-k per label is a WindowGroupLimit
+    (rank pushed into the sort) over the per-vector score frame —
+    nothing quadratic, no pair materialization. Ranking uses the
+    4-decimal ROUNDED cosine (tie-break vec_id) so both engines select
+    identical sets despite fp summation-order noise."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = emb.select("label", "vec_id", F.posexplode("v").alias("pos", "x"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    s = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sum(F.col("x") ** 2).alias("nv2"),
+        )
+    )
+    cn = cent.groupBy("label").agg(F.sum(F.col("c") ** 2).alias("nc2"))
+    cos = s.join(F.broadcast(cn), "label").select(
+        "label",
+        "vec_id",
+        F.round(
+            F.col("dot") / F.sqrt(F.col("nv2") * F.col("nc2")), 4
+        ).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_centroid").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cos.select(
+            "label", F.row_number().over(w).alias("rk"), "vec_id",
+            "cos_centroid",
+        )
+        .filter(F.col("rk") <= SEMDEDUP_KEEP_K)
+        .orderBy("label", "rk")
+    )
+
+
+Q98_ORACLE = f"""
+WITH ex AS (
+  SELECT label, vec_id, CAST(embedding[i] AS DOUBLE) AS x, i AS pos
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+cent AS (SELECT label, pos, AVG(x) AS c FROM ex GROUP BY label, pos),
+s AS (
+  SELECT e.label, e.vec_id, SUM(e.x * c.c) AS dot, SUM(e.x * e.x) AS nv2
+  FROM ex e JOIN cent c USING (label, pos)
+  GROUP BY e.label, e.vec_id
+),
+cn AS (SELECT label, SUM(c * c) AS nc2 FROM cent GROUP BY label),
+cos AS (
+  SELECT s.label, s.vec_id,
+         ROUND(s.dot / sqrt(s.nv2 * cn.nc2), 4) AS cos_centroid
+  FROM s JOIN cn USING (label)
+)
+SELECT label,
+       row_number() OVER (PARTITION BY label
+                          ORDER BY cos_centroid DESC, vec_id) AS rk,
+       vec_id, cos_centroid
+FROM cos
+QUALIFY rk <= {SEMDEDUP_KEEP_K}
+ORDER BY label, rk
+"""
+
+
 QUERIES = [
     QuerySpec("q18_nearest_neighbor", q18_nearest_neighbor, Q18_ORACLE,
               "exact 1-NN by squared L2 for 20 query vectors (argmin via min(struct))",
@@ -402,4 +483,8 @@ QUERIES = [
     QuerySpec("q86_label_centroids", q86_label_centroids, Q86_ORACLE,
               "per-label centroid sq-norm + inertia (k-means E-step shape)",
               ("similarity", "clustering")),
+    QuerySpec("q98_semantic_prune", q98_semantic_prune, Q98_ORACLE,
+              "SemDeDup-style per-cluster top-k central representatives "
+              "(broadcast centroids + WindowGroupLimit)",
+              ("similarity", "clustering", "dedup")),
 ]

@@ -49,6 +49,7 @@ _OPERATOR_MODULES = [
     "distributed_map_reduce_spark.operators.training",
     "distributed_map_reduce_spark.operators.udaf",
     "distributed_map_reduce_spark.operators.retrieval",
+    "distributed_map_reduce_spark.operators.curation",
     "distributed_map_reduce_spark.streaming.events_stream",
     "distributed_map_reduce_spark.sources.stats",
 ]
@@ -129,13 +130,17 @@ _PRIORITY = [
     "q81_streaming_enrich_twin",
     # below here = outside the 50-row window (green in r1–r4 driver rows
     # and still covered by the pytest parity gate every round)
-    # round-6 rotation plan: q91–q93 (new this round, pytest-green) take
-    # window slots of three multi-green rows once CORRECTNESS_r05 lands.
+    # round-6 rotation plan: q91–q99 (new in round 5, pytest-green) take
+    # window slots of nine multi-green rows once CORRECTNESS_r05 lands.
     "q91_gopher_rules",
     "q92_bigram_pmi",
     "q93_bm25_retrieval",
     "q94_stateful_user_stats",
     "q95_epoch_shuffle",
+    "q96_pii_redaction",
+    "q97_cdc_snapshot",
+    "q98_semantic_prune",
+    "q99_streaming_dedup_twin",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",

@@ -593,6 +593,55 @@ ORDER BY segment, event_type
 """
 
 
+def q99_streaming_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup under at-least-once delivery, hash-checked:
+    the event stream unioned with itself simulates every record being
+    delivered twice (the upstream reality dropDuplicates exists for);
+    keyed dedup state keeps the first occurrence of each event_id, and
+    the drained survivors are aggregated per event_type and compared to
+    a batch oracle over the ORIGINAL table — if any replay leaked or
+    any id was dropped, counts and cent-exact sums cannot match.
+
+    The dedup runs in the stream (append mode — each first occurrence
+    emits exactly once); the report aggregate runs on the drained memory
+    sink in batch, so the stateful operator under test is isolated. At
+    100 TB/day the same plan bounds state by adding a watermark
+    (``deduped_stream`` above); the finite drain here omits it so the
+    oracle equality is exact rather than horizon-dependent."""
+    import tempfile
+    import uuid
+
+    ev = events_stream(spark, sf_dir)
+    at_least_once = ev.union(events_stream(spark, sf_dir))
+    table = f"stream_q99_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dmrs_q99_stream_ckpt_")
+    run_available_now(
+        at_least_once.dropDuplicates(["event_id"]),
+        checkpoint_dir=ckpt,
+        table_name=table,
+        output_mode="append",
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    return (
+        spark.table(table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents) / 100.0).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q99_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def _build_queries():
     from ..operators.events import Q14_ORACLE, Q32_ORACLE, Q39_ORACLE
     from ..registry import QuerySpec
@@ -639,6 +688,14 @@ def _build_queries():
             Q94_ORACLE,
             "transformWithState per-user stats drain (== batch groupBy)",
             ("streaming", "events", "stateful"),
+        ),
+        QuerySpec(
+            "q99_streaming_dedup_twin",
+            q99_streaming_dedup_twin,
+            Q99_ORACLE,
+            "keyed dropDuplicates under doubled delivery, drained and "
+            "aggregated (== batch agg over the original table)",
+            ("streaming", "events", "dedup"),
         ),
     ]
 
