@@ -1158,6 +1158,94 @@ ORDER BY o_orderpriority, day
 """
 
 
+# --- q100: snapshot reconciliation (FULL OUTER join diff) --------------------
+
+# Deterministic "v2 crawl" of the documents table, derived in-query so
+# both engines fabricate the identical snapshot:
+#   - doc_id % 11 == 3  -> deleted in v2
+#   - doc_id % 7  == 2  -> text modified in v2 (suffix edit)
+#   - doc_id % 13 == 0  -> re-crawled under a NEW id (doc_id + 10^6)
+_V2_DUCK = (
+    "SELECT doc_id, source,"
+    " CASE WHEN doc_id % 7 = 2 THEN text || ' v2' ELSE text END AS text"
+    " FROM documents WHERE doc_id % 11 != 3"
+    " UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, source, text"
+    " FROM documents WHERE doc_id % 13 = 0"
+)
+
+
+def q100_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version reconciliation: diff two corpus snapshots keyed
+    by doc_id and classify every document as added / removed / changed /
+    unchanged — the audit run between crawl versions (or before/after a
+    curation pass) to quantify churn. The only FULL OUTER join shape in
+    the suite; contents compare by md5 so the wide text column never
+    crosses the shuffle.
+
+    Scale shape: both sides reduce to (doc_id, source, md5) projections
+    at the scan, so the full-outer hash join shuffles fingerprints, not
+    documents; the classification is a row-local CASE and the rollup is
+    a tiny per-(source, status) aggregate. At 100 TB both snapshots are
+    bucketed by doc_id and the join is exchange-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select(
+        "doc_id", "source", F.md5("text").alias("h1")
+    )
+    did = F.col("doc_id")
+    v2 = (
+        docs.filter(did % 11 != 3)
+        .select(
+            "doc_id",
+            "source",
+            F.when(did % 7 == 2, F.concat("text", F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(did % 13 == 0).select(
+                (did + 1000000).alias("doc_id"), "source", "text"
+            )
+        )
+        .select("doc_id", "source", F.md5("text").alias("h2"))
+    )
+    j = v1.withColumnsRenamed({"source": "s1"}).join(
+        v2.withColumnsRenamed({"source": "s2"}), "doc_id", "full_outer"
+    )
+    status = (
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce("s1", "s2").alias("source"), status.alias("status")
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "status")
+    )
+
+
+Q100_ORACLE = f"""
+WITH v1 AS (SELECT doc_id, source, md5(text) AS h1 FROM documents),
+v2 AS (SELECT doc_id, source, md5(text) AS h2 FROM ({_V2_DUCK})),
+j AS (
+  SELECT COALESCE(v1.source, v2.source) AS source,
+         CASE WHEN h1 IS NULL THEN 'added'
+              WHEN h2 IS NULL THEN 'removed'
+              WHEN h1 <> h2 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+)
+SELECT source, status, COUNT(*) AS n
+FROM j
+GROUP BY source, status
+ORDER BY source, status
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -1240,4 +1328,8 @@ QUERIES = [
     QuerySpec("q88_moving_average", q88_moving_average, Q88_ORACLE,
               "7-day RANGE-frame moving average of daily revenue per priority",
               ("relational", "window", "timeseries")),
+    QuerySpec("q100_snapshot_diff", q100_snapshot_diff, Q100_ORACLE,
+              "snapshot reconciliation diff (added/removed/changed) via "
+              "FULL OUTER join on md5 fingerprints",
+              ("relational", "join", "diff")),
 ]

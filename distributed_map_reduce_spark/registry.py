@@ -141,6 +141,7 @@ _PRIORITY = [
     "q97_cdc_snapshot",
     "q98_semantic_prune",
     "q99_streaming_dedup_twin",
+    "q100_snapshot_diff",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
