@@ -1,0 +1,150 @@
+"""Custom Python DataSource (Spark 4 extension API) for the reference's
+text-file I/O contract.
+
+The reference's input model is one whole text file per map task
+(`mrworker wc.so pg-*.txt`; the coordinator hands out filenames at
+/root/reference/src/mr/rpc.go:219-228 and the worker slurps the file at
+worker.go:221-232), and its output model is `mr-out-*` part files of
+``key value`` lines (mrsequential.go:38-42). This module re-expresses
+both as a first-class pluggable format through
+``pyspark.sql.datasource`` — the public extension point for sources the
+built-ins don't cover:
+
+    spark.dataSource.register(MRTextDataSource)
+    df = spark.read.format("mrtext").load("/data/books")      # path, text
+    out.write.format("mrtext").mode("append").save("/out")    # key value
+
+Why this exists next to ``read_whole_text_files`` (binaryfile.py): that
+helper returns an RDD for the map_reduce() compatibility API; this is
+the DataFrame-native, catalog-compatible route — usable from SQL
+(``CREATE TABLE ... USING mrtext``), and a worked example of the
+partition-planning / per-partition-read contract a real connector
+(object store, internal format) would implement.
+
+Scale notes:
+- planning lists files driver-side (same as every FileIndex) and emits
+  ONE InputPartition per file — the reference's exact task granularity;
+  parallelism = file count, and a 100 TB corpus of many files fans out
+  across all executors. Files are NOT split (matching both the
+  reference and Spark's own binaryFile source).
+- reads happen executor-side in the Python worker, Arrow-batched back
+  to the JVM; for text corpora the single-pass decode is I/O-bound.
+- the writer emits one part file per task from its own iterator (no
+  driver funnel); commit messages flow back to the driver, mirroring
+  the V2 WriterCommitMessage protocol.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _MRTextReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mrtext requires a path (load('<dir or file>'))")
+        self.glob = options.get("pathGlobFilter", "*")
+
+    def partitions(self):
+        import fnmatch
+
+        p = self.path
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if fnmatch.fnmatch(f, self.glob)
+                and os.path.isfile(os.path.join(p, f))
+            )
+        else:
+            files = [p]
+        if not files:
+            raise ValueError(f"mrtext: no input files under {p!r}")
+        return [_FilePartition(f) for f in files]
+
+    def read(self, partition):
+        with open(partition.path, "r", encoding="utf-8", errors="replace") as f:
+            yield (partition.path, f.read())
+
+
+class _MRTextCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class _MRTextWriter(DataSourceWriter):
+    """Writes ``<first-col> <second-col>`` lines, one part file per task
+    — the reference's mr-out format (mrsequential.go:38-42 prints
+    '%v %v')."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mrtext requires a path (save('<dir>'))")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"mr-out-{pid:05d}")
+        n = 0
+        with open(out, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(f"{row[0]} {row[1]}\n")
+                n += 1
+        return _MRTextCommit(out, n)
+
+    def commit(self, messages):
+        # part files are already in place; nothing to move. A durable
+        # object-store impl would promote staged files here.
+        return None
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class MRTextDataSource(DataSource):
+    """``format("mrtext")``: whole-file text read / key-value text write."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mrtext"
+
+    def schema(self) -> str:
+        return "path string, text string"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _MRTextReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        if len(schema.fields) != 2:
+            raise ValueError(
+                "mrtext writes exactly two columns (key, value); got "
+                f"{len(schema.fields)}"
+            )
+        return _MRTextWriter(self.options, overwrite)
+
+
+def register_mrtext(spark) -> None:
+    """Idempotently register the mrtext format on a session."""
+    spark.dataSource.register(MRTextDataSource)
