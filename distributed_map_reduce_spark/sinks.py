@@ -91,3 +91,75 @@ def compact_parquet_dir(
             if f.endswith(".parquet")
         ]
     )
+
+
+def zorder_value(df: DataFrame, cols: tuple[str, ...], n_bits: int = 12):
+    """Morton (Z-order) curve value over ``cols`` as a long Column.
+
+    Each column is min-max scaled to an ``n_bits`` integer, then the
+    bits are interleaved (column i contributes bit b to position
+    ``b * len(cols) + i``) — the classic multi-dimensional clustering
+    key (Morton 1966; the layout primitive behind Delta/Iceberg
+    OPTIMIZE ZORDER BY). Rows close on the curve are close in EVERY
+    dimension, so row-group min/max stats stay narrow on all of them at
+    once — single-column sort can only do this for its leading column.
+
+    The per-column min/max is one tiny aggregate (driver-side planning
+    metadata, same class as AQE's size stats — NOT a per-row collect);
+    the z-value itself is a fully unrolled shiftleft/AND/OR expression,
+    whole-stage codegen, no Python. n_bits * len(cols) must fit a long
+    (<= 63).
+    """
+    from pyspark.sql import functions as F
+
+    if n_bits * len(cols) > 63:
+        raise ValueError("n_bits * len(cols) must be <= 63")
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    top = (1 << n_bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn = float(stats[f"mn_{c}"])
+        mx = float(stats[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit(top).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((F.col(c) - mn) / span * top + 0.5).cast("long"),
+            ),
+        )
+        for b in range(n_bits):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, ...],
+    n_bits: int = 12,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered on the Z-order curve of ``cols``.
+
+    ``repartitionByRange`` on the z-value gives each output file a
+    disjoint curve segment (≈ a spatial tile), and the within-partition
+    sort keeps row groups narrow inside each file — so predicates on
+    ANY of ``cols`` skip most files/row groups via parquet min/max
+    stats. This is the storage-layout half of the 100 TB scan story
+    that partitioning (categorical dirs) and single-column sorting
+    (one dimension) cannot cover: multi-dimensional numeric filters.
+    """
+    z = zorder_value(df, cols, n_bits).alias("_z")
+    out = df.select("*", z)
+    out = (
+        out.repartitionByRange(num_files, "_z")
+        if num_files
+        else out.repartitionByRange("_z")
+    )
+    out.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(path)
