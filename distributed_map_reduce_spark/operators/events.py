@@ -501,6 +501,69 @@ ORDER BY user_id
 """
 
 
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def q102_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization audit: clip each event type's value to
+    its [p1, p99] band and report clip counts plus the raw vs
+    winsorized mean — the outlier-robustness pass run before any
+    metric that feeds a mean (reward stats, quality weights).
+
+    Two linear passes: an exact-percentile aggregate per type (tiny
+    result, broadcast back) and the clip+report aggregate — both
+    map-side-partial shuffles on event_type. Exact percentile sorts
+    within each group; group count here is the type vocabulary, so the
+    per-group sort is bounded (the q45/sketch split applies past
+    that). Means rounded to 4 (q49 float posture)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bands = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(WINSOR_LO)).alias("lo"),
+        F.percentile("value", F.lit(WINSOR_HI)).alias("hi"),
+    )
+    j = ev.join(F.broadcast(bands), "event_type")
+    w = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias(
+                "n_clip_lo"
+            ),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias(
+                "n_clip_hi"
+            ),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(w), 4).alias("mean_winsor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# DuckDB quantile_cont == Spark exact percentile (linear interpolation
+# at p*(n-1)); same equivalence q45 relies on.
+Q102_ORACLE = f"""
+WITH bands AS (
+  SELECT event_type,
+         quantile_cont(value, {WINSOR_LO}) AS lo,
+         quantile_cont(value, {WINSOR_HI}) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       ROUND(AVG(e.value), 4) AS mean_raw,
+       ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 4) AS mean_winsor
+FROM events e JOIN bands b USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 QUERIES = [
     QuerySpec("q14_hourly_windows", q14_hourly_windows, Q14_ORACLE,
               "tumbling 1h event windows (batch twin of the streaming path)",
@@ -533,4 +596,8 @@ QUERIES = [
               "CDC latest-row snapshot per key via struct-max partial "
               "aggregate (the MERGE/upsert compaction shape)",
               ("events", "cdc", "upsert")),
+    QuerySpec("q102_winsorize", q102_winsorize, Q102_ORACLE,
+              "per-type [p1,p99] winsorization with clip counts and "
+              "raw-vs-clipped means",
+              ("events", "robust-stats")),
 ]

@@ -50,6 +50,7 @@ _OPERATOR_MODULES = [
     "distributed_map_reduce_spark.operators.udaf",
     "distributed_map_reduce_spark.operators.retrieval",
     "distributed_map_reduce_spark.operators.curation",
+    "distributed_map_reduce_spark.operators.profile",
     "distributed_map_reduce_spark.streaming.events_stream",
     "distributed_map_reduce_spark.sources.stats",
 ]
@@ -142,6 +143,8 @@ _PRIORITY = [
     "q98_semantic_prune",
     "q99_streaming_dedup_twin",
     "q100_snapshot_diff",
+    "q101_table_profile",
+    "q102_winsorize",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
