@@ -236,12 +236,12 @@ Q24_ORACLE = Q24_ORACLE_BODY + "ORDER BY ad, bd\n"
 
 # --- q25: MinHash + LSH banding ---------------------------------------------
 
-def _minhash_bands(sh: DataFrame) -> DataFrame:
-    """Raw shingle stream -> one (doc_id, band, x, y) row per LSH band.
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """Raw shingle stream -> (doc_id, s0..s{N_PERM-1}) MinHash signature.
     min() is dedup-insensitive, so signatures come straight from the
     non-distinct stream — no distinct shuffle."""
     h = _hash7(F.col("sh"))
-    sigs = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(A_CONST[i]) * h + F.lit(B_CONST[i])) % F.lit(P_MOD)).alias(
                 f"s{i}"
@@ -249,6 +249,11 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
             for i in range(N_PERM)
         ]
     )
+
+
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """Raw shingle stream -> one (doc_id, band, x, y) row per LSH band."""
+    sigs = _minhash_sigs(sh)
     return sigs.select(
         "doc_id",
         F.explode(
@@ -916,6 +921,127 @@ Q90_ORACLE = (
 )
 
 
+def q103_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair,
+    the signature-agreement estimate of Jaccard (#matching permutation
+    minima / N_PERM) next to the exact shingle-set Jaccard — the audit
+    that justifies the (N_PERM, N_BANDS) operating point before anyone
+    trusts the approximate pipeline at 100 TB (est_j's banding recall
+    and its error against truth ARE the dedup quality bar).
+
+    Reuses q25's machinery end to end: one signature aggregate, band
+    self-join for candidates, per-pair array_intersect verification.
+    No threshold — calibration wants the misses too."""
+    sh = _doc_shingles(spark, sf_dir, distinct=False)
+    sigs = _minhash_sigs(sh).localCheckpoint(eager=False)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.col(f"s{2 * j}").alias("x"),
+                        F.col(f"s{2 * j + 1}").alias("y"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.x", "b.y")
+    cands = (
+        bands.select(F.col("doc_id").alias("ad"), "band", "x", "y")
+        .join(
+            bands.select(F.col("doc_id").alias("bd"), "band", "x", "y"),
+            ["band", "x", "y"],
+        )
+        .filter(F.col("ad") < F.col("bd"))
+        .select("ad", "bd")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("ad"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_PERM)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("bd"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(N_PERM)]
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_PERM)
+    )
+    sets = _hashed_shingle_sets(sh)
+    exact = (
+        cands.join(
+            sets.select(F.col("doc_id").alias("ad"), F.col("shs").alias("xa")),
+            "ad",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("bd"), F.col("shs").alias("xb")),
+            "bd",
+        )
+        .withColumn("i", F.size(F.array_intersect("xa", "xb")))
+        .select(
+            "ad",
+            "bd",
+            (
+                F.col("i")
+                / (F.size("xa") + F.size("xb") - F.col("i"))
+            ).alias("exact_raw"),
+        )
+    )
+    return (
+        exact.join(sa, "ad")
+        .join(sb, "bd")
+        .select(
+            "ad",
+            "bd",
+            F.round(agree / F.lit(float(N_PERM)), 3).alias("est_j"),
+            F.round("exact_raw", 3).alias("exact_j"),
+        )
+        .orderBy("ad", "bd")
+    )
+
+
+_DUCK_AGREE = " + ".join(
+    f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(N_PERM)
+)
+
+Q103_ORACLE = f"""
+WITH s AS ({_DUCK_DOC_SHINGLES}),
+sigs AS (
+  SELECT doc_id,
+         {_DUCK_SIG_COLS}
+  FROM s GROUP BY doc_id
+),
+bands AS (
+{_DUCK_BAND_ROWS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS ad, b.doc_id AS bd
+  FROM bands a JOIN bands b USING (band, x, y)
+  WHERE a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(DISTINCT sh) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT c.ad, c.bd, COUNT(DISTINCT a.sh) AS i
+  FROM cands c
+  JOIN s a ON a.doc_id = c.ad
+  JOIN s b ON b.doc_id = c.bd AND b.sh = a.sh
+  GROUP BY c.ad, c.bd
+)
+SELECT c.ad, c.bd,
+       ROUND(({_DUCK_AGREE}) / {float(N_PERM)}, 3) AS est_j,
+       ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / (x.n + y.n - COALESCE(i.i, 0)), 3) AS exact_j
+FROM cands c
+JOIN sigs a ON a.doc_id = c.ad
+JOIN sigs b ON b.doc_id = c.bd
+JOIN sz x ON x.doc_id = c.ad
+JOIN sz y ON y.doc_id = c.bd
+LEFT JOIN inter i ON i.ad = c.ad AND i.bd = c.bd
+ORDER BY c.ad, c.bd
+"""
+
+
 QUERIES = [
     QuerySpec("q24_ngram_jaccard_dedup", q24_ngram_jaccard_dedup, Q24_ORACLE,
               "exact 3-gram shingle Jaccard near-dup pairs (J >= 0.5)",
@@ -944,4 +1070,9 @@ QUERIES = [
     QuerySpec("q90_incremental_dedup", q90_incremental_dedup, Q90_ORACLE,
               "new-crawl docs probed against a bucketed MinHash store",
               ("dedup", "lsh", "incremental")),
+    QuerySpec("q103_minhash_calibration", q103_minhash_calibration,
+              Q103_ORACLE,
+              "estimated vs exact Jaccard for every LSH candidate pair "
+              "(the N_PERM/N_BANDS operating-point audit)",
+              ("dedup", "lsh", "calibration")),
 ]

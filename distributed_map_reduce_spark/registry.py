@@ -145,6 +145,7 @@ _PRIORITY = [
     "q100_snapshot_diff",
     "q101_table_profile",
     "q102_winsorize",
+    "q103_minhash_calibration",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
