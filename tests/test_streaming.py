@@ -308,3 +308,35 @@ def test_user_stats_tws_gate(spark, sf_dir):
         df = user_stats_tws(stream)
         assert df.isStreaming
         assert df.schema == user_stats_stateful(stream).schema
+
+
+def test_rocksdb_state_store_equals_default(spark, sf_dir, tmp_path):
+    """The same stateful drain on the RocksDB state store provider —
+    the production state backend once keyed state outgrows executor
+    heap (100 TB/day streams hold millions of keys; HDFS-backed
+    in-memory maps are the toy path). Results must be byte-identical
+    to the default provider: the provider swap is an operational knob,
+    never a semantics change."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    orig = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        run_available_now(
+            hourly_windows_stream(spark, sf_dir),
+            str(tmp_path / "ckpt_rocks"),
+            "hourly_stream_rocks",
+        )
+    finally:
+        if orig is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, orig)
+    got = spark.table("hourly_stream_rocks").collect()
+    batch = all_queries()["q14_hourly_windows"].build(spark, sf_dir).collect()
+    cols = ["w", "event_type", "n", "total"]
+    assert _canon(got, cols) == _canon(batch, cols)
+    assert len(got) > 0
