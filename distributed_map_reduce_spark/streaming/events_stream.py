@@ -137,6 +137,27 @@ def deduped_stream(
     return raw.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def deduped_stream_within_watermark(
+    spark: SparkSession, src_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Same contract on ``dropDuplicatesWithinWatermark`` — the newer
+    API whose state eviction is keyed on when a duplicate can still
+    ARRIVE (event time + watermark delta) rather than on the key's own
+    event time, so late replays of an old event are still caught while
+    state stays bounded. The operational choice between the two is a
+    replay-horizon question; both are exactly-once within horizon."""
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .parquet(src_dir)
+    )
+    return raw.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def enriched_segment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the live event stream joined to the
     customer dimension (user_id -> market segment), then aggregated per

@@ -10,6 +10,7 @@ from distributed_map_reduce_spark.sources import load_table
 from distributed_map_reduce_spark.streaming.events_stream import (
     RUNNING_TOTALS_OUT,
     deduped_stream,
+    deduped_stream_within_watermark,
     click_purchase_stream_join,
     enriched_segment_stream,
     hourly_windows_stream,
@@ -158,6 +159,37 @@ def test_streaming_dedup_drops_replays(spark, sf_dir, tmp_path):
     )
     out = spark.table("dedup_out")
     assert out.count() == out.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_dedup_within_watermark_drops_replays(
+    spark, sf_dir, tmp_path
+):
+    """Same replay corpus through dropDuplicatesWithinWatermark (state
+    evicted by when a duplicate can still arrive, not by the key's own
+    event time) — both dedup APIs must deliver the identical
+    exactly-once output on an in-horizon replay."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    a, b = ev.randomSplit([0.5, 0.5], seed=11)
+    src = str(tmp_path / "src")
+    a.coalesce(1).write.mode("append").parquet(src)
+    a.coalesce(1).write.mode("append").parquet(src)  # the replay
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    run_available_now(
+        deduped_stream_within_watermark(spark, src),
+        str(tmp_path / "ckpt"),
+        "dedup_ww_out",
+        "append",
+    )
+    out = spark.table("dedup_ww_out")
+    assert (
+        out.count()
+        == out.select("event_id").distinct().count()
+        == ev.count()
+    )
 
 
 def test_foreach_batch_sink_exactly_once_across_reruns(spark, sf_dir, tmp_path):
