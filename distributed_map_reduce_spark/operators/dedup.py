@@ -1042,6 +1042,66 @@ ORDER BY c.ad, c.bd
 """
 
 
+def q104_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q24's exact Jaccard pairs via AllPairs/PPJoin prefix filtering
+    (Bayardo et al. 2007; Xiao et al. 2008) — the THIRD dedup-join
+    family beside the full shingle self-join (q24) and LSH banding
+    (q25): exact results, but candidates come only from each document's
+    rarity-ordered shingle PREFIX (the first n - ceil(t*n) + 1 shingles
+    under a global df-ascending order). Two sets with J >= t must share
+    a prefix element, so completeness is guaranteed — and the parity
+    gate proves it by matching q24's oracle byte-for-byte.
+
+    Scale shape: the prefix keeps only the RAREST ~(1-t) fraction of
+    each doc's shingles as join keys, so blocking groups are tiny by
+    construction (rare = few docs) — boilerplate shingles with huge df
+    land OUTSIDE prefixes instead of forming hot keys, which is exactly
+    the skew the q24 self-join needs a df-cap to survive. Linear
+    passes: one df count, one rank window keyed by doc, the prefix
+    self-join, then per-pair array_intersect verification bounded by
+    candidate count."""
+    keys = _doc_shingle_keys(spark, sf_dir).localCheckpoint(eager=False)
+    dfreq = keys.groupBy("k").agg(F.count(F.lit(1)).alias("dfk"))
+    wpos = Window.partitionBy("doc_id").orderBy("dfk", "k")
+    wn = Window.partitionBy("doc_id")
+    ranked = (
+        keys.join(dfreq, "k")
+        .select(
+            "doc_id",
+            "k",
+            F.row_number().over(wpos).alias("pos"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    )
+    pref = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
+    )
+    a = pref.select(
+        F.col("doc_id").alias("ad"), "k", F.col("n").alias("na")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("bd"), "k", F.col("n").alias("nb")
+    )
+    cands = (
+        a.join(b, "k")
+        .filter(
+            (F.col("ad") < F.col("bd"))
+            # size filter: |x| and |y| within a factor t of each other,
+            # else J < t regardless of overlap
+            & (F.col("nb") >= F.ceil(F.lit(JACCARD_T) * F.col("na")))
+            & (F.col("na") >= F.ceil(F.lit(JACCARD_T) * F.col("nb")))
+        )
+        .select("ad", "bd")
+        .distinct()
+    )
+    sets = keys.groupBy("doc_id").agg(F.collect_set("k").alias("shs"))
+    return _verify_band_candidates(cands, sets)
+
+
+# Same contract as q24 (exact J >= t pairs) by construction — the twin
+# shares q24's oracle exactly like q57_fuzzy_blocked shares q57's.
+
+
 QUERIES = [
     QuerySpec("q24_ngram_jaccard_dedup", q24_ngram_jaccard_dedup, Q24_ORACLE,
               "exact 3-gram shingle Jaccard near-dup pairs (J >= 0.5)",
@@ -1075,4 +1135,9 @@ QUERIES = [
               "estimated vs exact Jaccard for every LSH candidate pair "
               "(the N_PERM/N_BANDS operating-point audit)",
               ("dedup", "lsh", "calibration")),
+    QuerySpec("q104_jaccard_prefix_join", q104_jaccard_prefix_join,
+              Q24_ORACLE,
+              "q24's exact pairs via AllPairs prefix filtering "
+              "(rarity-ordered prefixes as join keys, no LSH)",
+              ("dedup", "blocking")),
 ]

@@ -146,6 +146,7 @@ _PRIORITY = [
     "q101_table_profile",
     "q102_winsorize",
     "q103_minhash_calibration",
+    "q104_jaccard_prefix_join",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
