@@ -131,8 +131,10 @@ _PRIORITY = [
     "q81_streaming_enrich_twin",
     # below here = outside the 50-row window (green in r1–r4 driver rows
     # and still covered by the pytest parity gate every round)
-    # round-6 rotation plan: q91–q99 (new in round 5, pytest-green) take
-    # window slots of nine multi-green rows once CORRECTNESS_r05 lands.
+    # round-6 rotation plan: q91–q104 (new in round 5, pytest-green) take
+    # window slots of fourteen multi-green rows once CORRECTNESS_r05
+    # lands (swap candidates: q1–q3, q5, q6, q8, q10–q13, q15, q17,
+    # q19, q40 — all green in every round they appeared).
     "q91_gopher_rules",
     "q92_bigram_pmi",
     "q93_bm25_retrieval",
