@@ -77,10 +77,12 @@ def parse_media_header(b: bytes) -> dict | None:
     - BMP  (BITMAPINFOHEADER or BITMAPCOREHEADER dims)
     - JPEG (SOFn frame height/width via marker scan)
     - WAV  (RIFF/WAVE ``fmt `` chunk: channels + sample rate)
+    - AVI  (RIFF/'AVI ' ``avih`` main header: dims + total frames)
 
-    Returns ``{"fmt", "width", "height"}`` for images,
-    ``{"fmt", "sample_rate", "n_channels"}`` for WAV, or None when no
-    known signature matches (truncated/garbled headers included)."""
+    Returns ``{"fmt", "width", "height"}`` for images (AVI adds
+    ``n_frames``), ``{"fmt", "sample_rate", "n_channels"}`` for WAV, or
+    None when no known signature matches (truncated/garbled headers
+    included)."""
     try:
         if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
             w, h = struct.unpack(">II", b[16:24])
@@ -129,6 +131,33 @@ def parse_media_header(b: bytes) -> dict | None:
                     ch, sr = struct.unpack("<HI", b[i + 10 : i + 16])
                     return {"fmt": "wav", "sample_rate": sr, "n_channels": ch}
                 i += 8 + c_len + (c_len & 1)  # chunks are 2-byte aligned
+            return None
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            # top-level chunks; the main header lives in LIST/'hdrl'
+            i = 12
+            while i + 12 <= len(b):
+                cid = b[i : i + 4]
+                c_len = struct.unpack("<I", b[i + 4 : i + 8])[0]
+                if cid == b"LIST" and b[i + 8 : i + 12] == b"hdrl":
+                    j = i + 12
+                    end = min(i + 8 + c_len, len(b))
+                    while j + 8 <= end:
+                        sid = b[j : j + 4]
+                        s_len = struct.unpack("<I", b[j + 4 : j + 8])[0]
+                        # avih layout: dwMicroSecPerFrame @0,
+                        # dwTotalFrames @16, dwWidth @32, dwHeight @36
+                        if sid == b"avih" and s_len >= 40:
+                            nf = struct.unpack("<I", b[j + 24 : j + 28])[0]
+                            w, h = struct.unpack("<II", b[j + 40 : j + 48])
+                            return {
+                                "fmt": "avi",
+                                "width": w,
+                                "height": h,
+                                "n_frames": nf,
+                            }
+                        j += 8 + s_len + (s_len & 1)
+                    return None
+                i += 8 + c_len + (c_len & 1)
             return None
     except struct.error:
         return None

@@ -293,3 +293,32 @@ def test_parse_media_header_jpeg_fill_bytes():
             + b"\x00\x00" + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
             + struct.pack(">HH", 10, 20) + b"\x03" + b"\x00" * 3)
     assert parse_media_header(jpeg) == {"fmt": "jpeg", "width": 20, "height": 10}
+
+
+def _avi(w, h, n_frames):
+    import struct
+
+    avih = (
+        struct.pack("<I", 33333)  # dwMicroSecPerFrame
+        + b"\x00" * 12
+        + struct.pack("<I", n_frames)  # dwTotalFrames @16
+        + b"\x00" * 12
+        + struct.pack("<II", w, h)  # dwWidth/dwHeight @32/@36
+        + b"\x00" * 16
+    )  # 56-byte main header
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+
+def test_parse_media_header_avi():
+    got = parse_media_header(_avi(320, 240, 99))
+    assert got == {"fmt": "avi", "width": 320, "height": 240, "n_frames": 99}
+
+
+def test_parse_media_header_avi_truncated_returns_none():
+    assert parse_media_header(_avi(320, 240, 99)[:20]) is None
+    # RIFF/AVI signature but no hdrl LIST at all
+    import struct as _s
+
+    assert parse_media_header(b"RIFF" + _s.pack("<I", 4) + b"AVI ") is None
