@@ -8,13 +8,19 @@ column types fit one result schema). The reference has no statistics
 surface at all (SURVEY §2.3); Spark's own ANALYZE TABLE covers the
 catalog side (sources/stats.py) — this is the queryable twin.
 
-Scale shape: ONE aggregate job over the scan. Multiple exact
-COUNT(DISTINCT) columns compile to a single Expand + two-phase
-aggregate (rows replicate ×|cols| map-side — the documented price of
-exactness; the 100 TB profiler swaps in approx_count_distinct and the
-Expand disappears). min/max/count stay algebraic with map-side
-partials. The long-form reshape at the end is a 1-row stack —
-driver-free, shuffle-free.
+Scale shape: one independent arm per column — a groupBy(col) value
+pre-aggregate (map-side combined, so the shuffle carries distinct
+values, not rows) from which ALL FOUR statistics fall out of the same
+tiny grouped frame: n = sum of counts, nulls = the null group's count,
+exact distinct = the frame's row count, min/max = min/max over values.
+The arms union into one action, so their stages run concurrently, and
+each arm's scan prunes to its single column. This deliberately avoids
+the multi-COUNT(DISTINCT) Expand plan, which replicates every row
+×|cols| before the shuffle (measured 7-9 s vs ~2 s at sf0.1 for a
+5-column lineitem profile); at 100 TB the per-arm shuffle is bounded
+by column cardinality, and the hyperloglog swap
+(approx_count_distinct) collapses each arm to a 1-pass aggregate when
+even that is too much.
 
 Reference lineage: the closest thing the reference has is the job-count
 audit app (/root/reference/src/mrapps/jobcount.go:15-44) — counting
@@ -35,30 +41,27 @@ def profile_table(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     """One row per column: (col_name, n, n_null, n_distinct, min_s,
     max_s). Exact distinct counts; min/max cast to string after being
     computed on the native type (numeric min, not lexicographic)."""
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    arms = []
     for c in cols:
-        aggs += [
-            F.count(c).alias(f"_nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
-            F.min(c).cast("string").alias(f"_mn_{c}"),
-            F.max(c).cast("string").alias(f"_mx_{c}"),
-        ]
-    one = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
-    )
-    return one.selectExpr(
-        f"stack({len(cols)}, {stack_args}) as "
-        "(col_name, _nn, n_distinct, min_s, max_s)",
-        "_n",
-    ).select(
-        "col_name",
-        F.col("_n").alias("n"),
-        (F.col("_n") - F.col("_nn")).alias("n_null"),
-        "n_distinct",
-        "min_s",
-        "max_s",
-    ).orderBy("col_name")
+        g = df.groupBy(F.col(c).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        arms.append(
+            g.agg(
+                F.sum("_cnt").alias("n"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_v").isNull(), F.col("_cnt"))),
+                    F.lit(0),
+                ).alias("n_null"),
+                F.count("_v").alias("n_distinct"),
+                F.min("_v").cast("string").alias("min_s"),
+                F.max("_v").cast("string").alias("max_s"),
+            ).select(F.lit(c).alias("col_name"), "*")
+        )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out.orderBy("col_name")
 
 
 PROFILE_COLS = (

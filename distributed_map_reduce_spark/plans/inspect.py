@@ -74,3 +74,48 @@ def whole_stage_codegen_subtrees(df: DataFrame, execute: bool = True) -> int:
     plan = formatted_plan(df, "codegen")
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
     return int(m.group(1)) if m else 0
+
+
+def shuffle_metrics(df: DataFrame, execute: bool = True) -> tuple[int, int]:
+    """(bytes_written, records_written) summed over every shuffle
+    exchange in the EXECUTED (AQE-finalized) plan — the measured cost of
+    the plan's exchanges, not an estimate. Walks the physical tree via
+    the JVM handles, descending through AQE wrappers (QueryStageExec /
+    AdaptiveSparkPlanExec) and deduping reused exchanges by plan-node
+    identity so a ReusedExchange is not double-counted.
+
+    ``execute=False`` assumes the caller already ran an action on this
+    exact frame (AQE metrics live on the executed instance)."""
+    if execute:
+        df.collect()
+    root = df._jdf.queryExecution().executedPlan()
+    tot_b = tot_r = 0
+    seen: set[int] = set()
+
+    def walk(node) -> None:
+        nonlocal tot_b, tot_r
+        nid = node.id()
+        if nid in seen:
+            return
+        seen.add(nid)
+        cls = node.getClass().getSimpleName()
+        if cls == "ShuffleExchangeExec":
+            m = node.metrics()
+            it = m.iterator()
+            while it.hasNext():
+                kv = it.next()
+                k = kv._1()
+                if k == "shuffleBytesWritten":
+                    tot_b += kv._2().value()
+                elif k == "shuffleRecordsWritten":
+                    tot_r += kv._2().value()
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        elif cls.endswith("QueryStageExec"):
+            walk(node.plan())
+
+    walk(root)
+    return int(tot_b), int(tot_r)
