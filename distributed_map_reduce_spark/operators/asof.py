@@ -309,6 +309,81 @@ ORDER BY p.event_id
 """
 
 
+MULTITOUCH_WINDOW = "1 hour"
+
+
+def q105_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution: every click by the
+    same user in the hour before a purchase shares the purchase value
+    equally — the other canonical attribution model next to q33's
+    last-touch. Credit is allocated in integer cents with an explicit
+    remainder (cents_each = total DIV n, cents_rem = total MOD n): the
+    penny-allocation arithmetic real billing systems use, and exact
+    integer math, so the hash check has no float rounding surface.
+
+    Scale shape: one hash join on user_id with the time band as a
+    post-join predicate (clicks and purchases co-shuffle on the user
+    key — no interval explosion), then a count aggregate keyed by
+    purchase. Purchases with no in-window click don't appear (q33
+    covers the no-touch semantics)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    touched = purchases.join(clicks, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {MULTITOUCH_WINDOW}"))
+    )
+    return (
+        touched.groupBy("event_id", "user_id", "p_ts", "cents")
+        .agg(F.count(F.lit(1)).alias("n_touches"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+            "n_touches",
+            (F.col("cents") - F.col("cents") % F.col("n_touches"))
+            .cast("bigint")
+            .alias("_alloc"),
+            (F.col("cents") % F.col("n_touches")).cast("bigint").alias(
+                "cents_rem"
+            ),
+        )
+        .withColumn(
+            "cents_each", (F.col("_alloc") / F.col("n_touches")).cast("bigint")
+        )
+        .select(
+            "event_id", "user_id", "p_ts", "n_touches", "cents_each",
+            "cents_rem",
+        )
+        .orderBy("event_id")
+    )
+
+
+Q105_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts AS p_ts,
+       COUNT(*) AS n_touches,
+       CAST(p.cents // COUNT(*) AS BIGINT) AS cents_each,
+       CAST(p.cents % COUNT(*) AS BIGINT) AS cents_rem
+FROM (SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.c_ts <= p.ts AND c.c_ts >= p.ts - INTERVAL 1 HOUR
+GROUP BY p.event_id, p.user_id, p.ts, p.cents
+ORDER BY p.event_id
+"""
+
+
 QUERIES = [
     QuerySpec("q33_click_attribution", q33_click_attribution, Q33_ORACLE,
               "as-of join: purchases attributed to most recent prior click",
@@ -319,4 +394,9 @@ QUERIES = [
     QuerySpec("q34_value_band_join", q34_value_band_join, Q34_ORACLE,
               "range join: events into value bands via broadcast interval join",
               ("events", "range-join", "join")),
+    QuerySpec("q105_multitouch_attribution", q105_multitouch_attribution,
+              Q105_ORACLE,
+              "linear multi-touch attribution: equal integer-cent credit "
+              "to every click in the hour before a purchase",
+              ("events", "attribution", "join")),
 ]

@@ -564,6 +564,53 @@ ORDER BY e.event_type
 """
 
 
+def q106_mad_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust dispersion
+    companion to q102's winsorization (stddev is quadratic in outlier
+    magnitude; MAD is what you alarm on when the tail is dirty). Also
+    reports the classic robust-sigma estimate 1.4826*MAD and stddev
+    beside it, so the outlier inflation is visible in one row.
+
+    Two grouped exact-median passes (the second over |v - median|
+    after a broadcast join of the tiny median table) — same two-linear-
+    pass shape and q45 percentile-interpolation equivalence as q102."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+        "med",
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.median("adev"), 4).alias("mad"),
+            F.round(F.median("adev") * 1.4826, 4).alias("robust_sigma"),
+            F.round(F.stddev("value"), 4).alias("stddev"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q106_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       ROUND(ANY_VALUE(m.med), 4) AS med,
+       ROUND(median(abs(e.value - m.med)), 4) AS mad,
+       ROUND(median(abs(e.value - m.med)) * 1.4826, 4) AS robust_sigma,
+       ROUND(stddev_samp(e.value), 4) AS stddev
+FROM events e JOIN med m USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 QUERIES = [
     QuerySpec("q14_hourly_windows", q14_hourly_windows, Q14_ORACLE,
               "tumbling 1h event windows (batch twin of the streaming path)",
@@ -599,5 +646,9 @@ QUERIES = [
     QuerySpec("q102_winsorize", q102_winsorize, Q102_ORACLE,
               "per-type [p1,p99] winsorization with clip counts and "
               "raw-vs-clipped means",
+              ("events", "robust-stats")),
+    QuerySpec("q106_mad_dispersion", q106_mad_dispersion, Q106_ORACLE,
+              "median absolute deviation + robust sigma vs stddev per "
+              "event type",
               ("events", "robust-stats")),
 ]

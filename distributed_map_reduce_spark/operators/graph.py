@@ -411,6 +411,91 @@ ORDER BY doc_id
 """
 
 
+def q107_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup pair graph: edge count, wedge
+    (2-path) count, triangle count, and the global clustering
+    coefficient 3T/W — the structural audit that says whether near-dup
+    pairs form tight cliques (template families: safe to collapse to
+    one keeper) or long chains (transitive drift: collapsing loses
+    distinct documents). The canonical multi-way self-join shape the
+    suite otherwise lacks.
+
+    Scale shape: edges are id-ordered (a<b) so each triangle is counted
+    once by the ordered 3-way join — two hash joins on single node
+    keys, no symmetric blow-up; wedges come from one degree aggregate
+    (deg*(deg-1)/2 summed). Everything downstream of the pair detector
+    is proportional to edges + wedge count, and the detector is
+    swappable (q25/q104) exactly as in q38."""
+    from .dedup import q24_ngram_jaccard_dedup
+
+    e = (
+        q24_ngram_jaccard_dedup(spark, sf_dir)
+        .select(F.col("ad").alias("a"), F.col("bd").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    tri = (
+        e.join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+        )
+        .join(
+            e.select(F.col("a").alias("a"), F.col("b").alias("c")),
+            ["a", "c"],
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias(
+            "n_wedges"
+        )
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        edges.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(3 * F.col("n_triangles") / F.col("n_wedges"), 4),
+            ).alias("global_clustering"),
+        )
+    )
+
+
+def _q107_oracle() -> str:
+    from .dedup import Q24_ORACLE
+
+    return f"""
+WITH pairs AS ({Q24_ORACLE.replace("ORDER BY ad, bd", "")}),
+e AS (SELECT ad AS a, bd AS b FROM pairs),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+    ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+  GROUP BY n
+),
+w AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+ec AS (SELECT COUNT(*) AS n_edges FROM e)
+SELECT ec.n_edges, w.n_wedges, tri.n_triangles,
+       CASE WHEN w.n_wedges > 0
+            THEN ROUND(3.0 * tri.n_triangles / w.n_wedges, 4)
+            END AS global_clustering
+FROM ec, w, tri
+"""
+
+
 QUERIES = [
     QuerySpec("q38_dedup_clusters", q38_dedup_clusters, _q38_oracle(),
               "connected components over near-dup pairs: cluster + keeper per doc",
@@ -421,4 +506,8 @@ QUERIES = [
     QuerySpec("pagerank_suppliers", pagerank_suppliers, None,
               "PageRank over the part->supplier graph (iterative, property-tested)",
               ("graph", "iterative", "approx")),
+    QuerySpec("q107_triangle_count", q107_triangle_count, _q107_oracle(),
+              "triangle/wedge census + clustering coefficient of the "
+              "near-dup graph (ordered 3-way self-join)",
+              ("graph", "dedup", "audit")),
 ]

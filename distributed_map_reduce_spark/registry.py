@@ -149,6 +149,9 @@ _PRIORITY = [
     "q102_winsorize",
     "q103_minhash_calibration",
     "q104_jaccard_prefix_join",
+    "q105_multitouch_attribution",
+    "q106_mad_dispersion",
+    "q107_triangle_count",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
