@@ -128,6 +128,78 @@ ORDER BY p_partkey, pos
 """
 
 
+def q108_pandas_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q87's per-type OLS trend computed by an ``applyInPandas`` group
+    processor instead of the JVM regr_* aggregates, hash-checked against
+    the SAME DuckDB oracle — the parity demo for custom Python
+    operators: most applyInPandas pipelines get rows-only checks
+    because they express non-SQL logic; this one deliberately
+    recomputes a SQL-expressible aggregate so the Arrow group path
+    itself is value-verified cross-engine.
+
+    The pandas side evaluates the identical algebraic sums
+    (n·Σxy − Σx·Σy etc., float64) as regr_slope, so the only
+    cross-path difference is summation order — inside the rounding
+    budget q87 already pins. Scale posture matches every grouped
+    applyInPandas: holistic per group; groups here are the event-type
+    vocabulary."""
+    from .events import Q87_ORACLE  # noqa: F401  (oracle shared)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            )
+            / 3600.0
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy(dtype="float64")
+        y = pdf["y"].to_numpy(dtype="float64")
+        n = float(len(x))
+        sx, sy = x.sum(), y.sum()
+        sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
+        dx = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / dx
+        intercept = (sy - slope * sx) / n
+        dy = n * syy - sy * sy
+        r2 = (n * sxy - sx * sy) ** 2 / (dx * dy)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [int(n)],
+                "slope": [slope],
+                "intercept": [intercept],
+                "r2": [r2],
+            }
+        )
+
+    fitted = ev.groupBy("event_type").applyInPandas(
+        fit,
+        "event_type string, n bigint, slope double, "
+        "intercept double, r2 double",
+    )
+    # rounding stays Spark-side so tie-breaking matches the rest of the
+    # suite (Python's round() is banker's; F.round is the pinned posture)
+    return fitted.select(
+        "event_type",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+def _q108_oracle() -> str:
+    from .events import Q87_ORACLE
+
+    return Q87_ORACLE
+
+
 QUERIES = [
     QuerySpec("q70_udaf_geomean", q70_udaf_geomean, Q70_ORACLE,
               "grouped-agg pandas UDAF (vectorized custom aggregate)",
@@ -135,4 +207,8 @@ QUERIES = [
     QuerySpec("q71_udtf_tokenize", q71_udtf_tokenize, Q71_ORACLE,
               "Python UDTF lateral fan-out (table-function interface)",
               ("udtf",)),
+    QuerySpec("q108_pandas_ols", q108_pandas_ols, _q108_oracle(),
+              "q87's OLS trend recomputed by an applyInPandas group "
+              "processor, hash-checked against the same SQL oracle",
+              ("udaf", "pandas", "parity")),
 ]

@@ -152,6 +152,7 @@ _PRIORITY = [
     "q105_multitouch_attribution",
     "q106_mad_dispersion",
     "q107_triangle_count",
+    "q108_pandas_ols",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
