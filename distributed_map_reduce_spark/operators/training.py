@@ -604,6 +604,67 @@ ORDER BY shard, ord
 """
 
 
+def q109_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup leakage audit: every q24 near-dup pair
+    classified by the q62 hash-split of its two documents — the check
+    that says whether eval is contaminated by training near-duplicates
+    (the leak n-gram decontamination (q65) exists to prevent, measured
+    at the near-dup rather than exact-overlap level). Any off-diagonal
+    mass (train|val, train|test, val|test) is leakage.
+
+    Zero extra scans: the split is a row-local function of doc_id
+    (q62's md5 prefix), so both labels compute directly on the pair
+    frame — the whole audit is q24's detector plus one tiny groupBy.
+    The detector swaps for LSH/prefix candidates at 100 TB as in
+    q38/q72/q77."""
+    from .dedup import q24_ngram_jaccard_dedup
+
+    def split_of(col: str):
+        h = F.substring(F.md5(F.col(col).cast("string")), 1, 2)
+        return (
+            F.when(h < SPLIT_TRAIN_MAX, "train")
+            .when(h < SPLIT_VAL_MAX, "val")
+            .otherwise("test")
+        )
+
+    pairs = q24_ngram_jaccard_dedup(spark, sf_dir)
+    labeled = pairs.select(
+        F.least(split_of("ad"), split_of("bd")).alias("split_a"),
+        F.greatest(split_of("ad"), split_of("bd")).alias("split_b"),
+    )
+    return (
+        labeled.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaks", F.col("split_a") != F.col("split_b"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _q109_oracle() -> str:
+    from .dedup import Q24_ORACLE_BODY
+
+    split_sql = (
+        "CASE WHEN substr(md5(CAST({c} AS VARCHAR)), 1, 2)"
+        f" < '{SPLIT_TRAIN_MAX}' THEN 'train'"
+        " WHEN substr(md5(CAST({c} AS VARCHAR)), 1, 2)"
+        f" < '{SPLIT_VAL_MAX}' THEN 'val'"
+        " ELSE 'test' END"
+    )
+    sa, sb = split_sql.format(c="ad"), split_sql.format(c="bd")
+    return f"""
+WITH pairs AS ({Q24_ORACLE_BODY}),
+lab AS (
+  SELECT LEAST({sa}, {sb}) AS split_a, GREATEST({sa}, {sb}) AS split_b
+  FROM pairs
+)
+SELECT split_a, split_b, COUNT(*) AS n_pairs,
+       split_a <> split_b AS leaks
+FROM lab
+GROUP BY split_a, split_b
+ORDER BY split_a, split_b
+"""
+
+
 QUERIES = [
     QuerySpec("q61_sequence_packing", q61_sequence_packing, Q61_ORACLE,
               "greedy token-budget packing of docs into training sequences",
@@ -635,4 +696,8 @@ QUERIES = [
     QuerySpec("q95_epoch_shuffle", q95_epoch_shuffle, Q95_ORACLE,
               "deterministic md5 epoch shuffle + shard routing + rank",
               ("training", "shuffle")),
+    QuerySpec("q109_split_leakage", q109_split_leakage, _q109_oracle(),
+              "near-dup pairs classified by train/val/test split of each "
+              "side - the cross-split leakage audit",
+              ("training", "dedup", "audit")),
 ]

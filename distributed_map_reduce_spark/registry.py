@@ -153,6 +153,7 @@ _PRIORITY = [
     "q106_mad_dispersion",
     "q107_triangle_count",
     "q108_pandas_ols",
+    "q109_split_leakage",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
