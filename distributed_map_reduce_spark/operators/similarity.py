@@ -463,6 +463,139 @@ ORDER BY label, rk
 """
 
 
+# --- q110: k-means (Lloyd's algorithm, fixed iterations) ---------------------
+
+KMEANS_K = 4       # clusters
+KMEANS_ITERS = 2   # full (assign, update) Lloyd rounds
+
+
+def _kmeans_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """E-step: nearest centroid per vector. The centroid frame is
+    K x dim — broadcast at any corpus size — so the crossJoin plans as a
+    BroadcastNestedLoopJoin (K rows per vector, linear in n). Distance
+    is a deterministic left-fold over the array (F.aggregate preserves
+    index order, matching DuckDB's list_aggregate), so both engines
+    compute bit-identical distances from the ROUNDED centroids; argmin
+    is min(struct(dist, cid)) — partial-aggregatable, ties to the
+    lowest cid."""
+    d = F.aggregate(
+        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cid", d.alias("dist"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(F.col("dist"), F.col("cid"), F.col("v"))
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.dist").alias("dist"),
+            F.col("m.v").alias("v"),
+        )
+    )
+
+
+def _kmeans_update(assigned: DataFrame) -> DataFrame:
+    """M-step: per-cluster mean vector. posexplode -> (cid, pos) avg
+    (map-side partial) -> rebuild the array in index order. Centroids
+    are ROUNDED to 6 decimals so the next E-step's inputs are identical
+    across engines despite fp summation-order noise in AVG (the q86
+    posture, applied between iterations instead of only at output)."""
+    m = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    return m.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.c,
+        ).alias("c")
+    )
+
+
+def q110_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means via Lloyd's algorithm (K=4, 2 fixed iterations) — the
+    iterative-refinement workload (like pagerank / CC)
+    but ORACLE-HASHED: a fixed iteration count plus deterministic seeds
+    (initial centroids = the vectors with vec_id < K) makes the whole
+    trajectory SQL-expressible, so DuckDB replays it exactly. Emits per
+    final cluster: member count and inertia (mean squared distance to
+    the assigned centroid).
+
+    Scale shape per iteration: one broadcast E-step (K x dim centroid
+    frame, linear scan, partial-agg argmin) + one M-step (posexplode,
+    K x dim group keys — output always tiny). Nothing quadratic, no
+    driver-side loop over data (the Python loop builds the PLAN, the
+    data never leaves the cluster). pyspark.ml.KMeans runs the same
+    Lloyd step with sampled init; this variant trades seeding quality
+    for cross-engine determinism."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("v", lambda x: F.round(x, 6)).alias("c"),
+    )
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(emb, cent)
+        cent = _kmeans_update(assigned)
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("dist"), 4).alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _km_assign_sql(emb_cte: str, cent_cte: str) -> str:
+    return f"""
+  SELECT vec_id, cid, dist, v FROM (
+    SELECT e.vec_id, c.cid,
+           list_aggregate(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])), 'sum') AS dist,
+           e.v
+    FROM {emb_cte} e CROSS JOIN {cent_cte} c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+"""
+
+
+def _km_update_sql(assign_cte: str) -> str:
+    return f"""
+  SELECT cid, list(c ORDER BY pos) AS c FROM (
+    SELECT cid, i AS pos, ROUND(AVG(v[i]), 6) AS c
+    FROM {assign_cte}, UNNEST(range(1, len(v) + 1)) AS u(i)
+    GROUP BY cid, i
+  ) GROUP BY cid
+"""
+
+
+Q110_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid, list_transform(v, x -> ROUND(x, 6)) AS c
+  FROM emb WHERE vec_id < {KMEANS_K}
+),
+a1 AS ({_km_assign_sql("emb", "c0")}),
+c1 AS ({_km_update_sql("a1")}),
+a2 AS ({_km_assign_sql("emb", "c1")})
+SELECT cid, COUNT(*) AS n, ROUND(AVG(dist), 4) AS inertia
+FROM a2 GROUP BY cid ORDER BY cid
+"""
+
+
 QUERIES = [
     QuerySpec("q18_nearest_neighbor", q18_nearest_neighbor, Q18_ORACLE,
               "exact 1-NN by squared L2 for 20 query vectors (argmin via min(struct))",
@@ -487,4 +620,8 @@ QUERIES = [
               "SemDeDup-style per-cluster top-k central representatives "
               "(broadcast centroids + WindowGroupLimit)",
               ("similarity", "clustering", "dedup")),
+    QuerySpec("q110_kmeans_lloyd", q110_kmeans_lloyd, Q110_ORACLE,
+              "k-means Lloyd iterations (K=4, 2 rounds, deterministic "
+              "seed) — oracle-replayed iterative clustering",
+              ("similarity", "clustering", "iterative")),
 ]

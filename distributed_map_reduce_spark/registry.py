@@ -131,7 +131,7 @@ _PRIORITY = [
     "q81_streaming_enrich_twin",
     # below here = outside the 50-row window (green in r1–r4 driver rows
     # and still covered by the pytest parity gate every round)
-    # round-6 rotation plan: q91–q104 (new in round 5, pytest-green) take
+    # round-6 rotation plan: q91–q110 (new in round 5, pytest-green) take
     # window slots of fourteen multi-green rows once CORRECTNESS_r05
     # lands (swap candidates: q1–q3, q5, q6, q8, q10–q13, q15, q17,
     # q19, q40 — all green in every round they appeared).
@@ -154,6 +154,7 @@ _PRIORITY = [
     "q107_triangle_count",
     "q108_pandas_ols",
     "q109_split_leakage",
+    "q110_kmeans_lloyd",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",

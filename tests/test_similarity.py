@@ -48,3 +48,29 @@ def test_lsh_candidates_have_true_distances(spark, sf_dir):
         assert abs(round(true_d, 2) - r["dist"]) <= 0.01, (r, true_d)
         assert true_d <= 4.0 + 1e-6
         assert r["q"] != r["c"]
+
+
+def test_kmeans_lloyd_improves_on_initial_assignment(spark, sf_dir):
+    """Lloyd's guarantee: each (assign, update) round is monotonically
+    non-increasing in total inertia. Compare the registered 2-round
+    query's weighted inertia against the round-0 assignment (seeds as
+    centroids) recomputed in numpy."""
+    from distributed_map_reduce_spark.operators.similarity import (
+        KMEANS_K,
+        q110_kmeans_lloyd,
+    )
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    seeds = np.stack([np.round(vecs[i], 6) for i in range(KMEANS_K)])
+    d0 = sum(
+        min(float(((v - c) ** 2).sum()) for c in seeds) for v in vecs.values()
+    )
+
+    rows = q110_kmeans_lloyd(spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == len(vecs)
+    assert 1 <= len(rows) <= KMEANS_K
+    total = sum(r["n"] * r["inertia"] for r in rows)
+    assert total <= d0 + 1e-6, (total, d0)
