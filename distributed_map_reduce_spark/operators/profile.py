@@ -112,6 +112,103 @@ Q101_ORACLE = (
 )
 
 
+# --- q111: join-key skew profile ---------------------------------------------
+
+SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def key_skew_profile(
+    spark: SparkSession, sf_dir: str, keys: tuple[tuple[str, str], ...]
+) -> DataFrame:
+    """Join-key skew audit — the pre-flight check for "would this join
+    hot-spot at 1000 executors": for each candidate shuffle key, the
+    group-size distribution facts that predict stragglers. One row per
+    key: row count, distinct keys, max/avg group size, skew factor
+    (max/avg), the hottest key's share of all rows, exact p95 group
+    size, and the singleton count (keys a broadcast-bloom semi-join
+    would eliminate).
+
+    Scale shape: one arm per key = a single-column pruned scan +
+    map-side-combined groupBy(key).count — the shuffle carries distinct
+    keys, not rows — then a scalar aggregate over the (bounded) group
+    frame. Arms union into one action so their stages run concurrently.
+    This is the measurement half of the salting/AQE-skew-join story
+    (SCALE.md; tests/test_skew_join.py): you run THIS before choosing a
+    mitigation."""
+    arms = []
+    for table, key in keys:
+        g = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        arms.append(
+            g.agg(
+                F.sum("_cnt").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("_cnt").alias("max_group"),
+                F.expr("CAST(percentile(_cnt, 0.95) AS DOUBLE)").alias(
+                    "p95_group"
+                ),
+                F.sum(F.when(F.col("_cnt") == 1, 1).otherwise(0)).alias(
+                    "n_singleton"
+                ),
+            ).select(
+                F.lit(f"{table}.{key}").alias("key_name"),
+                "n_rows",
+                "n_keys",
+                "max_group",
+                F.round(
+                    F.col("n_rows").cast("double") / F.col("n_keys"), 4
+                ).alias("avg_group"),
+                F.round(
+                    F.col("max_group").cast("double")
+                    * F.col("n_keys")
+                    / F.col("n_rows"),
+                    4,
+                ).alias("skew_factor"),
+                F.round(
+                    F.lit(100.0) * F.col("max_group") / F.col("n_rows"), 4
+                ).alias("top1_share_pct"),
+                F.round("p95_group", 4).alias("p95_group"),
+                "n_singleton",
+            )
+        )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out.orderBy("key_name")
+
+
+def q111_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return key_skew_profile(spark, sf_dir, SKEW_KEYS)
+
+
+def _duck_skew_arm(table: str, key: str) -> str:
+    return f"""
+SELECT '{table}.{key}' AS key_name,
+       SUM(c) AS n_rows, COUNT(*) AS n_keys, MAX(c) AS max_group,
+       ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 4) AS avg_group,
+       ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 4) AS skew_factor,
+       ROUND(100.0 * MAX(c) / SUM(c), 4) AS top1_share_pct,
+       ROUND(CAST(quantile_cont(c, 0.95) AS DOUBLE), 4) AS p95_group,
+       SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_singleton
+FROM (SELECT COUNT(*) AS c FROM {table} GROUP BY {key})
+"""
+
+
+Q111_ORACLE = (
+    " UNION ALL ".join(_duck_skew_arm(t, k) for t, k in SKEW_KEYS)
+    + " ORDER BY key_name"
+)
+
+
 QUERIES = [
     QuerySpec(
         "q101_table_profile",
@@ -120,5 +217,13 @@ QUERIES = [
         "per-column profile (n/nulls/exact distinct/min/max) in one "
         "Expand aggregate pass",
         ("profile", "stats"),
+    ),
+    QuerySpec(
+        "q111_key_skew",
+        q111_key_skew,
+        Q111_ORACLE,
+        "join-key skew audit: group-size max/avg/p95, hottest-key "
+        "share, singletons — the pre-flight for salting/AQE decisions",
+        ("profile", "stats", "skew"),
     ),
 ]

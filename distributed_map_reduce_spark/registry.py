@@ -155,6 +155,7 @@ _PRIORITY = [
     "q108_pandas_ols",
     "q109_split_leakage",
     "q110_kmeans_lloyd",
+    "q111_key_skew",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
