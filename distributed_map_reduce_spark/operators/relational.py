@@ -1246,6 +1246,65 @@ ORDER BY source, status
 """
 
 
+# --- q112: correlated EXISTS / NOT EXISTS (TPC-H Q21 shape) ------------------
+
+_Q112_BODY = """
+SELECT s_name, COUNT(*) AS numwait
+FROM (
+  SELECT DISTINCT l1.l_suppkey AS suppkey, l1.l_orderkey AS orderkey
+  FROM {li} l1
+  JOIN {orders} o ON o.o_orderkey = l1.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND EXISTS (
+      SELECT 1 FROM {li} l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM {li} l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > l1.l_shipdate
+    )
+) waited
+JOIN {supplier} ON s_suppkey = suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def q112_exists_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape on this schema: suppliers who were the LAST to
+    ship in a finished multi-supplier order — a correlated EXISTS plus a
+    correlated inequality NOT EXISTS, the canonical subquery-
+    decorrelation stress test. Expressed as SQL text on purpose: this is
+    the surface a SQL user of the engine hits, and Catalyst must rewrite
+    both subqueries into joins (EXISTS -> left semi, NOT EXISTS -> left
+    anti with the non-equi shipdate predicate attached to the equi
+    orderkey key) — the plan sweep proves no CartesianProduct survives.
+
+    Scale shape: all three lineitem references join on l_orderkey, so
+    at 100 TB this is one shuffle keyed by orderkey reused across the
+    semi/anti sides (natural-order co-partitioning); the supplier dim
+    broadcasts; DISTINCT before the count bounds the aggregate by
+    (supplier x order). Top-10 with a total tie-break order keeps the
+    result deterministic for the hash gate."""
+    for name in ("lineitem", "orders", "supplier"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_q112")
+    return spark.sql(
+        _Q112_BODY.format(
+            li="lineitem_q112", orders="orders_q112",
+            supplier="supplier_q112",
+        )
+    )
+
+
+Q112_ORACLE = _Q112_BODY.format(
+    li="lineitem", orders="orders", supplier="supplier"
+)
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -1328,6 +1387,11 @@ QUERIES = [
     QuerySpec("q88_moving_average", q88_moving_average, Q88_ORACLE,
               "7-day RANGE-frame moving average of daily revenue per priority",
               ("relational", "window", "timeseries")),
+    QuerySpec("q112_exists_decorrelation", q112_exists_decorrelation,
+              Q112_ORACLE,
+              "TPC-H Q21 shape: correlated EXISTS + inequality NOT "
+              "EXISTS decorrelated by Catalyst into semi/anti joins",
+              ("relational", "subquery", "join")),
     QuerySpec("q100_snapshot_diff", q100_snapshot_diff, Q100_ORACLE,
               "snapshot reconciliation diff (added/removed/changed) via "
               "FULL OUTER join on md5 fingerprints",

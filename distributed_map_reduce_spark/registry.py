@@ -156,6 +156,7 @@ _PRIORITY = [
     "q109_split_leakage",
     "q110_kmeans_lloyd",
     "q111_key_skew",
+    "q112_exists_decorrelation",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",

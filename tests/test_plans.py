@@ -198,3 +198,13 @@ def test_q58_window_nav_partition_bounded(spark, sf_dir):
     # feeding the Window node
     window_input = plan.split("Window")[0]
     assert "SinglePartition" not in window_input, plan
+
+
+def test_q112_subqueries_decorrelate_to_semi_anti_joins(spark, sf_dir):
+    """The correlated EXISTS / NOT EXISTS pair must be rewritten by
+    Catalyst into semi/anti hash-family joins on the orderkey equi-key —
+    a surviving correlated subquery would re-scan lineitem per row."""
+    plan = formatted_plan(_q("q112_exists_decorrelation", spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
