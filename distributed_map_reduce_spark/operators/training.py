@@ -665,6 +665,61 @@ ORDER BY split_a, split_b
 """
 
 
+# --- q113: per-source equal-depth length bins (ntile) ------------------------
+
+LENGTH_BINS = 4  # quartiles
+
+
+def q113_length_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source equal-depth document-length quartiles — the "what
+    does a length-balanced batch look like per corpus" diagnostic that
+    sizes sequence-packing budgets (q61) and flags sources whose length
+    distribution collapsed. ntile(4) over (n_chars, doc_id) gives
+    deterministic equal-depth bins (both engines assign floor/ceil
+    remainders to the leading bins the same way); output is each bin's
+    row count, char range, and mean length.
+
+    Scale shape: the window partitions by SOURCE, so no global sort /
+    SinglePartition exchange ever appears — each source's rows sort
+    within their shuffle partition. At 100 TB a single source is still
+    billions of rows; the drop-in replacement there is binning against
+    approx_percentile boundaries (one pass, no per-row window), which
+    q102's band logic already demonstrates — ntile is the exact-answer
+    variant."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.select(
+            "source", "n_chars", F.ntile(LENGTH_BINS).over(w).alias("bin")
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+Q113_ORACLE = f"""
+SELECT source, bin, COUNT(*) AS n,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM (
+  SELECT source, n_chars,
+         ntile({LENGTH_BINS}) OVER (
+           PARTITION BY source ORDER BY n_chars, doc_id) AS bin
+  FROM documents
+)
+GROUP BY source, bin
+ORDER BY source, bin
+"""
+
+
 QUERIES = [
     QuerySpec("q61_sequence_packing", q61_sequence_packing, Q61_ORACLE,
               "greedy token-budget packing of docs into training sequences",
@@ -696,6 +751,10 @@ QUERIES = [
     QuerySpec("q95_epoch_shuffle", q95_epoch_shuffle, Q95_ORACLE,
               "deterministic md5 epoch shuffle + shard routing + rank",
               ("training", "shuffle")),
+    QuerySpec("q113_length_bins", q113_length_bins, Q113_ORACLE,
+              "per-source equal-depth length quartiles (ntile) for "
+              "packing-budget sizing",
+              ("training", "stats", "window")),
     QuerySpec("q109_split_leakage", q109_split_leakage, _q109_oracle(),
               "near-dup pairs classified by train/val/test split of each "
               "side - the cross-split leakage audit",

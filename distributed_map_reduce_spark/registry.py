@@ -157,6 +157,7 @@ _PRIORITY = [
     "q110_kmeans_lloyd",
     "q111_key_skew",
     "q112_exists_decorrelation",
+    "q113_length_bins",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
