@@ -556,19 +556,11 @@ RULE_MAX_MEANLEN = 5.0
 RULE_MIN_STOPWORDS = 2
 
 
-def q91_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style rule-based quality filter funnel (Rae et al. 2021
-    §A1.1.1 document filters, re-expressed as Spark column rules): word
-    count bounds, mean-word-length band, and a minimum distinct-stopword
-    hit count. Emits the curation dashboard — per-source doc counts,
-    per-rule fail counts, and the final keep rate.
-
-    Scale shape: one row-local projection computes every rule inside
-    whole-stage codegen (aggregate() for the length sum, array_intersect
-    for distinct stopword hits — no explode, no Python), then one tiny
-    per-source aggregation. Embarrassingly parallel at 100 TB; the rule
-    booleans would feed a `.filter(passes)` writer in production."""
-    d = _docs(spark, sf_dir).select(
+def gopher_rule_frame(docs: DataFrame) -> DataFrame:
+    """Row-local rule projection over any documents-shaped frame (batch
+    OR streaming — it is stateless, so the same expression tree serves
+    both): per doc, the four Gopher-rule fail booleans."""
+    d = docs.select(
         "source",
         F.expr(f"size({_TOKS})").alias("n_tok"),
         F.expr(
@@ -583,7 +575,7 @@ def q91_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("len_sum") / F.col("n_tok")).alias("mean_len"),
         "n_stop_distinct",
     )
-    rules = d.select(
+    return d.select(
         "source",
         (F.col("n_tok") < RULE_MIN_TOK).alias("f_short"),
         (F.col("n_tok") > RULE_MAX_TOK).alias("f_long"),
@@ -593,6 +585,11 @@ def q91_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_wordlen"),
         (F.col("n_stop_distinct") < RULE_MIN_STOPWORDS).alias("f_stop"),
     )
+
+
+def gopher_funnel(rules: DataFrame) -> DataFrame:
+    """Per-source fail-count funnel over a rule frame. Unordered (the
+    streaming twin sorts after its drain; batch sorts inline)."""
     return (
         rules.groupBy("source")
         .agg(
@@ -613,8 +610,26 @@ def q91_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "pass_rate", F.round(F.col("n_pass") / F.col("n_docs"), 4)
         )
-        .orderBy("source")
     )
+
+
+def q91_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-based quality filter funnel (Rae et al. 2021
+    §A1.1.1 document filters, re-expressed as Spark column rules): word
+    count bounds, mean-word-length band, and a minimum distinct-stopword
+    hit count. Emits the curation dashboard — per-source doc counts,
+    per-rule fail counts, and the final keep rate.
+
+    Scale shape: one row-local projection computes every rule inside
+    whole-stage codegen (aggregate() for the length sum, array_intersect
+    for distinct stopword hits — no explode, no Python), then one tiny
+    per-source aggregation. Embarrassingly parallel at 100 TB; the rule
+    booleans would feed a `.filter(passes)` writer in production. The
+    rule frame and funnel are shared verbatim with the streaming twin
+    (q114) — stateless projections serve both execution modes."""
+    return gopher_funnel(
+        gopher_rule_frame(_docs(spark, sf_dir))
+    ).orderBy("source")
 
 
 Q91_ORACLE = f"""

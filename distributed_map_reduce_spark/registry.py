@@ -52,6 +52,7 @@ _OPERATOR_MODULES = [
     "distributed_map_reduce_spark.operators.curation",
     "distributed_map_reduce_spark.operators.profile",
     "distributed_map_reduce_spark.streaming.events_stream",
+    "distributed_map_reduce_spark.streaming.documents_stream",
     "distributed_map_reduce_spark.sources.stats",
 ]
 
@@ -158,6 +159,7 @@ _PRIORITY = [
     "q111_key_skew",
     "q112_exists_decorrelation",
     "q113_length_bins",
+    "q114_streaming_quality_twin",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
