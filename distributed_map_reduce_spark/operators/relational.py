@@ -1246,6 +1246,182 @@ ORDER BY source, status
 """
 
 
+# --- q115: explicit GROUPING SETS --------------------------------------------
+
+def q115_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status, priority), (status), ()) — the
+    general form that cube (q35) and rollup (q11) specialize; picking
+    exactly the marginal totals a dashboard needs skips computing the
+    (priority)-only set a full cube would add. Uses the first-class
+    ``DataFrame.groupingSets`` API (Spark 4). Same engine shape as
+    cube: one Expand node feeding ONE partially-aggregated shuffle —
+    3 grouping sets ≠ 3 scans, at 100 TB the scan still happens once."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                [],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+Q115_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+ORDER BY status, priority
+"""
+
+
+# --- q116: higher-order array-function sweep ---------------------------------
+
+ARRAY_SWEEP_MAX_ID = 50  # vectors audited (bounds the hashed output)
+
+
+def q116_array_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function coverage in one row-local pass over
+    embeddings — the complex-type sibling of the q75 string and q76
+    math sweeps: filter (positive count), exists-as-filter-length
+    (|x| > 2 outliers), aggregate (abs-sum fold), transform+sort+slice
+    (rounded top-3 components, array-valued output column), and
+    distinct-of-transform (sign vocabulary). Everything stays inside
+    whole-stage codegen; zero shuffles before the final sort of 50
+    rows. DuckDB twins: list_filter / list_aggregate / list_sort /
+    list_distinct."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < ARRAY_SWEEP_MAX_ID
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("v", lambda x: x > 0)).alias("n_pos"),
+        F.size(F.filter("v", lambda x: F.abs(x) > 2)).alias("n_outlier"),
+        F.round(
+            F.aggregate(
+                "v", F.lit(0.0), lambda acc, x: acc + F.abs(x)
+            ),
+            4,
+        ).alias("abs_sum"),
+        F.slice(
+            F.sort_array(
+                F.transform("v", lambda x: F.round(x, 4)), asc=False
+            ),
+            1,
+            3,
+        ).alias("top3"),
+        F.array_size(
+            F.array_distinct(F.transform("v", lambda x: F.signum(x)))
+        ).alias("n_signs"),
+    ).orderBy("vec_id")
+
+
+Q116_ORACLE = f"""
+SELECT vec_id,
+       len(list_filter(v, x -> x > 0)) AS n_pos,
+       len(list_filter(v, x -> abs(x) > 2)) AS n_outlier,
+       ROUND(list_aggregate(list_transform(v, x -> abs(x)), 'sum'), 4)
+         AS abs_sum,
+       list_sort(list_transform(v, x -> ROUND(x, 4)), 'DESC')[1:3] AS top3,
+       len(list_distinct(list_transform(v, x -> CAST(sign(x) AS DOUBLE))))
+         AS n_signs
+FROM (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < {ARRAY_SWEEP_MAX_ID}
+)
+ORDER BY vec_id
+"""
+
+
+# --- q117: weighted median ---------------------------------------------------
+
+def q117_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per returnflag — the holistic
+    weighted aggregate Spark has no built-in for, composed from a RANGE
+    cumulative-weight window: the weighted median is the smallest price
+    whose cumulative weight reaches half the group total. The RANGE
+    frame (not ROWS) makes the cumulative sum at tied prices the sum
+    THROUGH the tie group — deterministic under any row order, which is
+    what lets both engines agree. Weights here are integral-valued
+    doubles, so the cumulative sums are fp-exact and the half-total
+    comparison cannot flip.
+
+    Scale shape: one hash exchange on the group key + per-partition
+    sort (the window), then a plain partial-aggregated groupBy — the
+    same cost as any per-group window; no global sort, no driver
+    collection. For groups too hot for one partition, the two-pass
+    approx_percentile-with-weights-via-duplication trick is the stated
+    fallback; the exact form is the oracle-checkable contract."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wcum).alias("cum"),
+        F.sum("l_quantity").over(wtot).alias("tot"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("tot"), 2).alias("total_weight"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.col("tot") / 2.0,
+                        F.col("l_extendedprice"),
+                    )
+                ),
+                2,
+            ).alias("weighted_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q117_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice) AS cum,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(MAX(tot), 2) AS total_weight,
+       ROUND(MIN(CASE WHEN cum >= tot / 2.0 THEN l_extendedprice END), 2)
+         AS weighted_median_price
+FROM c
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # --- q112: correlated EXISTS / NOT EXISTS (TPC-H Q21 shape) ------------------
 
 _Q112_BODY = """
@@ -1387,6 +1563,18 @@ QUERIES = [
     QuerySpec("q88_moving_average", q88_moving_average, Q88_ORACLE,
               "7-day RANGE-frame moving average of daily revenue per priority",
               ("relational", "window", "timeseries")),
+    QuerySpec("q115_grouping_sets", q115_grouping_sets, Q115_ORACLE,
+              "explicit GROUPING SETS via DataFrame.groupingSets "
+              "(one Expand pass, not one scan per set)",
+              ("relational", "rollup")),
+    QuerySpec("q116_array_sweep", q116_array_sweep, Q116_ORACLE,
+              "higher-order array functions (filter/aggregate/"
+              "transform/sort/slice/distinct) in one codegen pass",
+              ("relational", "scalar", "array")),
+    QuerySpec("q117_weighted_median", q117_weighted_median, Q117_ORACLE,
+              "quantity-weighted median price via RANGE cumulative-"
+              "weight window (holistic weighted aggregate)",
+              ("relational", "window", "stats")),
     QuerySpec("q112_exists_decorrelation", q112_exists_decorrelation,
               Q112_ORACLE,
               "TPC-H Q21 shape: correlated EXISTS + inequality NOT "

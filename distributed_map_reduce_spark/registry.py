@@ -160,6 +160,9 @@ _PRIORITY = [
     "q112_exists_decorrelation",
     "q113_length_bins",
     "q114_streaming_quality_twin",
+    "q115_grouping_sets",
+    "q116_array_sweep",
+    "q117_weighted_median",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
