@@ -496,6 +496,74 @@ FROM ec, w, tri
 """
 
 
+# --- q118: k-hop reachability via a native recursive CTE ---------------------
+
+KHOP_DEPTH = 3  # hop bound; recursion terminates on cycles because of it
+
+# Shared recursive body: runs UNCHANGED on Spark 4 (WITH RECURSIVE,
+# UNION ALL iteration) and DuckDB — only the pair-source CTE differs.
+# Spark's recursive CTEs are UNION ALL-only (fixpoint UNION raises
+# UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so paths duplicate and the
+# outer COUNT(DISTINCT) does the dedup; the hop bound caps the blow-up.
+_KHOP_BODY = """
+sym AS (
+  SELECT ad AS a, bd AS b FROM {pairs}
+  UNION ALL
+  SELECT bd, ad FROM {pairs}
+),
+reach(n, m, depth) AS (
+  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM sym) seeds
+  UNION ALL
+  SELECT r.n, s.b, r.depth + 1
+  FROM reach r JOIN sym s ON s.a = r.m
+  WHERE r.depth < {depth}
+)
+SELECT n AS doc_id,
+       COUNT(DISTINCT m) AS n_reach,
+       MIN(m) AS min_reach
+FROM reach
+GROUP BY n
+ORDER BY doc_id
+"""
+
+
+def q118_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop reachability over the near-dup pair graph via Spark 4's
+    NATIVE recursive CTE — per doc, how many documents its duplicate
+    relation reaches within 3 hops (the "transitive drift" audit q107
+    summarizes globally, resolved per node), plus the minimum reached
+    id (= the q38 keeper whenever the component's diameter is <= 3).
+
+    Scale shape: each recursion step is one hash join of the frontier
+    against the (reusable) symmetric edge frame — the same join q38's
+    hand-rolled loop issues, but driven by the engine's UnionLoop
+    operator with the SQL surface a user actually writes. The explicit
+    hop bound is the termination contract (Spark recursion is UNION
+    ALL-only, so a cyclic closure without it would not terminate);
+    unbounded-diameter closure remains the job of the iterative
+    DataFrame operators (q38 label propagation, q89 star-contraction),
+    which this query complements, not replaces."""
+    from .dedup import q24_ngram_jaccard_dedup
+
+    q24_ngram_jaccard_dedup(spark, sf_dir).createOrReplaceTempView(
+        "pairs_q118"
+    )
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _KHOP_BODY.format(pairs="pairs_q118", depth=KHOP_DEPTH)
+    )
+
+
+def _q118_oracle() -> str:
+    from .dedup import Q24_ORACLE
+
+    pairs = Q24_ORACLE.replace("ORDER BY ad, bd", "")
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs}),\n"
+        + _KHOP_BODY.format(pairs="pairs", depth=KHOP_DEPTH)
+    )
+
+
 QUERIES = [
     QuerySpec("q38_dedup_clusters", q38_dedup_clusters, _q38_oracle(),
               "connected components over near-dup pairs: cluster + keeper per doc",
@@ -506,6 +574,11 @@ QUERIES = [
     QuerySpec("pagerank_suppliers", pagerank_suppliers, None,
               "PageRank over the part->supplier graph (iterative, property-tested)",
               ("graph", "iterative", "approx")),
+    QuerySpec("q118_khop_reachability", q118_khop_reachability,
+              _q118_oracle(),
+              "3-hop dup-graph reachability via native recursive CTE "
+              "(UnionLoop), per-doc reach count + min id",
+              ("graph", "dedup", "recursive")),
     QuerySpec("q107_triangle_count", q107_triangle_count, _q107_oracle(),
               "triangle/wedge census + clustering coefficient of the "
               "near-dup graph (ordered 3-way self-join)",

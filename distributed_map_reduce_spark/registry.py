@@ -163,6 +163,7 @@ _PRIORITY = [
     "q115_grouping_sets",
     "q116_array_sweep",
     "q117_weighted_median",
+    "q118_khop_reachability",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
