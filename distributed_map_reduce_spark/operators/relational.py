@@ -1422,6 +1422,42 @@ ORDER BY l_returnflag
 """
 
 
+# --- q119: LATERAL correlated subquery join ----------------------------------
+
+# Shared body: Spark 4 and DuckDB both accept the comma-LATERAL form.
+_Q119_BODY = """
+SELECT c_custkey, t.o_orderkey, t.total
+FROM {customer}, LATERAL (
+  SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+  FROM {orders}
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+ORDER BY c_custkey, total DESC, o_orderkey
+"""
+
+
+def q119_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via a LATERAL correlated subquery —
+    the third spelling of grouped top-k beside the window (q9) and
+    TakeOrdered (q8) forms, because LATERAL is the surface SQL users
+    write when the per-row subquery feels natural. Catalyst must
+    decorrelate the correlated ORDER BY ... LIMIT into a partitioned
+    window (DecorrelateInnerQuery + RewriteLateralSubquery), NOT a
+    per-customer re-scan of orders — same plan family as q9, proven by
+    the sweep's no-CartesianProduct/partial-agg gates. Shared SQL body
+    with the DuckDB oracle."""
+    for name in ("customer", "orders"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_q119")
+    return spark.sql(
+        _Q119_BODY.format(customer="customer_q119", orders="orders_q119")
+    )
+
+
+Q119_ORACLE = _Q119_BODY.format(customer="customer", orders="orders")
+
+
 # --- q112: correlated EXISTS / NOT EXISTS (TPC-H Q21 shape) ------------------
 
 _Q112_BODY = """
@@ -1575,6 +1611,10 @@ QUERIES = [
               "quantity-weighted median price via RANGE cumulative-"
               "weight window (holistic weighted aggregate)",
               ("relational", "window", "stats")),
+    QuerySpec("q119_lateral_topk", q119_lateral_topk, Q119_ORACLE,
+              "top-2 orders per customer via LATERAL correlated "
+              "subquery (decorrelated, no per-row re-scan)",
+              ("relational", "subquery", "topk")),
     QuerySpec("q112_exists_decorrelation", q112_exists_decorrelation,
               Q112_ORACLE,
               "TPC-H Q21 shape: correlated EXISTS + inequality NOT "

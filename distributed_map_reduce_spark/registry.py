@@ -164,6 +164,7 @@ _PRIORITY = [
     "q116_array_sweep",
     "q117_weighted_median",
     "q118_khop_reachability",
+    "q119_lateral_topk",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
