@@ -372,3 +372,44 @@ def test_rocksdb_state_store_equals_default(spark, sf_dir, tmp_path):
     cols = ["w", "event_type", "n", "total"]
     assert _canon(got, cols) == _canon(batch, cols)
     assert len(got) > 0
+
+
+def test_documents_stream_incremental_files(spark, sf_dir, tmp_path):
+    """True incremental curation: drain the Gopher funnel over HALF the
+    corpus, then drop the second half into the watched directory and
+    re-drain FROM THE SAME CHECKPOINT — the aggregate state must carry
+    over, and the final complete-mode output must equal the batch
+    funnel over the whole corpus (the append-only crawl contract q114
+    demonstrates in one trigger, here across two arrivals)."""
+    from distributed_map_reduce_spark.operators.textanalysis import (
+        gopher_funnel,
+        gopher_rule_frame,
+    )
+
+    batch = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    batch.filter("doc_id % 2 = 0").write.mode("append").parquet(src)
+
+    def drain(table):
+        stream = (
+            spark.readStream.schema(batch.schema).format("parquet").load(src)
+        )
+        run_available_now(
+            gopher_funnel(gopher_rule_frame(stream)), ckpt, table, "complete"
+        )
+        return spark.table(table)
+
+    cols = ["source", "n_docs", "fail_short", "fail_long", "fail_wordlen",
+            "fail_stop", "n_pass", "pass_rate"]
+    partial = drain("inc_curation_1").collect()
+    expected_half = gopher_funnel(
+        gopher_rule_frame(batch.filter("doc_id % 2 = 0"))
+    ).collect()
+    assert _canon(partial, cols) == _canon(expected_half, cols)
+
+    batch.filter("doc_id % 2 = 1").write.mode("append").parquet(src)
+    full = drain("inc_curation_2").collect()
+    expected_full = gopher_funnel(gopher_rule_frame(batch)).collect()
+    assert _canon(full, cols) == _canon(expected_full, cols)
+    assert _canon(full, cols) != _canon(partial, cols)
