@@ -545,9 +545,12 @@ def q118_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     which this query complements, not replaces."""
     from .dedup import q24_ngram_jaccard_dedup
 
-    q24_ngram_jaccard_dedup(spark, sf_dir).createOrReplaceTempView(
-        "pairs_q118"
-    )
+    # Materialize the pair detection ONCE: the view is referenced twice
+    # in sym and sym is re-joined every recursion step — without the
+    # checkpoint barrier each UnionLoop step would replay the whole
+    # shingle self-join (measured minutes instead of seconds at sf0.1).
+    pairs = q24_ngram_jaccard_dedup(spark, sf_dir).localCheckpoint()
+    pairs.createOrReplaceTempView("pairs_q118")
     return spark.sql(
         "WITH RECURSIVE "
         + _KHOP_BODY.format(pairs="pairs_q118", depth=KHOP_DEPTH)

@@ -193,12 +193,14 @@ def q111_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_skew_arm(table: str, key: str) -> str:
     return f"""
 SELECT '{table}.{key}' AS key_name,
-       SUM(c) AS n_rows, COUNT(*) AS n_keys, MAX(c) AS max_group,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_keys, MAX(c) AS max_group,
        ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 4) AS avg_group,
        ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 4) AS skew_factor,
        ROUND(100.0 * MAX(c) / SUM(c), 4) AS top1_share_pct,
        ROUND(CAST(quantile_cont(c, 0.95) AS DOUBLE), 4) AS p95_group,
-       SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_singleton
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singleton
 FROM (SELECT COUNT(*) AS c FROM {table} GROUP BY {key})
 """
 
