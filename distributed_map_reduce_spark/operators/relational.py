@@ -1458,6 +1458,110 @@ def q119_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q119_ORACLE = _Q119_BODY.format(customer="customer", orders="orders")
 
 
+# --- q120: fixed-width histogram via width_bucket ----------------------------
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 400_000.0, 16
+
+
+def q120_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals via ``width_bucket`` — the
+    equal-WIDTH companion to q113's equal-DEPTH ntile bins, and the
+    profiling staple (value-distribution dashboards, outlier shelves:
+    bucket 0 = below range, bins+1 = above). Bucket assignment is
+    row-local arithmetic on identical doubles, so both engines bin
+    identically with no rounding hazard; per-bucket count + sum follow
+    from one partial-aggregated groupBy over at most bins+2 keys.
+
+    Scale: one pruned scan, one tiny shuffle (bounded by bin count) —
+    the histogram of a 100 TB fact column costs a map-side combine."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket(
+                "o_totalprice", F.lit(HIST_LO), F.lit(HIST_HI),
+                F.lit(HIST_BINS),
+            ).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# DuckDB has no width_bucket; the oracle spells out the same SQL-standard
+# arithmetic (identical doubles, identical division => identical bins).
+Q120_ORACLE = f"""
+SELECT CASE
+         WHEN o_totalprice < {HIST_LO} THEN 0
+         WHEN o_totalprice >= {HIST_HI} THEN {HIST_BINS} + 1
+         ELSE 1 + CAST(FLOOR((o_totalprice - {HIST_LO})
+                  / (({HIST_HI} - {HIST_LO}) / {HIST_BINS})) AS BIGINT)
+       END AS bucket,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# --- q121: multiset set operations (EXCEPT ALL / INTERSECT ALL) --------------
+
+def q121_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the BAG-semantics set operations
+    q10's distinct-semantics INTERSECT/EXCEPT leave uncovered:
+    duplicates count, so "orders per (custkey, priority) placed in 1995
+    minus those placed in 1996" keeps multiplicity (a customer with 3
+    urgent 1995 orders and 1 urgent 1996 order survives twice). Both
+    engines implement the same SQL-standard multiset algebra; the
+    output aggregates each side's surviving multiset to stay small.
+
+    Scale: Spark plans except_all/intersect_all as a single
+    aggregate-style shuffle on the row value (count-difference
+    semantics) — no pairwise matching, same cost class as a groupBy."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", F.year("o_orderdate").alias("y")
+    )
+    a = o.filter(F.col("y") == 1995).select("o_custkey", "o_orderpriority")
+    b = o.filter(F.col("y") == 1996).select("o_custkey", "o_orderpriority")
+    surv = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    both = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    return (
+        surv.unionByName(both)
+        .groupBy("op", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("op", "o_orderpriority")
+    )
+
+
+Q121_ORACLE = """
+WITH a AS (
+  SELECT o_custkey, o_orderpriority FROM orders
+  WHERE year(o_orderdate) = 1995
+),
+b AS (
+  SELECT o_custkey, o_orderpriority FROM orders
+  WHERE year(o_orderdate) = 1996
+),
+surv AS (
+  SELECT *, 'except_all' AS op FROM (SELECT * FROM a EXCEPT ALL
+                                     SELECT * FROM b)
+),
+isect AS (
+  SELECT *, 'intersect_all' AS op FROM (SELECT * FROM a INTERSECT ALL
+                                        SELECT * FROM b)
+)
+SELECT op, o_orderpriority, COUNT(*) AS n
+FROM (SELECT * FROM surv UNION ALL SELECT * FROM isect)
+GROUP BY op, o_orderpriority
+ORDER BY op, o_orderpriority
+"""
+
+
 # --- q112: correlated EXISTS / NOT EXISTS (TPC-H Q21 shape) ------------------
 
 _Q112_BODY = """
@@ -1615,6 +1719,14 @@ QUERIES = [
               "top-2 orders per customer via LATERAL correlated "
               "subquery (decorrelated, no per-row re-scan)",
               ("relational", "subquery", "topk")),
+    QuerySpec("q120_price_histogram", q120_price_histogram, Q120_ORACLE,
+              "fixed-width order-total histogram via width_bucket "
+              "(equal-width companion to q113's ntile bins)",
+              ("relational", "stats", "histogram")),
+    QuerySpec("q121_multiset_ops", q121_multiset_ops, Q121_ORACLE,
+              "EXCEPT ALL / INTERSECT ALL bag semantics (multiset "
+              "companion to q10's distinct set ops)",
+              ("relational", "setop")),
     QuerySpec("q112_exists_decorrelation", q112_exists_decorrelation,
               Q112_ORACLE,
               "TPC-H Q21 shape: correlated EXISTS + inequality NOT "

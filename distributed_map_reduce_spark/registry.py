@@ -132,10 +132,12 @@ _PRIORITY = [
     "q81_streaming_enrich_twin",
     # below here = outside the 50-row window (green in r1–r4 driver rows
     # and still covered by the pytest parity gate every round)
-    # round-6 rotation plan: q91–q110 (new in round 5, pytest-green) take
-    # window slots of fourteen multi-green rows once CORRECTNESS_r05
-    # lands (swap candidates: q1–q3, q5, q6, q8, q10–q13, q15, q17,
-    # q19, q40 — all green in every round they appeared).
+    # round-6 rotation plan: q91–q121 (new in round 5, pytest-green —
+    # 31 oracle-bearing entries never driver-checked) rotate into the
+    # window over rounds 6–7 once CORRECTNESS_r05 lands. Round-6 swap
+    # candidates: q1–q3, q5, q6, q8, q10–q13, q15, q17, q19 plus the
+    # r5-rotation rows (q77–q88 + twins) once their green r5 rows land
+    # — all green in every round they appeared.
     "q91_gopher_rules",
     "q92_bigram_pmi",
     "q93_bm25_retrieval",
@@ -165,6 +167,8 @@ _PRIORITY = [
     "q117_weighted_median",
     "q118_khop_reachability",
     "q119_lateral_topk",
+    "q120_price_histogram",
+    "q121_multiset_ops",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
