@@ -1562,6 +1562,64 @@ ORDER BY op, o_orderpriority
 """
 
 
+# --- q122: listagg / ordered string aggregation ------------------------------
+
+def q122_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation via Spark 4's first-class
+    ``listagg(DISTINCT ...) WITHIN GROUP (ORDER BY ...)`` — the ANSI
+    spelling of what q2's inverted index hand-builds with
+    concat_ws(sort_array(collect_set())). Per order status: the sorted
+    distinct priority list plus supporting counts.
+
+    Scale: same engine shape as collect_set — a partial-aggregated
+    ObjectHashAggregate whose state is the distinct value set; safe
+    whenever the per-group distinct value domain is bounded (here: 5
+    priorities). For unbounded domains the sketch/heavy-hitter family
+    is the stated alternative."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q122")
+    # The value set is pre-DISTINCTed in a CTE rather than via
+    # listagg(DISTINCT ...): in this Spark build the distinct-aggregate
+    # rewrite mis-handles ListAgg's WITHIN GROUP sort child
+    # (ClassCastException AttributeReference -> SortOrder), and the
+    # pre-aggregate is the same plan the rewrite would produce anyway.
+    return spark.sql("""
+        WITH d AS (
+          SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders_q122
+        ),
+        c AS (
+          SELECT o_orderstatus, COUNT(*) AS n_orders
+          FROM orders_q122 GROUP BY o_orderstatus
+        )
+        SELECT d.o_orderstatus,
+               listagg(d.o_orderpriority, '|')
+                 WITHIN GROUP (ORDER BY d.o_orderpriority) AS priorities,
+               COUNT(*) AS n_priorities,
+               c.n_orders
+        FROM d JOIN c USING (o_orderstatus)
+        GROUP BY d.o_orderstatus, c.n_orders
+        ORDER BY d.o_orderstatus
+    """)
+
+
+Q122_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+),
+c AS (
+  SELECT o_orderstatus, COUNT(*) AS n_orders
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT d.o_orderstatus,
+       string_agg(d.o_orderpriority, '|' ORDER BY d.o_orderpriority)
+         AS priorities,
+       COUNT(*) AS n_priorities,
+       c.n_orders
+FROM d JOIN c USING (o_orderstatus)
+GROUP BY d.o_orderstatus, c.n_orders
+ORDER BY d.o_orderstatus
+"""
+
+
 # --- q112: correlated EXISTS / NOT EXISTS (TPC-H Q21 shape) ------------------
 
 _Q112_BODY = """
@@ -1727,6 +1785,10 @@ QUERIES = [
               "EXCEPT ALL / INTERSECT ALL bag semantics (multiset "
               "companion to q10's distinct set ops)",
               ("relational", "setop")),
+    QuerySpec("q122_listagg", q122_listagg, Q122_ORACLE,
+              "listagg(DISTINCT) WITHIN GROUP ordered string "
+              "aggregation (ANSI form of q2's collect_set spelling)",
+              ("relational", "agg", "string")),
     QuerySpec("q112_exists_decorrelation", q112_exists_decorrelation,
               Q112_ORACLE,
               "TPC-H Q21 shape: correlated EXISTS + inequality NOT "

@@ -74,7 +74,51 @@ def approx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg) — the 100 TB pattern the plain
+    approx_count_distinct can't do: materialize one binary sketch PER
+    SOURCE (a pre-aggregated sketch table maintained incrementally as
+    crawls land), then answer "distinct tokens overall" by UNIONING the
+    stored sketches — no re-scan of the corpus. Emits each source's
+    estimate plus the union row ('ALL'), with the sketch byte size.
+
+    Scale shape: one explode+groupBy builds the per-source sketches
+    (shuffle carries sketch partials, not tokens); the union aggregate
+    reduces n_sources sketch blobs — bytes, not data. The same two
+    operators power cross-DAY or cross-SHARD rollups of any stored
+    sketch table."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    per_source = toks.groupBy("source").agg(
+        F.hll_sketch_agg("tok").alias("sk")
+    )
+    per_row = per_source.select(
+        "source",
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+        F.octet_length("sk").alias("sketch_bytes"),
+    )
+    union_row = per_source.agg(
+        F.hll_union_agg("sk").alias("sk")
+    ).select(
+        F.lit("ALL").alias("source"),
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+        F.octet_length("sk").alias("sketch_bytes"),
+    )
+    return per_row.unionByName(union_row).orderBy("source")
+
+
 QUERIES = [
+    QuerySpec("sketch_hll_union", hll_sketch_union, None,
+              "per-source DataSketches HLL sketches + union rollup "
+              "(mergeable distinct counts; rows-only, accuracy-tested)",
+              ("sketch", "approx", "mergeable")),
     QuerySpec("sketch_distinct_parts", approx_distinct_parts, None,
               "HyperLogLog++ distinct partkeys per returnflag (approx twin of q19)",
               ("sketch", "approx")),

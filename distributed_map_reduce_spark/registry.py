@@ -169,6 +169,7 @@ _PRIORITY = [
     "q119_lateral_topk",
     "q120_price_histogram",
     "q121_multiset_ops",
+    "q122_listagg",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",

@@ -61,3 +61,40 @@ def test_quantile_sketch_brackets_exact(spark, sf_dir):
     for k, qs in exact.items():
         for e, a in zip(qs, approx[k]):
             assert abs(a - e) <= 0.05 * e + 1, (k, a, e)
+
+
+def test_hll_sketch_union_accuracy_and_mergeability(spark, sf_dir):
+    """The union of per-source sketches must estimate the GLOBAL exact
+    distinct-token count (mergeability — no corpus re-scan), and each
+    per-source estimate must track its exact count within HLL error."""
+    import pyspark.sql.functions as F
+
+    from distributed_map_reduce_spark.operators.sketches import (
+        hll_sketch_union,
+    )
+    from distributed_map_reduce_spark.sources import load_table
+
+    rows = {r["source"]: r for r in hll_sketch_union(spark, sf_dir).collect()}
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    exact_per = {
+        r["source"]: r["n"]
+        for r in toks.groupBy("source")
+        .agg(F.count_distinct("tok").alias("n"))
+        .collect()
+    }
+    exact_all = toks.select("tok").distinct().count()
+
+    assert set(rows) == set(exact_per) | {"ALL"}
+    for src, exact in exact_per.items():
+        est = rows[src]["est_distinct"]
+        assert abs(est - exact) <= max(2, 0.05 * exact), (src, est, exact)
+        assert rows[src]["sketch_bytes"] > 0
+    est_all = rows["ALL"]["est_distinct"]
+    assert abs(est_all - exact_all) <= max(2, 0.05 * exact_all)
