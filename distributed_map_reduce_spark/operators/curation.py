@@ -160,6 +160,32 @@ ORDER BY source
 """
 
 
+def observed_filter(df: DataFrame, keep, name: str = "curation_metrics"):
+    """Attach free pipeline counters to a curation filter via the
+    Observation API: returns ``(filtered_df, observation)`` where the
+    observation yields ``{n_in, n_kept}`` after the FIRST action on the
+    filtered frame — no second scan, no extra job, unlike a separate
+    ``.count()`` (which would re-run the whole upstream pipeline at
+    100 TB just to report a keep rate). The metrics ride the action's
+    own tasks as accumulator-style observed aggregates.
+
+    Usage::
+
+        kept, obs = observed_filter(docs, passes_rules)
+        kept.write.parquet(out)          # the real action
+        rate = obs.get["n_kept"] / obs.get["n_in"]
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    tagged = df.withColumn("_keep", keep).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+    )
+    return tagged.filter(F.col("_keep")).drop("_keep"), obs
+
+
 QUERIES = [
     QuerySpec(
         "q96_pii_redaction",

@@ -65,3 +65,25 @@ def test_no_exchange_in_plan(spark):
     df = spark.range(10).withColumn("text", F.lit("a@b.co x"))
     plan = redact_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_observed_filter_counts_ride_the_real_action(spark, sf_dir, tmp_path):
+    """The Observation metrics must equal the true in/kept counts after
+    ONE action (the write) — no second scan issued to learn them."""
+    import pyspark.sql.functions as F
+
+    from distributed_map_reduce_spark.operators.curation import (
+        observed_filter,
+    )
+    from distributed_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept, obs = observed_filter(docs, F.col("n_chars") >= 200)
+    kept.write.mode("overwrite").parquet(str(tmp_path / "kept"))
+
+    got = obs.get
+    n_total = docs.count()
+    n_expected = docs.filter("n_chars >= 200").count()
+    assert got["n_in"] == n_total
+    assert got["n_kept"] == n_expected
+    assert spark.read.parquet(str(tmp_path / "kept")).count() == n_expected
