@@ -611,7 +611,61 @@ ORDER BY e.event_type
 """
 
 
+# --- q123: temporal-function sweep -------------------------------------------
+
+def q123_temporal_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function coverage in one pass — the temporal sibling of
+    the q75 string / q76 math / q116 array sweeps: quarter truncation,
+    ISO weekday (weekend classification), day-of-year, ISO week number,
+    and day-difference arithmetic, aggregated per (event_type, quarter)
+    so the hashed output stays tiny. Function pairs pinned cross-engine:
+    Spark ``weekday()+1`` == DuckDB ``isodow`` (1=Mon..7), Spark
+    ``weekofyear`` == DuckDB ``weekofyear`` (both ISO-8601), Spark
+    ``datediff`` == DuckDB ``date_diff('day', ...)``.
+
+    Scale: row-local calendar arithmetic inside codegen + one tiny
+    partial-aggregated shuffle (keyspace = types x quarters)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("quarter", "ts")).alias("q_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                ((F.weekday(d) + 1) >= 6).cast("long")
+            ).alias("n_weekend"),
+            F.round(F.avg(F.dayofyear(d)), 4).alias("avg_doy"),
+            F.max(F.weekofyear(d)).cast("bigint").alias("max_week"),
+            F.datediff(F.max(d), F.min(d)).cast("bigint").alias("span_days"),
+        )
+        .orderBy("event_type", "q_start")
+    )
+
+
+Q123_ORACLE = """
+SELECT event_type,
+       CAST(DATE_TRUNC('quarter', ts) AS DATE) AS q_start,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_weekend,
+       ROUND(AVG(dayofyear(ts)), 4) AS avg_doy,
+       CAST(MAX(weekofyear(ts)) AS BIGINT) AS max_week,
+       CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+            AS BIGINT) AS span_days
+FROM events
+GROUP BY event_type, q_start
+ORDER BY event_type, q_start
+"""
+
+
 QUERIES = [
+    QuerySpec("q123_temporal_sweep", q123_temporal_sweep, Q123_ORACLE,
+              "calendar-function sweep (quarter/isodow/doy/ISO week/"
+              "datediff) per type x quarter",
+              ("events", "temporal", "scalar")),
     QuerySpec("q14_hourly_windows", q14_hourly_windows, Q14_ORACLE,
               "tumbling 1h event windows (batch twin of the streaming path)",
               ("events", "window", "streaming-twin")),

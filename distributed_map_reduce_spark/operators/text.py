@@ -172,7 +172,45 @@ ORDER BY doc_id, pos
 """
 
 
+def q124_salted_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2's inverted index computed through SALTED two-phase holistic
+    aggregation (functions.agg.salted_collect_set) and hash-checked
+    against q2's plain oracle — the whale-key mitigation promoted from
+    a property test (tests/test_salted_agg.py) to a driver-checked
+    registry query. A hot token's posting list is collected across
+    n_salt partial groups (each deduplicating early) and merged, so no
+    single task materializes the whole list; results are identical
+    because set-union is associative/commutative. This is the pattern
+    for ANY holistic aggregate on a skewed key at 100 TB — measured by
+    q111's skew audit, mitigated here."""
+    from ..functions.agg import salted_collect_set
+
+    toks = exploded_tokens(_docs(spark, sf_dir).select("doc_id", "text"))
+    sets = salted_collect_set(toks, "token", "doc_id", n_salt=8)
+    return (
+        sets.select(
+            "token",
+            F.size("doc_ids").cast("bigint").alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.transform("doc_ids", lambda x: x.cast("string"))
+                ),
+            ).alias("doc_list"),
+        )
+        .orderBy("token")
+    )
+
+
 QUERIES = [
+    QuerySpec(
+        "q124_salted_inverted_index",
+        q124_salted_inverted_index,
+        Q2_ORACLE,
+        "q2's inverted index via salted two-phase collect_set "
+        "(whale-key mitigation, same oracle)",
+        ("text", "skew", "holistic"),
+    ),
     QuerySpec(
         "q1_wordcount",
         q1_wordcount,

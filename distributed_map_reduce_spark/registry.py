@@ -170,6 +170,8 @@ _PRIORITY = [
     "q120_price_histogram",
     "q121_multiset_ops",
     "q122_listagg",
+    "q123_temporal_sweep",
+    "q124_salted_inverted_index",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
