@@ -665,6 +665,104 @@ ORDER BY split_a, split_b
 """
 
 
+# --- q125: temperature-weighted source mixture -------------------------------
+
+TEMP_ALPHA = 0.7        # sampling temperature exponent (weights ∝ n^α)
+TEMP_BUDGET_FRAC = 0.5  # corpus fraction the mixture may keep
+
+
+def q125_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixture (the multilingual-pretraining
+    standard: sampling weight ∝ n_s^α, α<1 upsamples small sources
+    relative to their share): per source, the normalized weight, the
+    integer document budget k = round(T·w), and the DETERMINISTIC
+    exactly-k selection (smallest md5 rank, q84's mechanism) proving
+    the budget is realizable. q66 hits a FIXED per-source rate; this
+    derives the rate from corpus statistics — the knob α is the policy.
+
+    Cross-engine determinism: the weight is ROUNDED to 6 dp before the
+    budget multiply, so both engines compute k from bit-identical
+    doubles — Σ n^α summation-order ulps cannot flip the floor(x+0.5)
+    at the .5 boundary near-equal source sizes would otherwise sit on.
+
+    Scale: counts + a 2-row broadcast scalar + one window shuffle on
+    source (WindowGroupLimit keeps k rows per partition). The doc_id
+    hash ranking never re-ranks old docs when a crawl appends — the
+    selection is stable under growth, like q62's split."""
+    c = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = c.agg(
+        F.sum(F.pow("n_docs", F.lit(TEMP_ALPHA))).alias("z"),
+        F.floor(F.sum("n_docs") * TEMP_BUDGET_FRAC).alias("t"),
+    )
+    k = c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.pow("n_docs", F.lit(TEMP_ALPHA)) / F.col("z"), 6
+        ).alias("weight"),
+        "t",
+    ).select(
+        "source",
+        "n_docs",
+        "weight",
+        F.least(
+            F.col("n_docs"),
+            F.floor(F.col("t") * F.col("weight") + 0.5).cast("bigint"),
+        ).alias("k_target"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = (
+        _docs(spark, sf_dir)
+        .select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        ranked.join(k, "source")
+        .filter(F.col("rn") <= F.col("k_target"))
+        .groupBy("source", "n_docs", "weight", "k_target")
+        .agg(
+            F.count(F.lit(1)).alias("k_selected"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+Q125_ORACLE = f"""
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+tot AS (
+  SELECT SUM(POW(n_docs, {TEMP_ALPHA})) AS z,
+         FLOOR(SUM(n_docs) * {TEMP_BUDGET_FRAC}) AS t
+  FROM c
+),
+k AS (
+  SELECT source, n_docs,
+         ROUND(POW(n_docs, {TEMP_ALPHA}) / z, 6) AS weight,
+         LEAST(n_docs,
+               CAST(FLOOR(t * ROUND(POW(n_docs, {TEMP_ALPHA}) / z, 6) + 0.5)
+                    AS BIGINT)) AS k_target
+  FROM c CROSS JOIN tot
+),
+r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rn
+  FROM documents
+)
+SELECT k.source, k.n_docs, k.weight, k.k_target,
+       COUNT(*) AS k_selected, MIN(r.doc_id) AS first_doc
+FROM k JOIN r ON r.source = k.source AND r.rn <= k.k_target
+GROUP BY k.source, k.n_docs, k.weight, k.k_target
+ORDER BY k.source
+"""
+
+
 # --- q113: per-source equal-depth length bins (ntile) ------------------------
 
 LENGTH_BINS = 4  # quartiles
@@ -751,6 +849,10 @@ QUERIES = [
     QuerySpec("q95_epoch_shuffle", q95_epoch_shuffle, Q95_ORACLE,
               "deterministic md5 epoch shuffle + shard routing + rank",
               ("training", "shuffle")),
+    QuerySpec("q125_temperature_mix", q125_temperature_mix, Q125_ORACLE,
+              "temperature-weighted source mixture (w ∝ n^0.7) with "
+              "deterministic exactly-k realization per source",
+              ("training", "sampling", "mixture")),
     QuerySpec("q113_length_bins", q113_length_bins, Q113_ORACLE,
               "per-source equal-depth length quartiles (ntile) for "
               "packing-budget sizing",

@@ -172,6 +172,7 @@ _PRIORITY = [
     "q122_listagg",
     "q123_temporal_sweep",
     "q124_salted_inverted_index",
+    "q125_temperature_mix",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
