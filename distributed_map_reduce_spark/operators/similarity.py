@@ -463,6 +463,125 @@ ORDER BY label, rk
 """
 
 
+# --- ann_pq_adc: product quantization + asymmetric distance ------------------
+
+PQ_M = 16     # subspaces (64-dim vectors -> 16 subvectors of 4 dims)
+PQ_SUB = 4    # dims per subspace
+PQ_K = 16     # codewords per subspace (codes are 4-bit)
+PQ_TOPK = 3
+PQ_FIT_SAMPLE = 256  # bounded codebook-training sample (rows, not a fraction)
+PQ_FIT_ITERS = 10    # driver-side Lloyd rounds per subspace
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 NN via Product Quantization with Asymmetric
+    Distance Computation (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011) — the third classic ANN scale
+    path beside LSH bucketing and IVF probing, and the one that attacks
+    MEMORY: each vector is stored as M=16 4-bit codes (8 bytes)
+    instead of 64 floats (256 bytes), a 32x compression, and queries
+    never touch the original vectors — distance ≈ sum of per-subspace
+    lookup-table entries addressed by the stored codes.
+
+    Division of labor (the FAISS recipe, same posture as ann_ivf):
+    the codebook fit is driver-side over a bounded sample (here: the
+    PQ_K seed vectors' subvectors — deterministic, k x m x sub floats,
+    always tiny); ENCODING and SEARCH are pure distributed column
+    expressions — per-vector argmin over broadcast codeword literals,
+    per-query LUT build, zip_with(lut, code) accumulation. No Python in
+    the hot path, no original-vector access at query time. Approximate
+    by design => rows-only registration; the recall floor vs exact q23
+    lives in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # Deterministic sampled codebook fit (the FAISS recipe, as in
+    # ann_ivf): collect a BOUNDED sample (256 vectors regardless of
+    # corpus size) and run per-subspace Lloyd k-means on the driver
+    # with numpy — codebook training is a constant-size problem; only
+    # encoding and search touch the full table.
+    import numpy as np
+
+    sample = np.array(
+        [
+            r["v"]
+            for r in emb.filter(F.col("vec_id") < PQ_FIT_SAMPLE)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    cb = []
+    for m in range(PQ_M):
+        X = sample[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+        C = X[:PQ_K].copy()
+        for _ in range(PQ_FIT_ITERS):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                members = X[assign == k]
+                if len(members):
+                    C[k] = members.mean(axis=0)
+        cb.append([[float(x) for x in row] for row in C])
+
+    def _cw_lit(m):  # 16 x 8 literal array for subspace m
+        return F.array(
+            *[F.array(*[F.lit(x) for x in cw]) for cw in cb[m]]
+        )
+
+    def _sub(col, m):
+        return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
+
+    def _d2(a, b):  # deterministic left-fold squared L2 on arrays
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # Encode: codes[m] = argmin_k ||sub_m(v) - cb[m][k]||^2 (1-based
+    # array_position over the exact computed distances; ties impossible
+    # on this data, and any tie would only shift which codeword
+    # represents the vector — still a valid encoding).
+    def _dists(col, m):
+        return F.transform(_cw_lit(m), lambda c: _d2(_sub(col, m), c))
+
+    codes = F.array(
+        *[
+            F.array_position(_dists("v", m), F.array_min(_dists("v", m)))
+            for m in range(PQ_M)
+        ]
+    ).alias("codes")
+    encoded = emb.select("vec_id", codes)
+
+    # Queries build one LUT per subspace (distances to all codewords),
+    # carried as an array<array<double>> column; |Q| x M x K doubles.
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q"),
+        F.array(*[_dists("v", m) for m in range(PQ_M)]).alias("luts"),
+    )
+    approx = F.round(
+        F.aggregate(
+            F.zip_with(
+                "luts", "codes", lambda lut, c: F.element_at(lut, c.cast("int"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        2,
+    )
+    w = Window.partitionBy("q").orderBy(F.col("adist").asc(), F.col("c").asc())
+    return (
+        encoded.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q"))
+        .select(
+            "q", F.col("vec_id").alias("c"), approx.alias("adist")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .orderBy("q", "rn")
+    )
+
+
 # --- q110: k-means (Lloyd's algorithm, fixed iterations) ---------------------
 
 KMEANS_K = 4       # clusters
@@ -609,6 +728,10 @@ QUERIES = [
     QuerySpec("ann_ivf_probe", ann_ivf_probe, None,
               "approximate top-3 NN via IVF coarse quantizer + nProbe cells (rows-only)",
               ("similarity", "approx")),
+    QuerySpec("ann_pq_adc", ann_pq_adc, None,
+              "approximate top-3 NN via product quantization + ADC "
+              "lookup tables (64x vector compression; rows-only)",
+              ("similarity", "approx", "compression")),
     QuerySpec("q82_embedding_quantization", q82_embedding_quantization,
               Q82_ORACLE,
               "per-vector int8 min-max quantization reconstruction error",

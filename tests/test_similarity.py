@@ -74,3 +74,42 @@ def test_kmeans_lloyd_improves_on_initial_assignment(spark, sf_dir):
     assert 1 <= len(rows) <= KMEANS_K
     total = sum(r["n"] * r["inertia"] for r in rows)
     assert total <= d0 + 1e-6, (total, d0)
+
+
+def test_pq_adc_structure_and_recall(spark, sf_dir):
+    """PQ/ADC returns exactly top-3 per query by approximate distance;
+    approximate distances must be non-negative and ascending, and
+    recall@3 against the exact L2 neighbors must clear a floor (PQ with
+    16 codewords/subspace is coarse — the floor pins 'useful', not
+    'exact')."""
+    from distributed_map_reduce_spark.operators.similarity import (
+        PQ_TOPK,
+        ann_pq_adc,
+    )
+
+    rows = ann_pq_adc(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q"], []).append(r)
+    assert len(by_q) == 20
+    for q, rs in by_q.items():
+        assert len(rs) == PQ_TOPK
+        ds = [r["adist"] for r in sorted(rs, key=lambda r: r["rn"])]
+        assert ds == sorted(ds) and all(d >= 0 for d in ds), (q, ds)
+        assert all(r["c"] != q for r in rs)
+
+    # exact top-3 by L2 (numpy) for recall
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    hits = total = 0
+    for q, rs in by_q.items():
+        exact = sorted(
+            ((float(((vecs[q] - v) ** 2).sum()), c) for c, v in vecs.items() if c != q)
+        )[:PQ_TOPK]
+        exact_ids = {c for _, c in exact}
+        got = {r["c"] for r in rs}
+        hits += len(exact_ids & got)
+        total += PQ_TOPK
+    assert hits / total >= 0.3, f"recall@3 {hits}/{total}"
