@@ -545,13 +545,23 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _dists(col, m):
         return F.transform(_cw_lit(m), lambda c: _d2(_sub(col, m), c))
 
-    codes = F.array(
-        *[
-            F.array_position(_dists("v", m), F.array_min(_dists("v", m)))
-            for m in range(PQ_M)
-        ]
-    ).alias("codes")
-    encoded = emb.select("vec_id", codes)
+    # Two-step projection so each distance array is computed ONCE and
+    # referenced twice (argmin needs min + position) — inlining _dists
+    # into both would double the codeword-distance work per vector.
+    dcols = emb.select(
+        "vec_id", *[_dists("v", m).alias(f"d{m}") for m in range(PQ_M)]
+    )
+    encoded = dcols.select(
+        "vec_id",
+        F.array(
+            *[
+                F.array_position(
+                    F.col(f"d{m}"), F.array_min(F.col(f"d{m}"))
+                )
+                for m in range(PQ_M)
+            ]
+        ).alias("codes"),
+    )
 
     # Queries build one LUT per subspace (distances to all codewords),
     # carried as an array<array<double>> column; |Q| x M x K doubles.
