@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import DUCK_TOKS_EXPR, SPARK_TOKS_EXPR
+from ..functions.vectors import cosine_col
 from ..registry import QuerySpec
 from ..sources import load_table
 
@@ -40,11 +41,9 @@ QUERY_DOC_MOD = 100  # doc_id % MOD == 0 -> query doc
 QUERY_TERMS = 12  # first-N token prefix forms the query
 
 
-def q93_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-{k} per query doc (every doc_id % {mod} == 0;
-    query = its first {n} tokens, distinct). Self-hits are excluded.
-    Rank ties break on the 4-decimal rounded score then doc_id, so
-    both engines select identical hit sets."""
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, doc_id, score): the full rounded BM25 score frame q93
+    ranks and q126 fuses — factored so both consume ONE definition."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token")
@@ -98,9 +97,17 @@ def q93_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    scored = per_term.groupBy("qid", "doc_id").agg(
+    return per_term.groupBy("qid", "doc_id").agg(
         F.round(F.sum("s"), 4).alias("score")
     )
+
+
+def q93_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k per query doc (every doc_id % 100 == 0;
+    query = its first 12 tokens, distinct). Self-hits are excluded.
+    Rank ties break on the 4-decimal rounded score then doc_id, so
+    both engines select identical hit sets."""
+    scored = _bm25_scored(spark, sf_dir)
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
@@ -112,8 +119,10 @@ def q93_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q93_ORACLE = f"""
-WITH toks AS (
+# The CTE chain through `scored` is shared by the q93 oracle and the
+# q126 fusion oracle (structural composition, the q72 lesson — never
+# string-surgery a sibling's oracle).
+Q93_SCORED_CTES = f"""toks AS (
   SELECT doc_id, unnest({DUCK_TOKS_EXPR}) AS token FROM documents
 ),
 tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
@@ -144,7 +153,10 @@ per_term AS (
 scored AS (
   SELECT qid, doc_id, ROUND(SUM(s), 4) AS score
   FROM per_term GROUP BY qid, doc_id
-)
+)"""
+
+Q93_ORACLE = f"""
+WITH {Q93_SCORED_CTES}
 SELECT qid, rank, doc_id, score
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
@@ -156,6 +168,125 @@ ORDER BY qid, rank
 """
 
 
+# --- q126: hybrid retrieval via reciprocal-rank fusion -----------------------
+
+RRF_K0 = 60       # the standard RRF damping constant (Cormack et al. 2009)
+FUSE_LIST_K = 10  # depth of each input ranking
+FUSE_TOP_K = 5    # fused hits kept per query
+
+
+def q126_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the LEXICAL ranking (q93's BM25 scores)
+    with a DENSE ranking (embedding cosine, vec_id == doc_id) by
+    Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    rrf(d) = Σ_r 1/(k0 + rank_r(d)) over the rankings that retrieved d
+    in their top-10 list. The modern RAG-retrieval default —
+    lexical catches exact terms, dense catches paraphrase, RRF needs no
+    score calibration between them because it only consumes RANKS.
+
+    Scale shape: both input rankings are per-query top-k frames (tiny);
+    the fusion is one full-outer join on (qid, doc_id) + row-local
+    reciprocal arithmetic + a WindowGroupLimit. Determinism: both input
+    ranks tie-break on rounded score then doc_id; rrf sums two exact
+    small-integer reciprocals, rounded to 6 dp."""
+    lex = _bm25_scored(spark, sf_dir)
+    wl = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    lexr = (
+        lex.withColumn("lex_r", F.row_number().over(wl))
+        .filter(F.col("lex_r") <= FUSE_LIST_K)
+        .select("qid", "doc_id", "lex_r")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qs = emb.filter(F.col("vec_id") % QUERY_DOC_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cos = F.round(cosine_col(F.col("qv"), F.col("v")), 4) + 0.0
+    wd = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    densr = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .withColumn("den_r", F.row_number().over(wd))
+        .filter(F.col("den_r") <= FUSE_LIST_K)
+        .select("qid", "doc_id", "den_r")
+    )
+
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K0 + F.col("lex_r")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K0 + F.col("den_r")), F.lit(0.0)),
+        6,
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        lexr.join(densr, ["qid", "doc_id"], "full_outer")
+        .select("qid", "doc_id", rrf.alias("rrf"))
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= FUSE_TOP_K)
+        .select("qid", "rank", "doc_id", "rrf")
+        .orderBy("qid", "rank")
+    )
+
+
+Q126_ORACLE = f"""
+WITH {Q93_SCORED_CTES},
+lexr AS (
+  SELECT qid, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS lex_r
+  FROM scored
+  QUALIFY lex_r <= {FUSE_LIST_K}
+),
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cospairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(q.v) + 1),
+             i -> q.v[i] * c.v[i]))
+           / (SQRT(list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> q.v[i] * q.v[i])))
+              * SQRT(list_sum(list_transform(range(1, len(c.v) + 1),
+                i -> c.v[i] * c.v[i])))), 4) + 0.0 AS cos
+  FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % {QUERY_DOC_MOD} = 0
+),
+densr AS (
+  SELECT qid, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, doc_id) AS den_r
+  FROM cospairs
+  QUALIFY den_r <= {FUSE_LIST_K}
+),
+fused AS (
+  SELECT COALESCE(l.qid, d.qid) AS qid,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({RRF_K0} + l.lex_r), 0.0)
+               + COALESCE(1.0 / ({RRF_K0} + d.den_r), 0.0), 6) AS rrf
+  FROM lexr l FULL OUTER JOIN densr d
+    ON l.qid = d.qid AND l.doc_id = d.doc_id
+)
+SELECT qid, rank, doc_id, rrf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+WHERE rank <= {FUSE_TOP_K}
+ORDER BY qid, rank
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q93_bm25_retrieval",
@@ -163,5 +294,13 @@ QUERIES = [
         Q93_ORACLE,
         "Okapi BM25 top-k retrieval per query doc (broadcast query set)",
         ("retrieval", "similarity"),
+    ),
+    QuerySpec(
+        "q126_rrf_fusion",
+        q126_rrf_fusion,
+        Q126_ORACLE,
+        "hybrid retrieval: BM25 + embedding-cosine rankings fused by "
+        "reciprocal rank fusion (rank-only, no score calibration)",
+        ("retrieval", "similarity", "hybrid"),
     ),
 ]

@@ -173,6 +173,7 @@ _PRIORITY = [
     "q123_temporal_sweep",
     "q124_salted_inverted_index",
     "q125_temperature_mix",
+    "q126_rrf_fusion",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
