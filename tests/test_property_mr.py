@@ -66,3 +66,73 @@ def test_indexer_matches_python_oracle(spark, texts):
         ).collect()
     )
     assert got == want
+
+
+# --- weighted median (q117's mechanism) vs a numpy oracle --------------------
+
+_wm_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.integers(min_value=-1000, max_value=1000),  # value
+        st.integers(min_value=1, max_value=20),        # integral weight
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _wm_oracle(rows):
+    """Lower weighted median: smallest value whose cumulative weight
+    reaches half the group total (ties merged — the RANGE-frame rule)."""
+    out = {}
+    for g in {r[0] for r in rows}:
+        vw = sorted((v, w) for gg, v, w in rows if gg == g)
+        tot = sum(w for _, w in vw)
+        cum = 0.0
+        i = 0
+        while i < len(vw):
+            j = i
+            while j < len(vw) and vw[j][0] == vw[i][0]:
+                cum += vw[j][1]
+                j += 1
+            if cum >= tot / 2.0:
+                out[g] = vw[i][0]
+                break
+            i = j
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_wm_rows)
+def test_weighted_median_window_matches_oracle(spark, rows):
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("g")
+    c = df.select(
+        "g",
+        "v",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    got = {
+        r["g"]: r["m"]
+        for r in c.groupBy("g")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.col("tot") / 2.0, F.col("v"))
+            ).alias("m")
+        )
+        .collect()
+    }
+    assert got == _wm_oracle(rows)

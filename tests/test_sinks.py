@@ -98,3 +98,52 @@ def test_compact_parquet_dir(spark, sf_dir, tmp_path):
         r["o_orderkey"] for r in spark.read.parquet(dst).collect()
     )
     assert got == want
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_sources(
+    spark, sf_dir, tmp_path
+):
+    """Incremental re-curation contract: rewriting ONE source's
+    partition must leave every other source's files untouched —
+    `partitionOverwriteMode=dynamic` overwrites only the partitions
+    present in the incoming batch, where static mode would wipe the
+    whole table root. This is how a 100 TB corpus re-processes a single
+    crawl without rewriting the other 99%."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = str(tmp_path / "by_source")
+    docs.write.partitionBy("source").parquet(out)
+    before = spark.read.parquet(out)
+    n_total = before.count()
+    one = before.select("source").orderBy("source").first()["source"]
+    n_one = before.filter(F.col("source") == one).count()
+
+    orig = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            docs.filter(F.col("source") == one)
+            .withColumn("n_chars", F.col("n_chars") + 1000000)
+            .write.mode("overwrite")
+            .partitionBy("source")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", orig)
+
+    after = spark.read.parquet(out)
+    assert after.count() == n_total
+    assert after.filter(F.col("source") == one).count() == n_one
+    assert (
+        after.filter(
+            (F.col("source") == one) & (F.col("n_chars") < 1000000)
+        ).count()
+        == 0
+    )
+    assert (
+        after.filter(
+            (F.col("source") != one) & (F.col("n_chars") >= 1000000)
+        ).count()
+        == 0
+    )
