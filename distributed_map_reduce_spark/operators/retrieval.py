@@ -287,6 +287,77 @@ ORDER BY qid, rank
 """
 
 
+# --- q127: hard-negative mining ----------------------------------------------
+
+HARDNEG_TOP_K = 5  # negatives kept per query
+
+
+def q127_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding/reranker training: per query
+    doc, the top BM25 hits that are NOT near-duplicates of the query —
+    lexically confusable (high BM25) but genuinely different documents.
+    Skipping the near-dup exclusion poisons contrastive training with
+    false negatives (the "negative" is actually a positive), so every
+    serious retrieval-training pipeline runs exactly this composition:
+    retrieval (q93) ∘ dedup (q24), here joined structurally.
+
+    Scale shape: the BM25 score frame carries its own broadcast-probe
+    story; the exclusion is a LEFT ANTI join of the (tiny) per-query
+    candidate frame against the near-dup pair list on either
+    orientation — candidate-set-sized, no corpus re-scan. The pair
+    detector swaps for LSH/prefix candidates (q25/q104) unchanged."""
+    from .dedup import q24_ngram_jaccard_dedup
+
+    scored = _bm25_scored(spark, sf_dir)
+    pairs = q24_ngram_jaccard_dedup(spark, sf_dir).select("ad", "bd")
+    dup = pairs.unionByName(
+        pairs.select(F.col("bd").alias("ad"), F.col("ad").alias("bd"))
+    )
+    clean = scored.join(
+        dup,
+        (scored.qid == dup.ad) & (scored.doc_id == dup.bd),
+        "left_anti",
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        clean.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDNEG_TOP_K)
+        .select("qid", "rank", F.col("doc_id").alias("neg_id"), "score")
+        .orderBy("qid", "rank")
+    )
+
+
+def _q127_oracle() -> str:
+    from .dedup import Q24_ORACLE_BODY
+
+    return f"""
+WITH {Q93_SCORED_CTES},
+dup_pairs AS ({Q24_ORACLE_BODY}),
+dup AS (
+  SELECT ad, bd FROM dup_pairs
+  UNION ALL
+  SELECT bd, ad FROM dup_pairs
+),
+clean AS (
+  SELECT s.qid, s.doc_id, s.score
+  FROM scored s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup WHERE dup.ad = s.qid AND dup.bd = s.doc_id
+  )
+)
+SELECT qid, rank, doc_id AS neg_id, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM clean
+)
+WHERE rank <= {HARDNEG_TOP_K}
+ORDER BY qid, rank
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q93_bm25_retrieval",
@@ -294,6 +365,14 @@ QUERIES = [
         Q93_ORACLE,
         "Okapi BM25 top-k retrieval per query doc (broadcast query set)",
         ("retrieval", "similarity"),
+    ),
+    QuerySpec(
+        "q127_hard_negatives",
+        q127_hard_negatives,
+        _q127_oracle(),
+        "hard-negative mining: top BM25 hits that are NOT near-dups "
+        "of the query (retrieval ∘ dedup composition)",
+        ("retrieval", "training", "dedup"),
     ),
     QuerySpec(
         "q126_rrf_fusion",

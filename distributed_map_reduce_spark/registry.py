@@ -174,6 +174,7 @@ _PRIORITY = [
     "q124_salted_inverted_index",
     "q125_temperature_mix",
     "q126_rrf_fusion",
+    "q127_hard_negatives",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
