@@ -470,6 +470,75 @@ PQ_SUB = 4    # dims per subspace
 PQ_K = 16     # codewords per subspace (codes are 4-bit)
 PQ_TOPK = 3
 PQ_FIT_SAMPLE = 256  # bounded codebook-training sample (rows, not a fraction)
+
+
+def _pq_fit_codebook(sample):
+    """Per-subspace Lloyd k-means over a bounded numpy sample — the
+    driver-side half of PQ (codebook training is constant-size; only
+    encoding and search are distributed). Returns cb[m][k] = codeword
+    (list of PQ_SUB floats). Deterministic: first-K init, fixed
+    rounds. Shared by ann_pq_adc (raw vectors) and ann_ivfpq
+    (cell residuals)."""
+    cb = []
+    for m in range(PQ_M):
+        X = sample[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+        C = X[:PQ_K].copy()
+        for _ in range(PQ_FIT_ITERS):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                members = X[assign == k]
+                if len(members):
+                    C[k] = members.mean(axis=0)
+        cb.append([[float(x) for x in row] for row in C])
+    return cb
+
+
+def _pq_dists_fn(cb):
+    """Column-expression builder: dists(col, m) = array of squared L2
+    distances from subvector m of ``col`` to every codeword of cb[m]
+    (broadcast literals, deterministic left-fold). argmin over it is
+    the PQ encoder; evaluated at a query it IS the ADC lookup table."""
+
+    def _cw_lit(m):
+        return F.array(
+            *[F.array(*[F.lit(x) for x in cw]) for cw in cb[m]]
+        )
+
+    def _sub(col, m):
+        return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
+
+    def _d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def dists(col, m):
+        return F.transform(_cw_lit(m), lambda c: _d2(_sub(col, m), c))
+
+    return dists
+
+
+def _pq_encode(frame: DataFrame, dists, in_col: str, keep: list) -> DataFrame:
+    """codes[m] = 1-based argmin codeword per subspace. Two-step
+    projection so each distance array is computed ONCE and referenced
+    twice (min + position)."""
+    dcols = frame.select(
+        *keep, *[dists(in_col, m).alias(f"d{m}") for m in range(PQ_M)]
+    )
+    return dcols.select(
+        *keep,
+        F.array(
+            *[
+                F.array_position(
+                    F.col(f"d{m}"), F.array_min(F.col(f"d{m}"))
+                )
+                for m in range(PQ_M)
+            ]
+        ).alias("codes"),
+    )
 PQ_FIT_ITERS = 10    # driver-side Lloyd rounds per subspace
 
 
@@ -510,58 +579,9 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ]
     )
-    cb = []
-    for m in range(PQ_M):
-        X = sample[:, m * PQ_SUB:(m + 1) * PQ_SUB]
-        C = X[:PQ_K].copy()
-        for _ in range(PQ_FIT_ITERS):
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for k in range(PQ_K):
-                members = X[assign == k]
-                if len(members):
-                    C[k] = members.mean(axis=0)
-        cb.append([[float(x) for x in row] for row in C])
+    _dists = _pq_dists_fn(_pq_fit_codebook(sample))
 
-    def _cw_lit(m):  # 16 x 8 literal array for subspace m
-        return F.array(
-            *[F.array(*[F.lit(x) for x in cw]) for cw in cb[m]]
-        )
-
-    def _sub(col, m):
-        return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
-
-    def _d2(a, b):  # deterministic left-fold squared L2 on arrays
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    # Encode: codes[m] = argmin_k ||sub_m(v) - cb[m][k]||^2 (1-based
-    # array_position over the exact computed distances; ties impossible
-    # on this data, and any tie would only shift which codeword
-    # represents the vector — still a valid encoding).
-    def _dists(col, m):
-        return F.transform(_cw_lit(m), lambda c: _d2(_sub(col, m), c))
-
-    # Two-step projection so each distance array is computed ONCE and
-    # referenced twice (argmin needs min + position) — inlining _dists
-    # into both would double the codeword-distance work per vector.
-    dcols = emb.select(
-        "vec_id", *[_dists("v", m).alias(f"d{m}") for m in range(PQ_M)]
-    )
-    encoded = dcols.select(
-        "vec_id",
-        F.array(
-            *[
-                F.array_position(
-                    F.col(f"d{m}"), F.array_min(F.col(f"d{m}"))
-                )
-                for m in range(PQ_M)
-            ]
-        ).alias("codes"),
-    )
+    encoded = _pq_encode(emb, _dists, "v", ["vec_id"])
 
     # Queries build one LUT per subspace (distances to all codewords),
     # carried as an array<array<double>> column; |Q| x M x K doubles.
@@ -586,6 +606,115 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q", F.col("vec_id").alias("c"), approx.alias("adist")
         )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .orderBy("q", "rn")
+    )
+
+
+# --- ann_ivfpq: IVF cells + PQ-coded residuals (the FAISS IVF-PQ index) ------
+
+IVFPQ_NPROBE = 4
+
+
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN index: IVF coarse cells (ann_ivf's quantizer)
+    composed with PQ-coded RESIDUALS (ann_pq_adc's codec) — FAISS's
+    IVFPQ. IVF prunes the search to nProbe cells (compute); PQ stores
+    each vector as 8 bytes of codes (memory); encoding residuals
+    (v - cell centroid) instead of raw vectors concentrates the value
+    range so the same 4-bit budget quantizes finer.
+
+    Query path: rank cells per query, take nProbe; per (query, cell)
+    build the ADC lookup tables from the QUERY residual against that
+    cell's centroid; join candidates BY CELL (hash join — unlike
+    ann_pq_adc's whole-table broadcast scan, work is bounded by probed
+    cells); sum table entries addressed by stored codes; top-3. The
+    original vectors are never touched at query time. Approximate =>
+    rows-only; recall floor in tests/test_similarity.py."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    feat = emb.withColumn("features", array_to_vector("v"))
+    fit_input = (
+        feat.select("features")
+        .sample(fraction=0.5, seed=42)
+        .limit(256 * IVF_K)
+        .coalesce(4)
+        .cache()
+    )
+    try:
+        model = KMeans(
+            k=IVF_K, seed=42, maxIter=5, initMode="random",
+            featuresCol="features", predictionCol="cell",
+        ).fit(fit_input)
+    finally:
+        fit_input.unpersist()
+    assigned = model.transform(feat).select("vec_id", "v", "cell")
+    centers = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cell int, center array<double>",
+    )
+
+    res = assigned.join(F.broadcast(centers), "cell").select(
+        "vec_id",
+        "cell",
+        F.zip_with("v", "center", lambda x, y: x - y).alias("r"),
+    )
+    sample = np.array(
+        [
+            row["r"]
+            for row in res.filter(F.col("vec_id") < PQ_FIT_SAMPLE)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    dists = _pq_dists_fn(_pq_fit_codebook(sample))
+    encoded = _pq_encode(res, dists, "r", ["vec_id", "cell"])
+
+    qs = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("qe")
+    )
+    wq = Window.partitionBy("q").orderBy("cd", "cell")
+    probes = (
+        qs.crossJoin(F.broadcast(centers))
+        .withColumn("cd", l2sq_col(F.col("qe"), F.col("center")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVFPQ_NPROBE)
+        .select(
+            "q",
+            "cell",
+            F.zip_with("qe", "center", lambda x, y: x - y).alias("qr"),
+        )
+        .select(
+            "q",
+            "cell",
+            F.array(*[dists("qr", m) for m in range(PQ_M)]).alias("luts"),
+        )
+    )
+    approx = F.round(
+        F.aggregate(
+            F.zip_with(
+                "luts", "codes",
+                lambda lut, c: F.element_at(lut, c.cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        2,
+    )
+    w = Window.partitionBy("q").orderBy(F.col("adist").asc(), F.col("c").asc())
+    return (
+        probes.join(encoded, "cell")
+        .filter(F.col("vec_id") != F.col("q"))
+        .select("q", F.col("vec_id").alias("c"), approx.alias("adist"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= PQ_TOPK)
         .orderBy("q", "rn")
@@ -738,6 +867,10 @@ QUERIES = [
     QuerySpec("ann_ivf_probe", ann_ivf_probe, None,
               "approximate top-3 NN via IVF coarse quantizer + nProbe cells (rows-only)",
               ("similarity", "approx")),
+    QuerySpec("ann_ivfpq", ann_ivfpq, None,
+              "approximate top-3 NN via IVF cells + PQ-coded residuals "
+              "(the FAISS IVFPQ composition; rows-only)",
+              ("similarity", "approx", "compression")),
     QuerySpec("ann_pq_adc", ann_pq_adc, None,
               "approximate top-3 NN via product quantization + ADC "
               "lookup tables (64x vector compression; rows-only)",

@@ -113,3 +113,41 @@ def test_pq_adc_structure_and_recall(spark, sf_dir):
         hits += len(exact_ids & got)
         total += PQ_TOPK
     assert hits / total >= 0.3, f"recall@3 {hits}/{total}"
+
+
+def test_ivfpq_structure_and_recall(spark, sf_dir):
+    """IVF-PQ returns <= top-3 per query (a query whose true neighbors
+    all live outside the probed cells may return fewer candidates);
+    distances ascend, and recall@3 vs exact clears the PQ floor —
+    residual coding must not be WORSE than raw-vector PQ by more than
+    the cell-miss rate."""
+    from distributed_map_reduce_spark.operators.similarity import (
+        PQ_TOPK,
+        ann_ivfpq,
+    )
+
+    rows = ann_ivfpq(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q"], []).append(r)
+    assert len(by_q) == 20
+    for q, rs in by_q.items():
+        assert 1 <= len(rs) <= PQ_TOPK
+        ds = [r["adist"] for r in sorted(rs, key=lambda r: r["rn"])]
+        assert ds == sorted(ds) and all(d >= 0 for d in ds), (q, ds)
+        assert all(r["c"] != q for r in rs)
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    hits = total = 0
+    for q, rs in by_q.items():
+        exact = sorted(
+            ((float(((vecs[q] - v) ** 2).sum()), c) for c, v in vecs.items() if c != q)
+        )[:PQ_TOPK]
+        exact_ids = {c for _, c in exact}
+        got = {r["c"] for r in rs}
+        hits += len(exact_ids & got)
+        total += PQ_TOPK
+    assert hits / total >= 0.25, f"recall@3 {hits}/{total}"
