@@ -199,6 +199,97 @@ def decode_bmp_pixels(b: bytes):
     return rows[:, :, ::-1]  # BGR on disk -> RGB
 
 
+def decode_png_pixels(b: bytes):
+    """Non-interlaced 8-bit-depth PNG (grayscale / gray+alpha / RGB /
+    RGBA) -> (H, W, 3) uint8 RGB array with stdlib ``zlib`` +
+    ``struct`` + numpy only: concatenate IDAT chunks, inflate, undo the
+    five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6).
+    Returns None for palette, 16-bit, interlaced, or malformed
+    payloads. Completes the no-dependency pixel ladder beside
+    :func:`decode_bmp_pixels` — PNG is zlib all the way down, so no
+    image codec is actually required for it.
+
+    Scale note: the per-row filter loops are Python, fine for the
+    bounded fabricated corpus this path decodes in tests; a production
+    100 TB image pass pushes decode into a native codec (PIL path) or
+    an accelerator — the stdlib path exists to prove the plumbing with
+    zero dependencies."""
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n" or len(b) < 33:
+        return None
+    try:
+        if b[12:16] != b"IHDR":
+            return None
+        w, h = struct.unpack(">II", b[16:24])
+        depth, ctype, comp, filt, interlace = struct.unpack("BBBBB", b[24:29])
+    except struct.error:
+        return None
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if (
+        depth != 8 or comp != 0 or filt != 0 or interlace != 0
+        or nch is None or w <= 0 or h <= 0
+    ):
+        return None
+    idat = bytearray()
+    i = 8
+    try:
+        while i + 8 <= len(b):
+            clen = struct.unpack(">I", b[i : i + 4])[0]
+            ctag = b[i + 4 : i + 8]
+            if ctag == b"IDAT":
+                idat += b[i + 8 : i + 8 + clen]
+            if ctag == b"IEND":
+                break
+            i += 12 + clen
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error):
+        return None
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos
+        ).copy()
+        pos += stride
+        if ftype == 1:  # Sub
+            for x in range(nch, stride):
+                line[x] = (int(line[x]) + int(line[x - nch])) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(line[x - nch]) if x >= nch else 0
+                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - nch]) if x >= nch else 0
+                c = int(prev[x - nch]) if x >= nch else 0
+                up = int(prev[x])
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out[y] = line
+        prev = line
+    px = out.reshape(h, w, nch)
+    if nch == 1:
+        return np.repeat(px, 3, axis=2)
+    if nch == 2:  # gray + alpha -> gray as RGB
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if nch == 4:
+        return np.ascontiguousarray(px[:, :, :3])
+    return px
+
+
 def decode_wav_samples(b: bytes):
     """PCM WAV -> (sample_rate, (n_frames, n_channels) int numpy array),
     stdlib ``struct`` + numpy only. 8-bit unsigned and 16-bit signed
@@ -387,10 +478,12 @@ def resize_media(
     """payload -> resized payload metadata at (width, height). Decode
     ladder per payload:
 
-    1. Uncompressed 24-bit BMP: REAL stdlib+numpy path —
-       :func:`decode_bmp_pixels`, nearest-neighbor resample to
-       (width, height), true resized-pixel crc and mean. No import
-       gate; runs in this container.
+    1. Uncompressed 24-bit BMP or non-interlaced 8-bit PNG: REAL
+       stdlib+numpy paths — :func:`decode_bmp_pixels` /
+       :func:`decode_png_pixels` (PNG is zlib, which IS stdlib),
+       nearest-neighbor resample to (width, height), true
+       resized-pixel crc and mean. No import gate; runs in this
+       container.
     2. PIL when installed (other compressed formats).
     3. ``fake=True``: deterministic byte-stride stand-in (byte-level
        mean), so plumbing tests run on any bytes anywhere.
@@ -413,6 +506,8 @@ def resize_media(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
                 pixels = decode_bmp_pixels(b)
+                if pixels is None:
+                    pixels = decode_png_pixels(b)
                 if pixels is None and decoder is not None:
                     import io
 
@@ -440,9 +535,10 @@ def resize_media(
                     continue
                 if decoder is None and not fake:
                     raise NotImplementedError(
-                        "payload is not an uncompressed 24-bit BMP and no "
-                        "image codec is available; pass fake=True for the "
-                        "deterministic stand-in resizer"
+                        "payload is neither an uncompressed 24-bit BMP nor "
+                        "a non-interlaced 8-bit PNG and no image codec is "
+                        "available; pass fake=True for the deterministic "
+                        "stand-in resizer"
                     )
                 stride = max(1, len(b) // target)
                 out = b[::stride][:target]
