@@ -132,8 +132,8 @@ _PRIORITY = [
     "q81_streaming_enrich_twin",
     # below here = outside the 50-row window (green in r1–r4 driver rows
     # and still covered by the pytest parity gate every round)
-    # round-6 rotation plan: q91–q121 (new in round 5, pytest-green —
-    # 31 oracle-bearing entries never driver-checked) rotate into the
+    # round-6 rotation plan: q91–q127 (new in round 5, pytest-green —
+    # 37 oracle-bearing entries never driver-checked) rotate into the
     # window over rounds 6–7 once CORRECTNESS_r05 lands. Round-6 swap
     # candidates: q1–q3, q5, q6, q8, q10–q13, q15, q17, q19 plus the
     # r5-rotation rows (q77–q88 + twins) once their green r5 rows land
