@@ -203,6 +203,49 @@ LEFT JOIN LATERAL (
 ORDER BY p.event_id
 """
 
+def q128_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click attributed to the user's NEXT purchase at or after it
+    — the FORWARD as-of direction (conversion linking), driver-checked
+    where q33 covers backward. Forward reuses the backward machinery on
+    a negated axis (asof.py:62), so this query pins that the negation
+    trick survives the oracle: earliest at-or-after purchase, ties to
+    the highest event_id (pandas merge_asof forward semantics)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return (
+        asof_join(
+            clicks,
+            purchases,
+            by="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload={"event_id": "purchase_id", "ts": "purchase_ts"},
+            tiebreak="event_id",
+            direction="forward",
+        )
+        .orderBy("event_id")
+    )
+
+
+Q128_ORACLE = """
+SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.purchase_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN LATERAL (
+  SELECT p.event_id AS purchase_id, p.ts AS purchase_ts
+  FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+    AND p.ts >= c.ts
+  ORDER BY p.ts ASC, p.event_id DESC
+  LIMIT 1
+) p ON TRUE
+ORDER BY c.event_id
+"""
+
 # --- range (band) join ------------------------------------------------------
 
 # (band, lo inclusive, hi exclusive) — a literal dimension, deterministic.
@@ -387,6 +430,10 @@ ORDER BY p.event_id
 QUERIES = [
     QuerySpec("q33_click_attribution", q33_click_attribution, Q33_ORACLE,
               "as-of join: purchases attributed to most recent prior click",
+              ("events", "asof", "join")),
+    QuerySpec("q128_next_purchase", q128_next_purchase, Q128_ORACLE,
+              "forward as-of: each click linked to the user's next "
+              "purchase (conversion attribution)",
               ("events", "asof", "join")),
     QuerySpec("q73_next_click_window", q73_next_click_window, Q73_ORACLE,
               "forward as-of join with 1h tolerance (next click after buy)",

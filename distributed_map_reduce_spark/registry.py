@@ -175,6 +175,7 @@ _PRIORITY = [
     "q125_temperature_mix",
     "q126_rrf_fusion",
     "q127_hard_negatives",
+    "q128_next_purchase",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
