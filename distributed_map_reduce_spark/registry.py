@@ -68,76 +68,25 @@ _OPERATOR_MODULES = [
 CORRECTNESS_WINDOW = 50
 
 _PRIORITY = [
-    # §2.4 declared contract queries Q1–Q20 (q10 contributes two entries)
-    "q1_wordcount",
-    "q2_inverted_index",
-    "q3_sorted_rollup",
+    # round-6 rotation (VERDICT r5 item 1): 12 anchor contract rows —
+    # every one green in CORRECTNESS_r05 (and every prior round it
+    # appeared) — plus ALL 38 round-5 additions (q91–q128), the only
+    # oracle-bearing entries never driver-checked. 12 + 38 = 50 fills
+    # the window exactly; one green round completes the cross-round
+    # union at 131/131 oracle-bearing entries.
     "q4_pricing_summary",
-    "q5_filtered_revenue",
-    "q6_segment_revenue",
     "q7_region_revenue",
-    "q8_topk_customers",
     "q9_window_rank",
-    "q10_intersect",
-    "q10_except",
-    "q11_rollup",
-    "q12_scalar_sweep",
-    "q13_monthly_orders",
     "q14_hourly_windows",
-    "q15_json_extract",
     "q16_exact_dedup",
-    "q17_text_stats",
     "q18_nearest_neighbor",
-    "q19_count_distinct",
     "q20_mr_wordcount",
-    "q21_mr_inverted_index",
-    "q22_mr_sorted_values",
-    "q23_cosine_topk",
-    # LLM-pipeline family: dedup + clustering core (green r1–r3, keep pinned)
     "q24_ngram_jaccard_dedup",
     "q25_minhash_lsh_dedup",
-    "q26_simhash_dedup",
-    "q27_embedding_neardup",
-    "q38_dedup_clusters",
-    "q57_fuzzy_blocked",
-    # training-data pipeline ops (round 2): packing, split, decon, mix
-    "q61_sequence_packing",
-    "q62_split_assignment",
-    "q65_decontamination",
-    "q66_corpus_mix",
-    # verdict-tracked reworks + event-time / join-shape coverage
-    "q14_streaming_twin",
     "q33_click_attribution",
-    # round-5 additions (VERDICT r4 items 4 + 6): the star-CC twin and
-    # the incremental-dedup store probe take the slots of q40/q34 (both
-    # green r1-r4) so their first driver check lands this round.
     "q89_dedup_clusters_star",
     "q90_incremental_dedup",
-    # round-5 rotation (VERDICT r4 item 1): the 12 round-4 additions —
-    # the only oracle-bearing entries never driver-checked — take the
-    # window slots of q67–q76 + the q32/q39 streaming twins (all green
-    # r4), so the cross-round union of green driver rows covers every
-    # oracle-bearing entry (91/91).
-    "q77_source_dup_matrix",
-    "q78_shingle_novelty",
-    "q79_mixture_yield",
-    "q82_embedding_quantization",
-    "q83_substring_dup",
-    "q84_stratified_sample",
-    "q85_funnel_stages",
-    "q86_label_centroids",
-    "q87_value_trend",
-    "q88_moving_average",
-    "q80_streaming_join_twin",
-    "q81_streaming_enrich_twin",
-    # below here = outside the 50-row window (green in r1–r4 driver rows
-    # and still covered by the pytest parity gate every round)
-    # round-6 rotation plan: q91–q127 (new in round 5, pytest-green —
-    # 37 oracle-bearing entries never driver-checked) rotate into the
-    # window over rounds 6–7 once CORRECTNESS_r05 lands. Round-6 swap
-    # candidates: q1–q3, q5, q6, q8, q10–q13, q15, q17, q19 plus the
-    # r5-rotation rows (q77–q88 + twins) once their green r5 rows land
-    # — all green in every round they appeared.
+    # the 38 round-5 additions, first driver check this round
     "q91_gopher_rules",
     "q92_bigram_pmi",
     "q93_bm25_retrieval",
@@ -176,6 +125,47 @@ _PRIORITY = [
     "q126_rrf_fusion",
     "q127_hard_negatives",
     "q128_next_purchase",
+    # below here = outside the 50-row window. Every entry has at least
+    # one green driver row (see COVERAGE.md / CORRECTNESS_r01–r05) and
+    # stays covered by the pytest parity gate every round.
+    "q1_wordcount",
+    "q2_inverted_index",
+    "q3_sorted_rollup",
+    "q5_filtered_revenue",
+    "q6_segment_revenue",
+    "q8_topk_customers",
+    "q10_intersect",
+    "q10_except",
+    "q11_rollup",
+    "q12_scalar_sweep",
+    "q13_monthly_orders",
+    "q15_json_extract",
+    "q17_text_stats",
+    "q19_count_distinct",
+    "q21_mr_inverted_index",
+    "q22_mr_sorted_values",
+    "q23_cosine_topk",
+    "q26_simhash_dedup",
+    "q27_embedding_neardup",
+    "q38_dedup_clusters",
+    "q57_fuzzy_blocked",
+    "q61_sequence_packing",
+    "q62_split_assignment",
+    "q65_decontamination",
+    "q66_corpus_mix",
+    "q14_streaming_twin",
+    "q77_source_dup_matrix",
+    "q78_shingle_novelty",
+    "q79_mixture_yield",
+    "q82_embedding_quantization",
+    "q83_substring_dup",
+    "q84_stratified_sample",
+    "q85_funnel_stages",
+    "q86_label_centroids",
+    "q87_value_trend",
+    "q88_moving_average",
+    "q80_streaming_join_twin",
+    "q81_streaming_enrich_twin",
     "q40_semi_anti",
     "q34_value_band_join",
     "q67_chunking",
