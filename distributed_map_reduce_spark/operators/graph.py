@@ -390,10 +390,10 @@ def q89_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle closes the same pair list transitively with a recursive CTE
 # (min reachable node = component). Reuses q24's oracle as the edge set.
 def _q38_oracle() -> str:
-    from .dedup import Q24_ORACLE
+    from .dedup import Q24_ORACLE_BODY
 
     return f"""
-WITH RECURSIVE pairs AS ({Q24_ORACLE.replace("ORDER BY ad, bd", "")}),
+WITH RECURSIVE pairs AS ({Q24_ORACLE_BODY}),
 sym AS (
   SELECT ad AS a, bd AS b FROM pairs
   UNION
@@ -471,10 +471,10 @@ def q107_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q107_oracle() -> str:
-    from .dedup import Q24_ORACLE
+    from .dedup import Q24_ORACLE_BODY
 
     return f"""
-WITH pairs AS ({Q24_ORACLE.replace("ORDER BY ad, bd", "")}),
+WITH pairs AS ({Q24_ORACLE_BODY}),
 e AS (SELECT ad AS a, bd AS b FROM pairs),
 tri AS (
   SELECT COUNT(*) AS n_triangles
@@ -558,11 +558,10 @@ def q118_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q118_oracle() -> str:
-    from .dedup import Q24_ORACLE
+    from .dedup import Q24_ORACLE_BODY
 
-    pairs = Q24_ORACLE.replace("ORDER BY ad, bd", "")
     return (
-        f"WITH RECURSIVE pairs AS ({pairs}),\n"
+        f"WITH RECURSIVE pairs AS ({Q24_ORACLE_BODY}),\n"
         + _KHOP_BODY.format(pairs="pairs", depth=KHOP_DEPTH)
     )
 

@@ -242,11 +242,16 @@ def decode_png_pixels(b: bytes):
             if ctag == b"IEND":
                 break
             i += 12 + clen
-        raw = zlib.decompress(bytes(idat))
+        # Bounded inflate: cap output at the exact expected pixel-buffer
+        # size (+1 to detect overrun) so a crafted high-ratio zlib
+        # payload can't balloon executor memory before the size check.
+        expect = (w * nch + 1) * h
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expect + 1)
     except (struct.error, zlib.error):
         return None
     stride = w * nch
-    if len(raw) != (stride + 1) * h:
+    if len(raw) != (stride + 1) * h or dec.unconsumed_tail:
         return None
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

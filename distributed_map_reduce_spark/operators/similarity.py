@@ -470,6 +470,7 @@ PQ_SUB = 4    # dims per subspace
 PQ_K = 16     # codewords per subspace (codes are 4-bit)
 PQ_TOPK = 3
 PQ_FIT_SAMPLE = 256  # bounded codebook-training sample (rows, not a fraction)
+PQ_FIT_ITERS = 10    # driver-side Lloyd rounds per subspace
 
 
 def _pq_fit_codebook(sample):
@@ -539,7 +540,6 @@ def _pq_encode(frame: DataFrame, dists, in_col: str, keep: list) -> DataFrame:
             ]
         ).alias("codes"),
     )
-PQ_FIT_ITERS = 10    # driver-side Lloyd rounds per subspace
 
 
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,7 +873,7 @@ QUERIES = [
               ("similarity", "approx", "compression")),
     QuerySpec("ann_pq_adc", ann_pq_adc, None,
               "approximate top-3 NN via product quantization + ADC "
-              "lookup tables (64x vector compression; rows-only)",
+              "lookup tables (32x vector compression; rows-only)",
               ("similarity", "approx", "compression")),
     QuerySpec("q82_embedding_quantization", q82_embedding_quantization,
               Q82_ORACLE,
