@@ -30,3 +30,15 @@ def test_readme_table_has_no_stale_query_rows():
         qlike = [n for n in cell_names if re.match(r"^(q\d|ann_|sketch_)", n)]
         stale += [n for n in qlike if n not in names]
     assert not stale, f"README rows reference unknown queries: {sorted(set(stale))}"
+
+
+def test_coverage_ledger_fresh():
+    """COVERAGE.md (VERDICT r5 item 8) must match the current registry
+    order + CORRECTNESS artifacts — regenerate with tools/coverage.py."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("coverage_tool", "tools/coverage.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert open("COVERAGE.md").read() == mod.build_ledger(), (
+        "COVERAGE.md stale - run: python tools/coverage.py"
+    )
