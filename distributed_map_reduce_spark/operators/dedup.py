@@ -234,6 +234,65 @@ WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {JACCARD_T}
 
 Q24_ORACLE = Q24_ORACLE_BODY + "ORDER BY ad, bd\n"
 
+
+# --- persisted pair store (VERDICT r5 item 3) --------------------------------
+#
+# Six registered queries compose on top of the q24 pair frame (q72, q77,
+# q107, q109, q118, q127 — plus the q38/q89 cluster pipelines). Inline
+# re-derivation is correct, but at production scale the pair table is
+# computed ONCE per corpus snapshot and every consumer reads the stored
+# copy — the same amortization the reference gets from reusing its
+# mr-<m>-<r> intermediate files across reducers (coordinator.go:17-24),
+# and the posture q90's MinHash store already demonstrates for the
+# incremental path. The table is bucketed+sorted on `ad`, so stored-side
+# probes and per-ad aggregations need ZERO Exchange (pinned in
+# tests/test_pair_store.py). Consumers take ``pairs=`` and default to
+# the inline detector, so the driver contract and every oracle are
+# unchanged.
+
+PAIR_STORE_TABLE = "pair_store.neardup_pairs"
+PAIR_STORE_BUCKETS = 16
+
+
+def write_pair_store(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    table: str = PAIR_STORE_TABLE,
+    buckets: int = PAIR_STORE_BUCKETS,
+    location: str | None = None,
+) -> str:
+    """Materialize the canonical q24 pair frame once, bucketed on ``ad``.
+
+    The one-time write pays q24's shuffles; afterwards every consumer
+    join/aggregate keyed on ``ad`` reads pre-partitioned buckets. Returns
+    the table name for :func:`read_pair_store` / ``pairs=`` hooks.
+    """
+    db = table.split(".", 1)[0]
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")
+    (
+        q24_ngram_jaccard_dedup(spark, sf_dir)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "ad")
+        .sortBy("ad", "bd")
+        .saveAsTable(table)
+    )
+    return table
+
+
+def read_pair_store(spark: SparkSession, table: str = PAIR_STORE_TABLE) -> DataFrame:
+    return spark.table(table)
+
+
+def resolve_pairs(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None
+) -> DataFrame:
+    """``pairs=`` hook shared by every pair-frame consumer: a caller-
+    provided frame (typically :func:`read_pair_store`'s bucketed table)
+    or the inline q24 detector. Schema contract: (ad, bd, jacc)."""
+    return pairs if pairs is not None else q24_ngram_jaccard_dedup(spark, sf_dir)
+
 # --- q25: MinHash + LSH banding ---------------------------------------------
 
 def _minhash_sigs(sh: DataFrame) -> DataFrame:
@@ -723,7 +782,9 @@ def q57_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q77: cross-source duplication matrix ------------------------------------
 
-def q77_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q77_source_dup_matrix(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """WHERE duplication comes from: near-dup pair counts aggregated by
     (source_a, source_b) — the audit every multi-crawl corpus runs to
     find which feeds re-serve each other's content. Canonical ordering
@@ -731,8 +792,9 @@ def q77_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure composition: q24's pair frame + two joins against the
     doc->source map; the pair detector is swappable for the LSH
-    candidates at 100 TB exactly like q72."""
-    pairs = q24_ngram_jaccard_dedup(spark, sf_dir)
+    candidates at 100 TB exactly like q72, and ``pairs=`` accepts the
+    persisted bucketed store (:func:`write_pair_store`)."""
+    pairs = resolve_pairs(spark, sf_dir, pairs)
     # doc_id -> source is 2 narrow columns but O(n_docs) rows, so the
     # broadcast decision is left to AQE's size estimate: under the
     # autoBroadcastJoinThreshold it broadcasts (pair frame never

@@ -345,13 +345,16 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q38_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_dedup_clusters(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Near-dup pairs (q24) closed into clusters: every clustered doc
     with its component id (= keeper, the min doc_id) and cluster size.
-    The complete dedup pipeline: detect pairs -> cluster -> keep one."""
-    from .dedup import q24_ngram_jaccard_dedup
+    The complete dedup pipeline: detect pairs -> cluster -> keep one.
+    ``pairs=`` accepts the persisted bucketed store (dedup.write_pair_store)."""
+    from .dedup import resolve_pairs
 
-    pairs = q24_ngram_jaccard_dedup(spark, sf_dir)
+    pairs = resolve_pairs(spark, sf_dir, pairs)
     cc = connected_components(pairs, "ad", "bd")
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -365,15 +368,17 @@ def q38_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q89_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q89_dedup_clusters_star(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """q38's dedup-cluster pipeline on the O(log^2 n) large-star/
     small-star variant — the 100 TB connected-components answer
     (diameter-independent round count), hash-checked against the SAME
     recursive-CTE oracle as q38: both algorithms must produce identical
-    clusters."""
-    from .dedup import q24_ngram_jaccard_dedup
+    clusters. ``pairs=`` accepts the persisted bucketed store."""
+    from .dedup import resolve_pairs
 
-    pairs = q24_ngram_jaccard_dedup(spark, sf_dir)
+    pairs = resolve_pairs(spark, sf_dir, pairs)
     cc = connected_components_star(pairs, "ad", "bd")
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -411,7 +416,9 @@ ORDER BY doc_id
 """
 
 
-def q107_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q107_triangle_count(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Triangle census of the near-dup pair graph: edge count, wedge
     (2-path) count, triangle count, and the global clustering
     coefficient 3T/W — the structural audit that says whether near-dup
@@ -425,11 +432,12 @@ def q107_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, no symmetric blow-up; wedges come from one degree aggregate
     (deg*(deg-1)/2 summed). Everything downstream of the pair detector
     is proportional to edges + wedge count, and the detector is
-    swappable (q25/q104) exactly as in q38."""
-    from .dedup import q24_ngram_jaccard_dedup
+    swappable (q25/q104) exactly as in q38; ``pairs=`` accepts the
+    persisted bucketed store."""
+    from .dedup import resolve_pairs
 
     e = (
-        q24_ngram_jaccard_dedup(spark, sf_dir)
+        resolve_pairs(spark, sf_dir, pairs)
         .select(F.col("ad").alias("a"), F.col("bd").alias("b"))
         .localCheckpoint(eager=False)
     )
@@ -527,7 +535,9 @@ ORDER BY doc_id
 """
 
 
-def q118_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q118_khop_reachability(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """3-hop reachability over the near-dup pair graph via Spark 4's
     NATIVE recursive CTE — per doc, how many documents its duplicate
     relation reaches within 3 hops (the "transitive drift" audit q107
@@ -542,14 +552,16 @@ def q118_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL-only, so a cyclic closure without it would not terminate);
     unbounded-diameter closure remains the job of the iterative
     DataFrame operators (q38 label propagation, q89 star-contraction),
-    which this query complements, not replaces."""
-    from .dedup import q24_ngram_jaccard_dedup
+    which this query complements, not replaces. ``pairs=`` accepts the
+    persisted bucketed store (already materialized — the checkpoint
+    below is then a cheap no-op barrier over the stored rows)."""
+    from .dedup import resolve_pairs
 
     # Materialize the pair detection ONCE: the view is referenced twice
     # in sym and sym is re-joined every recursion step — without the
     # checkpoint barrier each UnionLoop step would replay the whole
     # shingle self-join (measured minutes instead of seconds at sf0.1).
-    pairs = q24_ngram_jaccard_dedup(spark, sf_dir).localCheckpoint()
+    pairs = resolve_pairs(spark, sf_dir, pairs).localCheckpoint()
     pairs.createOrReplaceTempView("pairs_q118")
     return spark.sql(
         "WITH RECURSIVE "

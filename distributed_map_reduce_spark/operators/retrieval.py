@@ -292,7 +292,9 @@ ORDER BY qid, rank
 HARDNEG_TOP_K = 5  # negatives kept per query
 
 
-def q127_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q127_hard_negatives(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Hard-negative mining for embedding/reranker training: per query
     doc, the top BM25 hits that are NOT near-duplicates of the query —
     lexically confusable (high BM25) but genuinely different documents.
@@ -305,11 +307,14 @@ def q127_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     story; the exclusion is a LEFT ANTI join of the (tiny) per-query
     candidate frame against the near-dup pair list on either
     orientation — candidate-set-sized, no corpus re-scan. The pair
-    detector swaps for LSH/prefix candidates (q25/q104) unchanged."""
-    from .dedup import q24_ngram_jaccard_dedup
+    detector swaps for LSH/prefix candidates (q25/q104) unchanged;
+    ``pairs=`` accepts the persisted bucketed store, which collapses
+    this composition's plan from re-deriving the whole q24 DAG inline
+    to one bucketed scan (exchange counts in PLANS.md)."""
+    from .dedup import resolve_pairs
 
     scored = _bm25_scored(spark, sf_dir)
-    pairs = q24_ngram_jaccard_dedup(spark, sf_dir).select("ad", "bd")
+    pairs = resolve_pairs(spark, sf_dir, pairs).select("ad", "bd")
     dup = pairs.unionByName(
         pairs.select(F.col("bd").alias("ad"), F.col("ad").alias("bd"))
     )

@@ -491,18 +491,21 @@ ORDER BY fp
 
 # --- q72: canonical-document selection among near-duplicates -----------------
 
-def q72_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q72_canonical_pairs(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Dedup POLICY: for every near-duplicate pair, keep the higher-
     quality copy (ties keep the lower doc_id) — the selection step
     between "pairs found" (q24/q25) and "corpus written". Composes the
     shingle-Jaccard pair detector with the per-doc quality frame; two
     hash joins on doc_id, no new shuffles beyond them. At 100 TB the
     same join runs against the LSH candidate pairs instead of the exact
-    detector — the policy is detector-agnostic."""
-    from .dedup import q24_ngram_jaccard_dedup
+    detector — the policy is detector-agnostic; ``pairs=`` accepts the
+    persisted bucketed store (dedup.write_pair_store)."""
+    from .dedup import resolve_pairs
     from .textanalysis import doc_quality_scores
 
-    pairs = q24_ngram_jaccard_dedup(spark, sf_dir).select("ad", "bd")
+    pairs = resolve_pairs(spark, sf_dir, pairs).select("ad", "bd")
     s = doc_quality_scores(spark, sf_dir)
     sa = s.select(F.col("doc_id").alias("ad"), F.col("score").alias("score_a"))
     sb = s.select(F.col("doc_id").alias("bd"), F.col("score").alias("score_b"))
@@ -604,7 +607,9 @@ ORDER BY shard, ord
 """
 
 
-def q109_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q109_split_leakage(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Cross-split near-dup leakage audit: every q24 near-dup pair
     classified by the q62 hash-split of its two documents — the check
     that says whether eval is contaminated by training near-duplicates
@@ -616,8 +621,8 @@ def q109_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q62's md5 prefix), so both labels compute directly on the pair
     frame — the whole audit is q24's detector plus one tiny groupBy.
     The detector swaps for LSH/prefix candidates at 100 TB as in
-    q38/q72/q77."""
-    from .dedup import q24_ngram_jaccard_dedup
+    q38/q72/q77, and ``pairs=`` accepts the persisted bucketed store."""
+    from .dedup import resolve_pairs
 
     def split_of(col: str):
         h = F.substring(F.md5(F.col(col).cast("string")), 1, 2)
@@ -627,7 +632,7 @@ def q109_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("test")
         )
 
-    pairs = q24_ngram_jaccard_dedup(spark, sf_dir)
+    pairs = resolve_pairs(spark, sf_dir, pairs)
     labeled = pairs.select(
         F.least(split_of("ad"), split_of("bd")).alias("split_a"),
         F.greatest(split_of("ad"), split_of("bd")).alias("split_b"),

@@ -1,0 +1,104 @@
+"""Persisted pair-store surface (VERDICT r5 item 3).
+
+Eight registered queries compose on the q24 near-dup pair frame. At
+production scale that frame is computed ONCE per corpus snapshot and
+persisted bucketed on `ad`; every consumer then reads the stored copy —
+the same intermediate-reuse the reference gets from its mr-<m>-<r>
+files (coordinator.go:17-24), generalized from q90's MinHash store.
+
+Pins:
+  1. the stored table round-trips the exact q24 rows;
+  2. every ``pairs=`` consumer produces IDENTICAL results from the
+     store and from the inline detector (oracle semantics unchanged);
+  3. the stored side is shuffle-free: a per-`ad` aggregate over the
+     bucketed table plans with ZERO Exchange, and a probe join against
+     it shuffles only the probe side.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from distributed_map_reduce_spark.operators import dedup, graph, retrieval, training
+from distributed_map_reduce_spark.operators.dedup import (
+    q24_ngram_jaccard_dedup,
+    read_pair_store,
+    write_pair_store,
+)
+from distributed_map_reduce_spark.plans.inspect import formatted_plan
+
+TABLE = "pair_store_test.neardup_pairs"
+
+
+@pytest.fixture(scope="module")
+def pair_table(spark, sf_dir, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("pair_store_wh")
+    table = write_pair_store(
+        spark, sf_dir, table=TABLE, location=str(loc)
+    )
+    yield table
+    spark.sql("DROP DATABASE IF EXISTS pair_store_test CASCADE")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_store_roundtrips_q24(spark, sf_dir, pair_table):
+    assert _rows(read_pair_store(spark, pair_table)) == _rows(
+        q24_ngram_jaccard_dedup(spark, sf_dir)
+    )
+
+
+CONSUMERS = [
+    ("q77", dedup.q77_source_dup_matrix),
+    ("q38", graph.q38_dedup_clusters),
+    ("q89", graph.q89_dedup_clusters_star),
+    ("q107", graph.q107_triangle_count),
+    ("q118", graph.q118_khop_reachability),
+    ("q72", training.q72_canonical_pairs),
+    ("q109", training.q109_split_leakage),
+    ("q127", retrieval.q127_hard_negatives),
+]
+
+
+@pytest.mark.parametrize("name,fn", CONSUMERS, ids=[n for n, _ in CONSUMERS])
+def test_consumer_store_equals_inline(spark, sf_dir, pair_table, name, fn):
+    stored = read_pair_store(spark, pair_table)
+    assert _rows(fn(spark, sf_dir, pairs=stored)) == _rows(fn(spark, sf_dir))
+
+
+def test_per_ad_aggregate_over_store_never_shuffles(spark, pair_table):
+    """Bucket layout contract: groupBy on the bucket key satisfies the
+    aggregate's required distribution, so the plan has NO Exchange —
+    at 100 TB the pair table never re-shuffles for keeper-side rollups."""
+    agg = (
+        read_pair_store(spark, pair_table)
+        .groupBy("ad")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("jacc").alias("max_jacc"))
+    )
+    plan = formatted_plan(agg)
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+
+
+def test_probe_join_shuffles_only_probe_side(spark, sf_dir, pair_table):
+    """q90's append-only posture generalized: joining a (checkpointed)
+    probe frame against the bucketed store on `ad` plans exactly ONE
+    Exchange — the probe side. The stored corpus never moves."""
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from distributed_map_reduce_spark.sources import load_table
+
+        probe = (
+            load_table(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("ad"), "source")
+            .localCheckpoint()
+        )
+        joined = read_pair_store(spark, pair_table).join(probe, "ad")
+        plan = formatted_plan(joined)
+        assert "SelectedBucketsCount" in plan, plan
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") == 1, tree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
