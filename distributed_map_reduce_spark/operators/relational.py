@@ -1404,6 +1404,197 @@ def q117_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WMA_BINS = 512  # histogram resolution for the approx fallback
+
+
+def weighted_median_approx(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    n_bins: int = WMA_BINS,
+) -> DataFrame:
+    """Hot-group fallback for the exact RANGE-window weighted median
+    (q117): a fixed-resolution weighted histogram. Returns
+    (group_col, wm_approx) where wm_approx is the SMALLEST member value
+    inside the first histogram bin whose cumulative weight reaches half
+    the group total — a real data point, and within one bin width
+    ((max-min)/n_bins) of the exact lower weighted median (property-
+    tested in tests/test_property_mr.py on skewed synthetic data).
+
+    Scale shape — why this survives a group too hot for one partition,
+    where the exact form's per-group window sort does not:
+      1. per-group min/max: plain partial-aggregated groupBy;
+      2. per-(group, bin) weight sums + bin-min value: another plain
+         partial-aggregated groupBy — the ONLY pass that touches every
+         row, and it is map-side combinable down to <= n_bins rows per
+         group;
+      3. the cumulative scan runs over that <= n_bins-row frame, so the
+         window partition is bounded by the HISTOGRAM size, never by
+         the group size.
+    """
+    vmin, vmax, width, bin_c = "_wma_min", "_wma_max", "_wma_w", "_wma_bin"
+    stats = df.groupBy(group_col).agg(
+        F.min(value_col).alias(vmin), F.max(value_col).alias(vmax)
+    )
+    # group-stats frame has one row per group: AQE broadcasts it when
+    # small and falls back to a shuffled join for extreme group counts.
+    w_expr = (F.col(vmax) - F.col(vmin)) / F.lit(float(n_bins))
+    binned = (
+        df.join(stats, group_col)
+        .withColumn(width, w_expr)
+        .withColumn(
+            bin_c,
+            F.when(F.col(width) > 0,
+                   F.least(
+                       F.floor((F.col(value_col) - F.col(vmin)) / F.col(width)),
+                       F.lit(n_bins - 1),
+                   ))
+            .otherwise(F.lit(0)),
+        )
+        .groupBy(group_col, bin_c)
+        .agg(
+            F.sum(weight_col).alias("_w"),
+            F.min(value_col).alias("_vlo"),
+        )
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(bin_c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(group_col)
+    c = binned.select(
+        group_col,
+        bin_c,
+        "_vlo",
+        F.sum("_w").over(wcum).alias("_cum"),
+        F.sum("_w").over(wtot).alias("_tot"),
+    )
+    return (
+        c.filter(F.col("_cum") >= F.col("_tot") / 2.0)
+        .groupBy(group_col)
+        .agg(F.min_by("_vlo", bin_c).alias("wm_approx"))
+    )
+
+
+def q129_weighted_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q117's weighted median via the histogram fallback, driver-checked:
+    quantity-weighted approximate median price per returnflag. The
+    oracle replays the identical fixed-resolution histogram in SQL —
+    binning is floor((v - min)/width) over IEEE doubles, bit-identical
+    on both engines, so the approx answer is deterministic and
+    hash-checkable, not just 'close'."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return (
+        weighted_median_approx(
+            li, "l_returnflag", "l_extendedprice", "l_quantity"
+        )
+        .select(
+            "l_returnflag",
+            F.round("wm_approx", 2).alias("wm_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q129_ORACLE = f"""
+WITH s AS (
+  SELECT l_returnflag, MIN(l_extendedprice) AS vmin,
+         (MAX(l_extendedprice) - MIN(l_extendedprice)) / {float(WMA_BINS)}
+           AS width
+  FROM lineitem GROUP BY l_returnflag
+),
+b AS (
+  SELECT l.l_returnflag,
+         CASE WHEN s.width > 0
+              THEN LEAST(CAST(FLOOR((l.l_extendedprice - s.vmin) / s.width)
+                              AS BIGINT), {WMA_BINS - 1})
+              ELSE 0 END AS bin,
+         SUM(l.l_quantity) AS w,
+         MIN(l.l_extendedprice) AS vlo
+  FROM lineitem l JOIN s ON s.l_returnflag = l.l_returnflag
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, bin, vlo,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM b
+)
+SELECT l_returnflag, ROUND(MIN_BY(vlo, bin), 2) AS wm_approx
+FROM c
+WHERE cum >= tot / 2.0
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- q132: NTILE decile profile ----------------------------------------------
+
+def q132_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (NTILE) account-balance deciles per market segment —
+    the distributional profile surface the suite's windows otherwise
+    lack (rank/row_number/lag/lead/RANGE sums are covered; NTILE's
+    bucket arithmetic is its own operator in both engines).
+
+    Determinism: NTILE depends on the TOTAL order of its partition, so
+    the window orders by (c_acctbal, c_custkey) — the unique key makes
+    tie placement identical on both engines. Scale shape: one hash
+    exchange on the segment key + per-partition sort, then a tiny
+    partial-aggregated groupBy; segments are the partition unit, so a
+    hot segment is bounded by the same argument as any per-group
+    window (and the q129 histogram fallback pattern applies past it)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal", "c_custkey"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    # mean via exact integer-cent sums (the q81 lesson): a float AVG's
+    # summation order differs per engine, and even a deterministic
+    # quotient can't be ROUND(x, 2)-ed portably at a half-cent boundary
+    # (Spark rounds the SHORTEST DECIMAL repr half-up via BigDecimal;
+    # DuckDB rounds the binary value — 4702.605 splits them). So the
+    # mean is left UNROUNDED: SUM(cents) and COUNT are exact integers,
+    # and the two divisions are the same IEEE ops on both engines —
+    # bit-identical, hash-stable.
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .withColumn(
+            "cents", F.round(F.col("c_acctbal") * 100).cast("bigint")
+        )
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+            (
+                F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0
+            ).alias("mean"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
+
+
+Q132_ORACLE = """
+WITH d AS (
+  SELECT c_mktsegment, c_acctbal,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+         NTILE(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+)
+SELECT c_mktsegment, decile, COUNT(*) AS n,
+       ROUND(MIN(c_acctbal), 2) AS lo,
+       ROUND(MAX(c_acctbal), 2) AS hi,
+       CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS mean
+FROM d
+GROUP BY c_mktsegment, decile
+ORDER BY c_mktsegment, decile
+"""
+
+
 Q117_ORACLE = """
 WITH c AS (
   SELECT l_returnflag, l_extendedprice,
@@ -1772,6 +1963,15 @@ QUERIES = [
     QuerySpec("q117_weighted_median", q117_weighted_median, Q117_ORACLE,
               "quantity-weighted median price via RANGE cumulative-"
               "weight window (holistic weighted aggregate)",
+              ("relational", "window", "stats")),
+    QuerySpec("q129_weighted_median_approx", q129_weighted_median_approx,
+              Q129_ORACLE,
+              "q117's weighted median via the hot-group histogram "
+              "fallback (bounded window partitions; deterministic bins)",
+              ("relational", "stats", "approx", "scale")),
+    QuerySpec("q132_ntile_deciles", q132_ntile_deciles, Q132_ORACLE,
+              "equi-depth NTILE account-balance deciles per segment "
+              "(deterministic total order)",
               ("relational", "window", "stats")),
     QuerySpec("q119_lateral_topk", q119_lateral_topk, Q119_ORACLE,
               "top-2 orders per customer via LATERAL correlated "

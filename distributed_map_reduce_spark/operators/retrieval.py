@@ -41,29 +41,10 @@ QUERY_DOC_MOD = 100  # doc_id % MOD == 0 -> query doc
 QUERY_TERMS = 12  # first-N token prefix forms the query
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(qid, doc_id, score): the full rounded BM25 score frame q93
-    ranks and q126 fuses — factored so both consume ONE definition."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token")
-    )
-    # tf feeds four consumers (probe join side, dl, dfreq, and stats
-    # via dl) whose exchanges Catalyst can't unify — the q24 pattern: a
-    # lazy localCheckpoint materializes the (doc, token, tf) frame once
-    # so the corpus is tokenized exactly once, not four times.
-    tf = (
-        toks.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    qterms = (
+def bm25_query_terms(docs: DataFrame) -> DataFrame:
+    """(qid, token): every doc_id % QUERY_DOC_MOD == 0 contributes its
+    first QUERY_TERMS distinct tokens as a query."""
+    return (
         docs.filter(F.col("doc_id") % QUERY_DOC_MOD == 0)
         .select(
             F.col("doc_id").alias("qid"),
@@ -72,6 +53,23 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token"),
         )
         .distinct()
+    )
+
+
+def bm25_scores(tf: DataFrame, dl: DataFrame, qterms: DataFrame) -> DataFrame:
+    """(qid, doc_id, score) from the two corpus-state frames — the ONE
+    scoring definition shared by batch q93/q126/q127 and the streaming
+    twin (q130), which maintains tf/dl incrementally and scores the
+    drained state with this same expression tree.
+
+    df and the (N, avgdl) stats are derived views of tf/dl (df = row
+    count per token over tf; both map-side-combinable), so incremental
+    maintenance of tf + dl IS incremental maintenance of the whole BM25
+    index."""
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
     )
     per_term = (
         tf.join(F.broadcast(qterms), "token")
@@ -102,12 +100,30 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q93_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-k per query doc (every doc_id % 100 == 0;
-    query = its first 12 tokens, distinct). Self-hits are excluded.
-    Rank ties break on the 4-decimal rounded score then doc_id, so
-    both engines select identical hit sets."""
-    scored = _bm25_scored(spark, sf_dir)
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, doc_id, score): the full rounded BM25 score frame q93
+    ranks and q126 fuses — batch construction of the tf/dl state."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token")
+    )
+    # tf feeds four consumers (probe join side, dl, dfreq, and stats
+    # via dl) whose exchanges Catalyst can't unify — the q24 pattern: a
+    # lazy localCheckpoint materializes the (doc, token, tf) frame once
+    # so the corpus is tokenized exactly once, not four times.
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return bm25_scores(tf, dl, bm25_query_terms(docs))
+
+
+def bm25_topk(scored: DataFrame) -> DataFrame:
+    """Rank the score frame and keep BM25_TOP_K hits per query. Rank
+    ties break on the 4-decimal rounded score then doc_id, so both
+    engines (and both execution modes) select identical hit sets."""
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
@@ -117,6 +133,12 @@ def q93_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "doc_id", "score")
         .orderBy("qid", "rank")
     )
+
+
+def q93_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k per query doc (every doc_id % 100 == 0;
+    query = its first 12 tokens, distinct). Self-hits are excluded."""
+    return bm25_topk(_bm25_scored(spark, sf_dir))
 
 
 # The CTE chain through `scored` is shared by the q93 oracle and the
@@ -334,6 +356,119 @@ def q127_hard_negatives(
     )
 
 
+# --- q131: TF-IDF sparse-cosine nearest pairs --------------------------------
+
+TFIDF_DF_FRAC = 0.05  # posting-join skew bound: drop tokens in > 5% of docs
+TFIDF_PAIR_K = 20     # global top-k most similar pairs reported
+
+
+def q131_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar document pairs by TF-IDF cosine, computed
+    SPARSELY via a posting-list self-join — the lexical sibling of the
+    dense q27 block-matrix cosine, and the similarity measure
+    plagiarism/near-dup systems used before embeddings.
+
+    Scale shape: the quadratic step only exists inside a token's
+    posting list, and the df cap bounds every posting list at 5% of the
+    corpus — RELATIVE, so the bound tracks corpus growth instead of
+    silently emptying the candidate set at a larger sf (hot tokens are
+    boilerplate with IDF ~ 0 — the same stop-shingle argument as q24's
+    max_doc_freq knob, here part of the declared semantics so both
+    engines share it; floor of 2 keeps tiny corpora non-degenerate).
+    Weights,
+    norms, and the pair dot-product are three map-side-combinable
+    aggregates over the weight frame, materialized once
+    (localCheckpoint, the q24/q93 pattern). The global top-k is a
+    TakeOrdered — no full sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # df via a COUNT window over the tf frame (q54's trick: tf rows are
+    # unique per (doc, token), so rows-per-token = document frequency)
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    cap = F.greatest(F.lit(2), F.ceil(F.lit(TFIDF_DF_FRAC) * F.col("n")))
+    w = (
+        with_df.crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= cap)
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    dot = (
+        w.select(F.col("doc_id").alias("ad"), "token", F.col("w").alias("wa"))
+        .join(
+            w.select(
+                F.col("doc_id").alias("bd"), "token", F.col("w").alias("wb")
+            ),
+            "token",
+        )
+        .filter(F.col("ad") < F.col("bd"))
+        .groupBy("ad", "bd")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dot.join(norms.withColumnsRenamed({"doc_id": "ad", "nrm": "na"}), "ad")
+        .join(norms.withColumnsRenamed({"doc_id": "bd", "nrm": "nb"}), "bd")
+        .select(
+            "ad",
+            "bd",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "ad", "bd")
+        .limit(TFIDF_PAIR_K)
+    )
+
+
+Q131_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DUCK_TOKS_EXPR}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+with_df AS (
+  SELECT doc_id, token, tf,
+         COUNT(*) OVER (PARTITION BY token) AS df
+  FROM tf
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+w AS (
+  SELECT doc_id, token, tf * LN((n + 1.0) / (df + 1.0)) AS w
+  FROM with_df CROSS JOIN n
+  WHERE df <= GREATEST(2, CAST(CEIL({TFIDF_DF_FRAC} * n) AS BIGINT))
+),
+norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+dot AS (
+  SELECT a.doc_id AS ad, b.doc_id AS bd, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ad, bd, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+FROM dot
+JOIN norms na ON na.doc_id = ad
+JOIN norms nb ON nb.doc_id = bd
+ORDER BY cos_sim DESC, ad, bd
+LIMIT {TFIDF_PAIR_K}
+"""
+
+
 def _q127_oracle() -> str:
     from .dedup import Q24_ORACLE_BODY
 
@@ -378,6 +513,14 @@ QUERIES = [
         "hard-negative mining: top BM25 hits that are NOT near-dups "
         "of the query (retrieval ∘ dedup composition)",
         ("retrieval", "training", "dedup"),
+    ),
+    QuerySpec(
+        "q131_tfidf_knn",
+        q131_tfidf_knn,
+        Q131_ORACLE,
+        "top-20 most similar doc pairs by TF-IDF cosine via df-capped "
+        "posting-list self-join (sparse lexical KNN)",
+        ("retrieval", "similarity", "dedup", "scale"),
     ),
     QuerySpec(
         "q126_rrf_fusion",

@@ -125,9 +125,13 @@ _PRIORITY = [
     "q126_rrf_fusion",
     "q127_hard_negatives",
     "q128_next_purchase",
-    # below here = outside the 50-row window. Every entry has at least
-    # one green driver row (see COVERAGE.md / CORRECTNESS_r01–r05) and
-    # stays covered by the pytest parity gate every round.
+    # below here = outside the 50-row window. Every entry except the
+    # round-6 additions (q129+, appended after this list in discovery
+    # order) has at least one green driver row (see COVERAGE.md — the
+    # generated ledger that replaces comment-archaeology here) and all
+    # stay covered by the pytest parity gate every round. Round-7
+    # rotation: swap the round-6 additions into the window for their
+    # first driver check, keeping the 12 anchor rows above.
     "q1_wordcount",
     "q2_inverted_index",
     "q3_sorted_rollup",

@@ -67,7 +67,59 @@ def q114_streaming_quality_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table).orderBy("source")
 
 
+def q130_streaming_bm25_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 (VERDICT r5 item 6): the retrieval family's
+    streaming twin. The two corpus-state frames — tf (doc x token
+    counts, i.e. the posting list the reference's indexer app builds,
+    src/mrapps/indexer.go:14-31) and dl (doc lengths) — are maintained
+    as STREAMING aggregates over the documents file stream and drained
+    with availableNow; df and the (N, avgdl) stats are derived views of
+    that state, and the drained state is scored + ranked by the SAME
+    ``bm25_scores``/``bm25_topk`` expression tree batch q93 uses, then
+    hash-checked against q93's DuckDB oracle. Proves index-maintenance
+    == index-rebuild for the newest family.
+
+    Scale shape: each micro-batch updates only the (doc, token) /
+    (doc) state rows it touches — a crawl drop costs O(delta), not a
+    corpus re-tokenization; both aggregates are map-side combinable
+    before the state store. Query terms come from a batch read (the
+    query set is config, not stream state)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import SPARK_TOKS_EXPR
+    from ..operators.retrieval import bm25_query_terms, bm25_scores, bm25_topk
+
+    run = uuid.uuid4().hex[:8]
+    toks = documents_stream(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token")
+    )
+    tf_table, dl_table = f"stream_q130_tf_{run}", f"stream_q130_dl_{run}"
+    run_available_now(
+        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")),
+        checkpoint_dir=tempfile.mkdtemp(prefix="dmrs_q130_tf_ckpt_"),
+        table_name=tf_table,
+        output_mode="complete",
+    )
+    run_available_now(
+        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
+        checkpoint_dir=tempfile.mkdtemp(prefix="dmrs_q130_dl_ckpt_"),
+        table_name=dl_table,
+        output_mode="complete",
+    )
+    from ..sources import load_table
+
+    qterms = bm25_query_terms(load_table(spark, sf_dir, "documents"))
+    # localCheckpoint gives the drained state fresh lineage: bm25_scores
+    # joins tf against its own df aggregate, and a memory-sink view
+    # reused on both sides of a join trips analyzer reference conflicts
+    # (same pattern as the batch path's tf checkpoint in retrieval.py).
+    tf = spark.table(tf_table).localCheckpoint(eager=False)
+    dl = spark.table(dl_table).localCheckpoint(eager=False)
+    return bm25_topk(bm25_scores(tf, dl, qterms))
+
+
 def _build_queries():
+    from ..operators.retrieval import Q93_ORACLE
     from ..operators.textanalysis import Q91_ORACLE
     from ..registry import QuerySpec
 
@@ -79,6 +131,14 @@ def _build_queries():
             "availableNow drain of the Gopher-rule funnel over a "
             "documents file stream (== batch q91)",
             ("streaming", "documents", "curation"),
+        ),
+        QuerySpec(
+            "q130_streaming_bm25_twin",
+            q130_streaming_bm25_twin,
+            Q93_ORACLE,
+            "incremental BM25: tf/dl as streaming aggregates over a "
+            "documents file stream, scored like batch q93 (== its oracle)",
+            ("streaming", "documents", "retrieval"),
         ),
     ]
 

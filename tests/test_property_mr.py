@@ -136,3 +136,53 @@ def test_weighted_median_window_matches_oracle(spark, rows):
         .collect()
     }
     assert got == _wm_oracle(rows)
+
+
+# --- weighted_median_approx (hot-group fallback) vs the exact answer ---------
+
+_wma_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),
+        # skewed value domain: cluster near 0 with rare large outliers,
+        # the shape that makes fixed-width bins earn their error bound
+        st.one_of(
+            st.integers(min_value=0, max_value=10),
+            st.integers(min_value=900, max_value=1000),
+        ),
+        st.integers(min_value=1, max_value=50),  # hot integral weights
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_wma_rows)
+def test_weighted_median_approx_within_one_bin(spark, rows):
+    """The histogram fallback's contract: its answer is a real member
+    value v with  0 <= exact_median - v <= (max-min)/n_bins  per group.
+    n_bins=8 so the binning actually coarsens (512 would be exact at
+    this data size)."""
+    import pyspark.sql.functions as F
+
+    from distributed_map_reduce_spark.operators.relational import (
+        weighted_median_approx,
+    )
+
+    n_bins = 8
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        r["g"]: r["wm_approx"]
+        for r in weighted_median_approx(df, "g", "v", "w", n_bins=n_bins).collect()
+    }
+    exact = _wm_oracle(rows)
+    values = {g: [v for gg, v, _ in rows if gg == g] for g in exact}
+    assert set(got) == set(exact)
+    for g, approx in got.items():
+        width = (max(values[g]) - min(values[g])) / n_bins
+        assert approx in values[g], (g, approx)
+        assert 0 <= exact[g] - approx <= width, (g, approx, exact[g], width)

@@ -413,3 +413,70 @@ def test_documents_stream_incremental_files(spark, sf_dir, tmp_path):
     expected_full = gopher_funnel(gopher_rule_frame(batch)).collect()
     assert _canon(full, cols) == _canon(expected_full, cols)
     assert _canon(full, cols) != _canon(partial, cols)
+
+
+def test_streaming_bm25_incremental_equals_batch(spark, sf_dir, tmp_path):
+    """q130's contract beyond the oracle gate: the incrementally
+    maintained tf/dl state yields byte-identical top-k after EACH crawl
+    drop — scoring the half-corpus state matches batch BM25 over the
+    half corpus, and after the second drop the same checkpointed stream
+    state converges to the full-corpus batch answer."""
+    import pyspark.sql.functions as F
+
+    from distributed_map_reduce_spark.functions.text import SPARK_TOKS_EXPR
+    from distributed_map_reduce_spark.operators.retrieval import (
+        bm25_query_terms,
+        bm25_scores,
+        bm25_topk,
+    )
+    from distributed_map_reduce_spark.sources import load_table
+    from distributed_map_reduce_spark.streaming.events_stream import (
+        run_available_now,
+    )
+
+    batch = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    tf_ckpt, dl_ckpt = str(tmp_path / "tf_ckpt"), str(tmp_path / "dl_ckpt")
+    batch.filter("doc_id % 2 = 0").write.mode("append").parquet(src)
+
+    def drain(suffix):
+        toks = (
+            spark.readStream.schema(batch.schema).format("parquet").load(src)
+            .select("doc_id", F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token"))
+        )
+        run_available_now(
+            toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")),
+            tf_ckpt, f"inc_bm25_tf_{suffix}", "complete",
+        )
+        run_available_now(
+            toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
+            dl_ckpt, f"inc_bm25_dl_{suffix}", "complete",
+        )
+        # fresh lineage: a memory-sink view on both sides of the
+        # tf-vs-its-own-df join trips analyzer reference conflicts
+        return (
+            spark.table(f"inc_bm25_tf_{suffix}").localCheckpoint(),
+            spark.table(f"inc_bm25_dl_{suffix}").localCheckpoint(),
+        )
+
+    def batch_topk(docs):
+        toks = docs.select(
+            "doc_id", F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token")
+        )
+        tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        return bm25_topk(bm25_scores(tf, dl, bm25_query_terms(docs)))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    qterms_half = bm25_query_terms(batch.filter("doc_id % 2 = 0"))
+    tf1, dl1 = drain(1)
+    assert rows(bm25_topk(bm25_scores(tf1, dl1, qterms_half))) == rows(
+        batch_topk(batch.filter("doc_id % 2 = 0"))
+    )
+
+    batch.filter("doc_id % 2 = 1").write.mode("append").parquet(src)
+    tf2, dl2 = drain(2)
+    got_full = rows(bm25_topk(bm25_scores(tf2, dl2, bm25_query_terms(batch))))
+    assert got_full == rows(batch_topk(batch))
