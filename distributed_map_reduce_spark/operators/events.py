@@ -661,7 +661,66 @@ ORDER BY event_type, q_start
 """
 
 
+# --- q136: longest activity streak (gaps and islands) ------------------------
+
+def q136_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, summarized as
+    a (streak_length, n_users) histogram — the canonical gaps-and-
+    islands problem (island id = date - row_number() days: consecutive
+    dates share it, any gap starts a new island), the one classic
+    window idiom the suite's lag/lead/rank coverage didn't yet include.
+
+    FP-free (pure date/integer arithmetic). Scale shape: one distinct
+    aggregate, one per-user window (partition bounded by a user's
+    active-day count), two tiny groupBys; the histogram keeps the
+    output bounded by the longest streak, not the user count."""
+    from pyspark.sql.window import Window
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = d.withColumn(
+        "island", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("streak"))
+    return (
+        longest.groupBy("streak")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("streak")
+    )
+
+
+Q136_ORACLE = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+islands AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS island
+  FROM d
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS len
+  FROM islands GROUP BY user_id, island
+),
+longest AS (SELECT user_id, MAX(len) AS streak FROM streaks GROUP BY user_id)
+SELECT streak, COUNT(*) AS n_users
+FROM longest
+GROUP BY streak
+ORDER BY streak
+"""
+
+
 QUERIES = [
+    QuerySpec("q136_activity_streaks", q136_activity_streaks, Q136_ORACLE,
+              "longest consecutive-day streak per user as a histogram "
+              "(gaps-and-islands window idiom)",
+              ("events", "window", "stats")),
     QuerySpec("q123_temporal_sweep", q123_temporal_sweep, Q123_ORACLE,
               "calendar-function sweep (quarter/isodow/doy/ISO week/"
               "datediff) per type x quarter",

@@ -1595,6 +1595,125 @@ ORDER BY c_mktsegment, decile
 """
 
 
+# --- q134: cohort retention --------------------------------------------------
+
+def q134_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: customers grouped by
+    first-order month, with the distinct-active count at each month
+    offset since the cohort — the analytics surface behind every
+    retention curve dashboard.
+
+    Deliberately FP-free: month arithmetic is integral (truncated
+    dates), activity counts are exact, and the retention percentage is
+    left to the consumer as n_active/cohort_size — two exact integers —
+    so no rounding convention can diverge between engines.
+
+    Scale shape: the distinct (customer, month) activity frame and the
+    per-customer min are both map-side-combinable aggregates keyed on
+    the customer; the cohort join is customer-keyed (no re-shuffle
+    after the aggregates under AQE), and the final rollup is
+    cohort-month-sized — tiny. No windows, no self-joins."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    )
+    act = o.distinct()
+    first = act.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = first.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    j = act.join(first, "o_custkey").select(
+        "cohort_m",
+        F.months_between("m", "cohort_m").cast("int").alias("month_offset"),
+        "o_custkey",
+    )
+    ret = j.groupBy("cohort_m", "month_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return (
+        ret.join(sizes, "cohort_m")
+        .select(
+            F.col("cohort_m").cast("date").alias("cohort_month"),
+            "month_offset",
+            "n_active",
+            "cohort_size",
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
+Q134_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS m
+  FROM orders
+),
+first AS (SELECT o_custkey, MIN(m) AS cohort_m FROM act GROUP BY o_custkey),
+sizes AS (SELECT cohort_m, COUNT(*) AS cohort_size FROM first GROUP BY cohort_m),
+ret AS (
+  SELECT f.cohort_m, date_diff('month', f.cohort_m, a.m) AS month_offset,
+         COUNT(*) AS n_active
+  FROM act a JOIN first f USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT CAST(r.cohort_m AS DATE) AS cohort_month, r.month_offset,
+       r.n_active, s.cohort_size
+FROM ret r JOIN sizes s USING (cohort_m)
+ORDER BY cohort_month, month_offset
+"""
+
+
+# --- q135: market-basket co-occurrence ---------------------------------------
+
+BASKET_TOP_K = 20
+
+
+def q135_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top-20 part pairs most often ordered
+    together — the co-occurrence mining step behind "frequently bought
+    together" and association-rule pipelines.
+
+    Scale shape: the quadratic step only exists INSIDE one order
+    (self-join on l_orderkey), and an order's line count is bounded by
+    the schema (TPC-H: <= 7) — the natural analog of q24's per-bucket
+    bound, so the pair frame is O(lines x max_lines_per_order), linear
+    in practice. Pair counts are one map-side-combinable groupBy; the
+    global top-20 is a TakeOrdered, no full sort. Count ties break on
+    (part_a, part_b) so both engines pick identical rows."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+        .join(
+            li.select("l_orderkey", F.col("l_partkey").alias("part_b")),
+            "l_orderkey",
+        )
+        .filter(F.col("part_a") < F.col("part_b"))
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )
+
+
+Q135_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {BASKET_TOP_K}
+"""
+
+
 Q117_ORACLE = """
 WITH c AS (
   SELECT l_returnflag, l_extendedprice,
@@ -1973,6 +2092,14 @@ QUERIES = [
               "equi-depth NTILE account-balance deciles per segment "
               "(deterministic total order)",
               ("relational", "window", "stats")),
+    QuerySpec("q134_cohort_retention", q134_cohort_retention, Q134_ORACLE,
+              "first-order-month cohort retention triangle (FP-free "
+              "integral month arithmetic)",
+              ("relational", "events", "stats")),
+    QuerySpec("q135_basket_pairs", q135_basket_pairs, Q135_ORACLE,
+              "top-20 co-ordered part pairs (order-bounded self-join, "
+              "market-basket mining)",
+              ("relational", "similarity", "stats")),
     QuerySpec("q119_lateral_topk", q119_lateral_topk, Q119_ORACLE,
               "top-2 orders per customer via LATERAL correlated "
               "subquery (decorrelated, no per-row re-scan)",
