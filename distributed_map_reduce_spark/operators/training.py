@@ -823,7 +823,148 @@ ORDER BY source, bin
 """
 
 
+# --- q137: quality-weighted importance sampling ------------------------------
+
+IMP_HEX_DIGITS = 4  # md5-prefix resolution: u in {0..65535}/65536
+
+
+def q137_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted (importance) sampling: keep each
+    document with probability equal to its quality score — the DCLM /
+    FineWeb-style curation step between hard filtering (keep/drop
+    rules) and uniform subsampling, here with md5 as the RNG so the
+    sample is reproducible across runs AND engines (q62/q66's hash-
+    threshold posture applied to a per-row weight instead of a global
+    rate).
+
+    keep(doc) <=> md5(doc_id)[:4] < printf('%04x', floor(score *
+    16^4)) — a pure string comparison on hex, identical in both
+    engines, no float RNG anywhere. Emits the per-source audit frame
+    (docs, kept, exact integer score mass) rather than the sample
+    itself, so the result is tiny and hash-checkable; the sample is
+    the same frame without the final groupBy.
+
+    Scale shape: row-local decision + one map-side-combinable groupBy —
+    embarrassingly parallel at any corpus size."""
+    from .textanalysis import doc_quality_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = docs.join(doc_quality_scores(spark, sf_dir), "doc_id")
+    cap = 16 ** IMP_HEX_DIGITS
+    keep = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, IMP_HEX_DIGITS
+    ) < F.format_string(
+        f"%0{IMP_HEX_DIGITS}x",
+        F.least(
+            F.floor(F.col("score") * cap), F.lit(cap - 1)
+        ).cast("int"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("bigint")).alias("n_kept"),
+            F.sum(F.round(F.col("score") * 100).cast("bigint")).alias(
+                "score_cents"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _q137_oracle() -> str:
+    from .textanalysis import DUCK_SCORED_SQL
+
+    cap = 16 ** IMP_HEX_DIGITS
+    return f"""
+WITH scored AS ({DUCK_SCORED_SQL}),
+j AS (
+  SELECT d.source, s.score,
+         CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1,
+                           {IMP_HEX_DIGITS})
+                   < printf('%0{IMP_HEX_DIGITS}x',
+                            LEAST(CAST(FLOOR(s.score * {cap}) AS BIGINT),
+                                  {cap - 1}))
+              THEN 1 ELSE 0 END AS keep
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(ROUND(score * 100)) AS BIGINT) AS score_cents
+FROM j
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- q138: contrastive span pairs --------------------------------------------
+
+SPAN_LEN = 32  # tokens per span; docs need >= 2*SPAN_LEN tokens
+
+
+def q138_contrastive_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised contrastive pair generation (the Contriever /
+    cropping recipe): from every document long enough, two disjoint
+    token spans — anchor = tokens 1..32, positive = tokens 33..64 —
+    that train "two views of one doc are closer than views of
+    different docs". Emits span fingerprints (md5 prefixes) rather
+    than the span text, keeping the result frame narrow; the actual
+    training-pair materialization is the same projection minus the
+    fingerprinting.
+
+    Scale shape: pure row-local projection (slice + join + hash), no
+    shuffle at all beyond the final presentation sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(SPARK_TOKS_EXPR)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tok"),
+            F.array_join(F.slice(toks, 1, SPAN_LEN), " ").alias("a"),
+            F.array_join(F.slice(toks, SPAN_LEN + 1, SPAN_LEN), " ").alias(
+                "b"
+            ),
+        )
+        .filter(F.col("n_tok") >= 2 * SPAN_LEN)
+        .select(
+            "doc_id",
+            "n_tok",
+            F.substring(F.md5("a"), 1, 8).alias("anchor_fp"),
+            F.substring(F.md5("b"), 1, 8).alias("positive_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q138_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {DUCK_TOKS_EXPR} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         array_to_string(toks[1:{SPAN_LEN}], ' ') AS a,
+         array_to_string(toks[{SPAN_LEN + 1}:{2 * SPAN_LEN}], ' ') AS b
+  FROM t
+)
+SELECT doc_id, n_tok,
+       substr(md5(a), 1, 8) AS anchor_fp,
+       substr(md5(b), 1, 8) AS positive_fp
+FROM s
+WHERE n_tok >= {2 * SPAN_LEN}
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
+    QuerySpec("q137_importance_sampling", q137_importance_sampling,
+              _q137_oracle(),
+              "deterministic quality-weighted sampling audit (md5-as-RNG "
+              "keep probability = quality score)",
+              ("training", "curation", "sampling")),
+    QuerySpec("q138_contrastive_spans", q138_contrastive_spans, Q138_ORACLE,
+              "contrastive anchor/positive span pairs per long doc "
+              "(cropping recipe, fingerprinted)",
+              ("training", "retrieval", "text")),
     QuerySpec("q61_sequence_packing", q61_sequence_packing, Q61_ORACLE,
               "greedy token-budget packing of docs into training sequences",
               ("training", "packing")),
