@@ -276,6 +276,15 @@ def q32_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     works under ``readStream`` + watermark (state evicted per watermark),
     which is why this is the batch twin of the streaming session path.
     """
+    return user_sessions_frame(spark, sf_dir).orderBy(
+        "user_id", "session_start"
+    )
+
+
+def user_sessions_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (user_id, session_start, session_end, n_events, total)
+    session intervals — q32's core, factored so interval consumers
+    (q139 overlap join) reuse the ONE sessionization definition."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     # session_window needs an instant (tz-aware) timestamp; session tz is
     # UTC so NTZ wall-clock values round-trip exactly.
@@ -293,12 +302,12 @@ def q32_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
-Q32_ORACLE = """
-WITH marked AS (
+# Session CTE chain shared by the q32 oracle and interval-consumer
+# oracles (q139) — structural composition, never string surgery.
+SESS_CTES = """marked AS (
   SELECT user_id, ts, value,
          CASE WHEN LAG(ts) OVER w IS NULL
               OR ts - LAG(ts) OVER w >= INTERVAL 6 HOUR
@@ -311,14 +320,21 @@ sess AS (
          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
-)
-SELECT user_id,
-       MIN(ts) AS session_start,
-       MAX(ts) + INTERVAL 6 HOUR AS session_end,
-       COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total
-FROM sess
-GROUP BY user_id, sid
+),
+sessions AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 6 HOUR AS session_end,
+         COUNT(*) AS n_events,
+         ROUND(SUM(value), 2) AS total
+  FROM sess
+  GROUP BY user_id, sid
+)"""
+
+Q32_ORACLE = f"""
+WITH {SESS_CTES}
+SELECT user_id, session_start, session_end, n_events, total
+FROM sessions
 ORDER BY user_id, session_start
 """
 
@@ -661,6 +677,84 @@ ORDER BY event_type, q_start
 """
 
 
+# --- q139: interval overlap join ---------------------------------------------
+
+CAMPAIGNS = (
+    ("new_year", "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+    ("week2_flash", "2024-01-08 12:00:00", "2024-01-09 12:00:00"),
+    ("mid_month", "2024-01-14 00:00:00", "2024-01-17 00:00:00"),
+    ("month_end", "2024-01-28 00:00:00", "2024-01-31 00:00:00"),
+)
+
+
+def q139_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval OVERLAP join — the interval-algebra shape the
+    suite's range joins don't cover (q34 is point-in-interval, as-of is
+    point-to-nearest): user session intervals (q32's sessionization,
+    shared frame) against campaign windows, per campaign emitting the
+    overlapping-session count, distinct users, and the EXACT total
+    overlap in microseconds (unix_micros/epoch_us on both engines — no
+    fractional-second epoch() doubles, no truncation ambiguity).
+
+    Scale shape: sessions are one session_window shuffle (shared with
+    q32); the campaign side is a literal broadcast, so the overlap
+    predicate is a broadcast nested-loop over |campaigns| intervals per
+    session — the q34 posture; for a LARGE interval dimension the
+    technique switches to interval bucketing (floor(start/width) grid
+    keys + residual filter), documented here, unnecessary for 4
+    windows."""
+    sessions = user_sessions_frame(spark, sf_dir)
+    camp = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("campaign"),
+                        F.lit(s).cast("timestamp_ntz").alias("c_start"),
+                        F.lit(e).cast("timestamp_ntz").alias("c_end"),
+                    )
+                    for n, s, e in CAMPAIGNS
+                ]
+            )
+        ).alias("c")
+    ).select("c.*")
+    j = sessions.join(
+        F.broadcast(camp),
+        (F.col("session_start") < F.col("c_end"))
+        & (F.col("c_start") < F.col("session_end")),
+    )
+    overlap_us = F.unix_micros(
+        F.least("session_end", "c_end").cast("timestamp")
+    ) - F.unix_micros(F.greatest("session_start", "c_start").cast("timestamp"))
+    return (
+        j.groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(overlap_us).alias("overlap_us"),
+        )
+        .orderBy("campaign")
+    )
+
+
+def _q139_oracle() -> str:
+    values = ", ".join(
+        f"('{n}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for n, s, e in CAMPAIGNS
+    )
+    return f"""
+WITH {SESS_CTES},
+camp(campaign, c_start, c_end) AS (VALUES {values})
+SELECT campaign, COUNT(*) AS n_sessions,
+       COUNT(DISTINCT user_id) AS n_users,
+       SUM(epoch_us(LEAST(session_end, c_end))
+           - epoch_us(GREATEST(session_start, c_start))) AS overlap_us
+FROM sessions JOIN camp
+  ON session_start < c_end AND c_start < session_end
+GROUP BY campaign
+ORDER BY campaign
+"""
+
+
 # --- q136: longest activity streak (gaps and islands) ------------------------
 
 def q136_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,6 +815,11 @@ QUERIES = [
               "longest consecutive-day streak per user as a histogram "
               "(gaps-and-islands window idiom)",
               ("events", "window", "stats")),
+    QuerySpec("q139_interval_overlap", q139_interval_overlap,
+              _q139_oracle(),
+              "session x campaign interval-overlap join with exact "
+              "microsecond overlap mass (broadcast interval dim)",
+              ("events", "join", "temporal")),
     QuerySpec("q123_temporal_sweep", q123_temporal_sweep, Q123_ORACLE,
               "calendar-function sweep (quarter/isodow/doy/ISO week/"
               "datediff) per type x quarter",

@@ -211,56 +211,6 @@ Q111_ORACLE = (
 )
 
 
-# --- q133: UNPIVOT (wide metrics -> long) ------------------------------------
-
-UNPIVOT_METRICS = ("n_docs", "avg_chars", "avg_tokens")
-
-
-def q133_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source corpus metrics published LONG: a wide per-source
-    aggregate (doc count, mean chars, mean tokens) unpivoted to
-    (source, metric, value) rows — the UNPIVOT/melt relational surface
-    (the inverse of q36's PIVOT), exercised through both engines'
-    native operators (DataFrame.unpivot here, UNPIVOT IN (...) in the
-    oracle) rather than a hand-rolled UNION ALL.
-
-    Scale shape: the wide aggregate is one map-side-combinable groupBy
-    to |sources| rows; the unpivot is a row-local Expand over that tiny
-    frame — metric-count x |sources| output, no shuffle of its own."""
-    from ..functions.text import SPARK_TOKS_EXPR
-
-    docs = load_table(spark, sf_dir, "documents")
-    wide = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-        F.round(F.avg(F.expr(f"size({SPARK_TOKS_EXPR})")), 2).alias(
-            "avg_tokens"
-        ),
-    )
-    return wide.unpivot(
-        "source", list(UNPIVOT_METRICS), "metric", "value"
-    ).orderBy("source", "metric")
-
-
-def _q133_oracle() -> str:
-    from ..functions.text import DUCK_TOKS_EXPR
-
-    return f"""
-WITH wide AS (
-  SELECT source,
-         CAST(COUNT(*) AS DOUBLE) AS n_docs,
-         ROUND(AVG(n_chars), 2) AS avg_chars,
-         ROUND(AVG(len({DUCK_TOKS_EXPR})), 2) AS avg_tokens
-  FROM documents
-  GROUP BY source
-)
-SELECT source, metric, value
-FROM wide
-UNPIVOT (value FOR metric IN ({", ".join(UNPIVOT_METRICS)}))
-ORDER BY source, metric
-"""
-
-
 QUERIES = [
     QuerySpec(
         "q101_table_profile",
@@ -277,13 +227,5 @@ QUERIES = [
         "join-key skew audit: group-size max/avg/p95, hottest-key "
         "share, singletons — the pre-flight for salting/AQE decisions",
         ("profile", "stats", "skew"),
-    ),
-    QuerySpec(
-        "q133_unpivot_metrics",
-        q133_unpivot_metrics,
-        _q133_oracle(),
-        "per-source corpus metrics unpivoted wide->long (native "
-        "UNPIVOT both engines; inverse of q36's PIVOT)",
-        ("profile", "relational", "stats"),
     ),
 ]
