@@ -1595,6 +1595,74 @@ ORDER BY c_mktsegment, decile
 """
 
 
+# --- q140: distribution position (percent_rank / cume_dist) ------------------
+
+def q140_distribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist coverage — the two relative-position
+    window functions the suite's rank/ntile/row_number family didn't
+    yet exercise — summarized as a per-priority decile histogram of
+    order totals' percent_rank, with the mean cume_dist per bucket.
+
+    Cross-engine determinism: percent_rank = (rank-1)/(n-1) and
+    cume_dist = peers_cume/n are single IEEE divisions of exact
+    integers, and the bucket floor(pr*10) applies the same two ops on
+    both engines — bit-identical inputs, bit-identical floor. The
+    orderBy includes o_orderkey so rank assignment is total. The
+    cume_dist mass is re-integerized (round(cd * n) recovers the exact
+    cumulative peer count the division started from) so the aggregate
+    is an exact BIGINT sum, immune to float summation order.
+
+    Scale shape: one hash exchange on the priority key + per-partition
+    sort (shared by all three window expressions — one window spec),
+    then a tiny partial-aggregated histogram groupBy."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    pos = o.select(
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.count(F.lit(1)).over(wp).alias("np"),
+    )
+    return (
+        pos.groupBy(
+            "o_orderpriority",
+            F.least(F.floor(F.col("pr") * 10), F.lit(9)).alias("pr_decile"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("cd") * F.col("np")).cast("bigint")
+            ).alias("cume_mass"),
+        )
+        .orderBy("o_orderpriority", "pr_decile")
+    )
+
+
+Q140_ORACLE = """
+WITH pos AS (
+  SELECT o_orderpriority,
+         PERCENT_RANK() OVER w AS pr,
+         CUME_DIST() OVER w AS cd,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS np
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey)
+)
+SELECT o_orderpriority,
+       LEAST(CAST(FLOOR(pr * 10) AS BIGINT), 9) AS pr_decile,
+       COUNT(*) AS n,
+       CAST(SUM(ROUND(cd * np)) AS BIGINT) AS cume_mass
+FROM pos
+GROUP BY 1, 2
+ORDER BY o_orderpriority, pr_decile
+"""
+
+
 # --- q134: cohort retention --------------------------------------------------
 
 def q134_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2091,6 +2159,11 @@ QUERIES = [
     QuerySpec("q132_ntile_deciles", q132_ntile_deciles, Q132_ORACLE,
               "equi-depth NTILE account-balance deciles per segment "
               "(deterministic total order)",
+              ("relational", "window", "stats")),
+    QuerySpec("q140_distribution_position", q140_distribution_position,
+              Q140_ORACLE,
+              "percent_rank decile histogram with exact cume_dist mass "
+              "(relative-position window functions)",
               ("relational", "window", "stats")),
     QuerySpec("q134_cohort_retention", q134_cohort_retention, Q134_ORACLE,
               "first-order-month cohort retention triangle (FP-free "

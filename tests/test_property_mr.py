@@ -186,3 +186,58 @@ def test_weighted_median_approx_within_one_bin(spark, rows):
         width = (max(values[g]) - min(values[g])) / n_bins
         assert approx in values[g], (g, approx)
         assert 0 <= exact[g] - approx <= width, (g, approx, exact[g], width)
+
+
+# --- gaps-and-islands (q136's mechanism) vs a python oracle ------------------
+
+_streak_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),    # user
+        st.integers(min_value=0, max_value=25),   # day offset (dups ok)
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _streak_oracle(rows):
+    """Longest run of consecutive distinct days per user."""
+    out = {}
+    for u in {r[0] for r in rows}:
+        days = sorted({d for uu, d in rows if uu == u})
+        best = run = 1
+        for a, b in zip(days, days[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        out[u] = best
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_streak_rows)
+def test_gaps_and_islands_streaks_match_oracle(spark, rows):
+    import datetime
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    base = datetime.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, base + datetime.timedelta(days=d)) for u, d in rows],
+        "u int, d date",
+    ).distinct()
+    w = Window.partitionBy("u").orderBy("d")
+    got = {
+        r["u"]: r["streak"]
+        for r in df.withColumn("island", F.date_sub("d", F.row_number().over(w)))
+        .groupBy("u", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("u")
+        .agg(F.max("len").alias("streak"))
+        .collect()
+    }
+    assert got == _streak_oracle(rows)
