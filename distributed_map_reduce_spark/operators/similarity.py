@@ -854,7 +854,113 @@ FROM a2 GROUP BY cid ORDER BY cid
 """
 
 
+# --- q141: Johnson-Lindenstrauss random projection ---------------------------
+
+JL_D_IN = 64    # input dims (embeddings table)
+JL_D_OUT = 16   # projected dims (4x compression)
+JL_SAMPLE = 20  # vec_ids reported (full corpus projects identically)
+
+
+def _jl_signs() -> list[list[int]]:
+    """The +-1 projection matrix, derived from md5 so it is a CONSTANT
+    shared by the Spark expressions and the oracle SQL — the seeded-
+    hash determinism posture (q62/q95/q137) applied to the JL sign
+    matrix (Achlioptas 2003: +-1 entries satisfy the JL lemma; no
+    Gaussian RNG needed)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[0] < "8"
+            else -1
+            for j in range(JL_D_OUT)
+        ]
+        for i in range(JL_D_IN)
+    ]
+
+
+def _jl_exprs(elem: str) -> tuple[list[str], str]:
+    """(projection expressions p0..p{D_OUT-1}, input-norm expression)
+    from an element-access template like ``element_at(embedding, {i})``
+    (Spark) or ``embedding[{i}]`` (DuckDB). Every term is cast to
+    DOUBLE and summed in a FIXED left-to-right order, so both engines
+    run the identical IEEE op sequence — bit-identical results, no
+    rounding slack needed anywhere upstream of the final display
+    round."""
+    signs = _jl_signs()
+    el = [f"CAST({elem.format(i=i + 1)} AS DOUBLE)" for i in range(JL_D_IN)]
+    projs = []
+    for j in range(JL_D_OUT):
+        terms = " + ".join(
+            f"({'' if signs[i][j] > 0 else '-'}{el[i]})"
+            for i in range(JL_D_IN)
+        )
+        projs.append(f"ROUND(({terms}) / {float(JL_D_OUT) ** 0.5}, 4)")
+    norm = (
+        "ROUND(SQRT(" + " + ".join(f"{e} * {e}" for e in el) + "), 4)"
+    )
+    return projs, norm
+
+
+def q141_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: 64-dim embeddings
+    compressed to 16 dims with a seeded +-1 matrix — the dimensionality
+    reduction that precedes ANN indexing at scale (project once, build
+    the index in the cheap space; pairwise distances survive within
+    the JL distortion bound). Reports the first 4 projected components
+    plus input/output norms for a sample of vectors — the norm ratio
+    IS the distortion audit.
+
+    Scale shape: pure row-local whole-stage-codegen arithmetic (1024
+    fused multiply-adds per row, no UDF, no shuffle); the sample filter
+    prunes to the reported rows but the projection plan is identical
+    for the full corpus."""
+    projs, norm = _jl_exprs("element_at(embedding, {i})")
+    out_norm = (
+        "ROUND(SQRT("
+        + " + ".join(f"p{j} * p{j}" for j in range(4))
+        + "), 4)"
+    )
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < JL_SAMPLE)
+        .select(
+            "vec_id",
+            *[F.expr(p).alias(f"p{j}") for j, p in enumerate(projs[:4])],
+            F.expr(norm).alias("norm_in"),
+        )
+    )
+    return base.select(
+        "vec_id", "p0", "p1", "p2", "p3",
+        "norm_in",
+        F.expr(out_norm).alias("norm_p4"),
+    ).orderBy("vec_id")
+
+
+def _q141_oracle() -> str:
+    projs, norm = _jl_exprs("embedding[{i}]")
+    sel = ", ".join(f"{p} AS p{j}" for j, p in enumerate(projs[:4]))
+    out_norm = (
+        "ROUND(SQRT(" + " + ".join(f"p{j} * p{j}" for j in range(4)) + "), 4)"
+    )
+    return f"""
+WITH proj AS (
+  SELECT vec_id, {sel}, {norm} AS norm_in
+  FROM embeddings
+  WHERE vec_id < {JL_SAMPLE}
+)
+SELECT vec_id, p0, p1, p2, p3, norm_in, {out_norm} AS norm_p4
+FROM proj
+ORDER BY vec_id
+"""
+
+
 QUERIES = [
+    QuerySpec("q141_random_projection", q141_random_projection,
+              _q141_oracle(),
+              "seeded JL +-1 random projection 64->16 dims with norm "
+              "audit (codegen-only dimensionality reduction)",
+              ("similarity", "scale")),
     QuerySpec("q18_nearest_neighbor", q18_nearest_neighbor, Q18_ORACLE,
               "exact 1-NN by squared L2 for 20 query vectors (argmin via min(struct))",
               ("similarity",)),
