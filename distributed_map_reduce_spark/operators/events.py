@@ -746,8 +746,9 @@ WITH {SESS_CTES},
 camp(campaign, c_start, c_end) AS (VALUES {values})
 SELECT campaign, COUNT(*) AS n_sessions,
        COUNT(DISTINCT user_id) AS n_users,
-       SUM(epoch_us(LEAST(session_end, c_end))
-           - epoch_us(GREATEST(session_start, c_start))) AS overlap_us
+       CAST(SUM(epoch_us(LEAST(session_end, c_end))
+                - epoch_us(GREATEST(session_start, c_start)))
+            AS BIGINT) AS overlap_us
 FROM sessions JOIN camp
   ON session_start < c_end AND c_start < session_end
 GROUP BY campaign

@@ -1367,9 +1367,12 @@ def q117_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hash exchange on the group key + per-partition
     sort (the window), then a plain partial-aggregated groupBy — the
     same cost as any per-group window; no global sort, no driver
-    collection. For groups too hot for one partition, the two-pass
-    approx_percentile-with-weights-via-duplication trick is the stated
-    fallback; the exact form is the oracle-checkable contract."""
+    collection. For groups too hot for one partition the SHIPPED
+    fallback is :func:`weighted_median_approx` (q129): a fixed-
+    resolution weighted histogram whose window partitions are bounded
+    by the bin count, within one bin width of this exact form
+    (property-tested). The exact form stays the oracle-checkable
+    contract."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
     )
