@@ -267,7 +267,16 @@ def write_pair_store(
     The one-time write pays q24's shuffles; afterwards every consumer
     join/aggregate keyed on ``ad`` reads pre-partitioned buckets. Returns
     the table name for :func:`read_pair_store` / ``pairs=`` hooks.
+
+    ``table`` must be database-qualified: with a bare name the CREATE
+    DATABASE below would make a database named after the table while
+    ``saveAsTable`` wrote into the CURRENT database — silently dropping
+    the ``location`` request.
     """
+    if "." not in table:
+        raise ValueError(
+            f"pair-store table must be db-qualified ('db.table'), got {table!r}"
+        )
     db = table.split(".", 1)[0]
     loc = f" LOCATION '{location}'" if location else ""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")

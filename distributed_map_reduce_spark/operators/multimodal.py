@@ -199,6 +199,11 @@ def decode_bmp_pixels(b: bytes):
     return rows[:, :, ::-1]  # BGR on disk -> RGB
 
 
+# Absolute decode budget (64 MiB of raw scanline bytes ≈ a 4096x4096
+# RGBA frame): the inflation bound must not be attacker-sized.
+PNG_MAX_DECODED_BYTES = 64 * 1024 * 1024
+
+
 def decode_png_pixels(b: bytes):
     """Non-interlaced 8-bit-depth PNG (grayscale / gray+alpha / RGB /
     RGBA) -> (H, W, 3) uint8 RGB array with stdlib ``zlib`` +
@@ -245,13 +250,22 @@ def decode_png_pixels(b: bytes):
         # Bounded inflate: cap output at the exact expected pixel-buffer
         # size (+1 to detect overrun) so a crafted high-ratio zlib
         # payload can't balloon executor memory before the size check.
+        # The declared dimensions are attacker-controlled, so the cap is
+        # only meaningful under an ABSOLUTE pixel budget — a 65535x65535
+        # IHDR would otherwise authorize a ~17 GB inflation all by
+        # itself.
         expect = (w * nch + 1) * h
+        if expect > PNG_MAX_DECODED_BYTES:
+            return None
         dec = zlib.decompressobj()
         raw = dec.decompress(bytes(idat), expect + 1)
     except (struct.error, zlib.error):
         return None
     stride = w * nch
-    if len(raw) != (stride + 1) * h or dec.unconsumed_tail:
+    # eof check: max_length-bounded decompressobj happily returns bytes
+    # from a truncated/corrupt stream (no end-of-stream marker, no
+    # Adler-32 verification) that plain zlib.decompress would reject.
+    if len(raw) != (stride + 1) * h or dec.unconsumed_tail or not dec.eof:
         return None
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

@@ -406,8 +406,30 @@ def q131_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    norms = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    # Determinism: a plain SUM over doubles is summed in partial-
+    # aggregate completion order — engine- AND run-dependent, so a
+    # value near a rounding boundary could hash-mismatch. Instead each
+    # sum collects its terms keyed by token, sorts, and LEFT-FOLDS in
+    # token order — the same IEEE op sequence on both engines, the q141
+    # fixed-order posture applied to variable-length sums. List sizes
+    # are bounded by the df cap (norms: tokens per doc; dot: shared
+    # tokens per pair), so the collected arrays stay small.
+    def _ordered_sum(pairs_col: str) -> F.Column:
+        return F.aggregate(
+            F.sort_array(F.collect_list(pairs_col)),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        )
+
+    norms = (
+        w.select(
+            "doc_id",
+            F.struct(
+                F.col("token").alias("k"), (F.col("w") * F.col("w")).alias("v")
+            ).alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sqrt(_ordered_sum("t")).alias("nrm"))
     )
     dot = (
         w.select(F.col("doc_id").alias("ad"), "token", F.col("w").alias("wa"))
@@ -418,8 +440,16 @@ def q131_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
         )
         .filter(F.col("ad") < F.col("bd"))
+        .select(
+            "ad",
+            "bd",
+            F.struct(
+                F.col("token").alias("k"),
+                (F.col("wa") * F.col("wb")).alias("v"),
+            ).alias("t"),
+        )
         .groupBy("ad", "bd")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .agg(_ordered_sum("t").alias("dot"))
     )
     return (
         dot.join(norms.withColumnsRenamed({"doc_id": "ad", "nrm": "na"}), "ad")
@@ -454,9 +484,18 @@ w AS (
   FROM with_df CROSS JOIN n
   WHERE df <= GREATEST(2, CAST(CEIL({TFIDF_DF_FRAC} * n) AS BIGINT))
 ),
-norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+norms AS (
+  -- token-ordered left fold with a 0.0 seed == Spark's F.aggregate
+  -- over sort_array: identical IEEE op sequence, bit-identical sums
+  SELECT doc_id,
+         SQRT(list_reduce(list_prepend(0.0, list(w * w ORDER BY token)),
+                          (acc, x) -> acc + x)) AS nrm
+  FROM w GROUP BY doc_id
+),
 dot AS (
-  SELECT a.doc_id AS ad, b.doc_id AS bd, SUM(a.w * b.w) AS dot
+  SELECT a.doc_id AS ad, b.doc_id AS bd,
+         list_reduce(list_prepend(0.0, list(a.w * b.w ORDER BY a.token)),
+                     (acc, x) -> acc + x) AS dot
   FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )

@@ -907,18 +907,19 @@ def q141_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed to 16 dims with a seeded +-1 matrix — the dimensionality
     reduction that precedes ANN indexing at scale (project once, build
     the index in the cheap space; pairwise distances survive within
-    the JL distortion bound). Reports the first 4 projected components
-    plus input/output norms for a sample of vectors — the norm ratio
-    IS the distortion audit.
+    the JL distortion bound). All 16 components are computed; the
+    result carries the first 4 (display) plus the input norm and the
+    FULL 16-dim projected norm — their ratio is the per-vector JL
+    distortion audit (a partial norm could not certify the bound).
 
-    Scale shape: pure row-local whole-stage-codegen arithmetic (1024
-    fused multiply-adds per row, no UDF, no shuffle); the sample filter
-    prunes to the reported rows but the projection plan is identical
-    for the full corpus."""
+    Scale shape: pure row-local whole-stage-codegen arithmetic (16x64
+    = 1024 fused multiply-adds per row, no UDF, no shuffle); the
+    sample filter prunes to the reported rows but the projection plan
+    is identical for the full corpus."""
     projs, norm = _jl_exprs("element_at(embedding, {i})")
     out_norm = (
         "ROUND(SQRT("
-        + " + ".join(f"p{j} * p{j}" for j in range(4))
+        + " + ".join(f"p{j} * p{j}" for j in range(JL_D_OUT))
         + "), 4)"
     )
     base = (
@@ -926,22 +927,24 @@ def q141_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < JL_SAMPLE)
         .select(
             "vec_id",
-            *[F.expr(p).alias(f"p{j}") for j, p in enumerate(projs[:4])],
+            *[F.expr(p).alias(f"p{j}") for j, p in enumerate(projs)],
             F.expr(norm).alias("norm_in"),
         )
     )
     return base.select(
         "vec_id", "p0", "p1", "p2", "p3",
         "norm_in",
-        F.expr(out_norm).alias("norm_p4"),
+        F.expr(out_norm).alias("norm_out"),
     ).orderBy("vec_id")
 
 
 def _q141_oracle() -> str:
     projs, norm = _jl_exprs("embedding[{i}]")
-    sel = ", ".join(f"{p} AS p{j}" for j, p in enumerate(projs[:4]))
+    sel = ", ".join(f"{p} AS p{j}" for j, p in enumerate(projs))
     out_norm = (
-        "ROUND(SQRT(" + " + ".join(f"p{j} * p{j}" for j in range(4)) + "), 4)"
+        "ROUND(SQRT("
+        + " + ".join(f"p{j} * p{j}" for j in range(JL_D_OUT))
+        + "), 4)"
     )
     return f"""
 WITH proj AS (
@@ -949,7 +952,7 @@ WITH proj AS (
   FROM embeddings
   WHERE vec_id < {JL_SAMPLE}
 )
-SELECT vec_id, p0, p1, p2, p3, norm_in, {out_norm} AS norm_p4
+SELECT vec_id, p0, p1, p2, p3, norm_in, {out_norm} AS norm_out
 FROM proj
 ORDER BY vec_id
 """

@@ -69,21 +69,24 @@ def q114_streaming_quality_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q130_streaming_bm25_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental BM25 (VERDICT r5 item 6): the retrieval family's
-    streaming twin. The two corpus-state frames — tf (doc x token
-    counts, i.e. the posting list the reference's indexer app builds,
-    src/mrapps/indexer.go:14-31) and dl (doc lengths) — are maintained
-    as STREAMING aggregates over the documents file stream and drained
-    with availableNow; df and the (N, avgdl) stats are derived views of
-    that state, and the drained state is scored + ranked by the SAME
-    ``bm25_scores``/``bm25_topk`` expression tree batch q93 uses, then
-    hash-checked against q93's DuckDB oracle. Proves index-maintenance
-    == index-rebuild for the newest family.
+    streaming twin. THE corpus-state frame — tf (doc x token counts,
+    i.e. the posting list the reference's indexer app builds,
+    src/mrapps/indexer.go:14-31) — is maintained as a STREAMING
+    aggregate over the documents file stream and drained with
+    availableNow; dl, df and the (N, avgdl) stats are derived views of
+    that one state table (dl = sum of tf per doc, exactly how the
+    batch path derives it), and the drained state is scored + ranked
+    by the SAME ``bm25_scores``/``bm25_topk`` expression tree batch
+    q93 uses, then hash-checked against q93's DuckDB oracle. Proves
+    index-maintenance == index-rebuild for the newest family.
 
-    Scale shape: each micro-batch updates only the (doc, token) /
-    (doc) state rows it touches — a crawl drop costs O(delta), not a
-    corpus re-tokenization; both aggregates are map-side combinable
-    before the state store. Query terms come from a batch read (the
-    query set is config, not stream state)."""
+    Scale shape: each micro-batch updates only the (doc, token) state
+    rows it touches — a crawl drop costs O(delta), not a corpus
+    re-tokenization; the aggregate is map-side combinable before the
+    state store, and ONE stream pass feeds every derived view (a
+    second dl stream would re-read and re-tokenize the whole backlog
+    for a frame tf already determines). Query terms come from a batch
+    read (the query set is config, not stream state)."""
     from pyspark.sql import functions as F
 
     from ..functions.text import SPARK_TOKS_EXPR
@@ -93,17 +96,11 @@ def q130_streaming_bm25_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = documents_stream(spark, sf_dir).select(
         "doc_id", F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token")
     )
-    tf_table, dl_table = f"stream_q130_tf_{run}", f"stream_q130_dl_{run}"
+    tf_table = f"stream_q130_tf_{run}"
     run_available_now(
         toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")),
         checkpoint_dir=tempfile.mkdtemp(prefix="dmrs_q130_tf_ckpt_"),
         table_name=tf_table,
-        output_mode="complete",
-    )
-    run_available_now(
-        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
-        checkpoint_dir=tempfile.mkdtemp(prefix="dmrs_q130_dl_ckpt_"),
-        table_name=dl_table,
         output_mode="complete",
     )
     from ..sources import load_table
@@ -114,7 +111,7 @@ def q130_streaming_bm25_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reused on both sides of a join trips analyzer reference conflicts
     # (same pattern as the batch path's tf checkpoint in retrieval.py).
     tf = spark.table(tf_table).localCheckpoint(eager=False)
-    dl = spark.table(dl_table).localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     return bm25_topk(bm25_scores(tf, dl, qterms))
 
 

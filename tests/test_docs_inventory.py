@@ -36,9 +36,15 @@ def test_coverage_ledger_fresh():
     """COVERAGE.md (VERDICT r5 item 8) must match the current registry
     order + CORRECTNESS artifacts — regenerate with tools/coverage.py."""
     import importlib.util
-    spec = importlib.util.spec_from_file_location("coverage_tool", "tools/coverage.py")
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "coverage_tool", os.path.join(repo, "tools", "coverage.py")
+    )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    assert open("COVERAGE.md").read() == mod.build_ledger(), (
-        "COVERAGE.md stale - run: python tools/coverage.py"
-    )
+    with open(os.path.join(repo, "COVERAGE.md")) as f:
+        assert f.read() == mod.build_ledger(), (
+            "COVERAGE.md stale - run: python tools/coverage.py"
+        )

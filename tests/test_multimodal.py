@@ -415,3 +415,51 @@ def test_resize_media_real_png_path(spark):
     ref = px[ys][:, xs]
     assert row["out_bytes"] == ref.nbytes
     assert abs(row["mean_px"] - float(ref.mean())) < 1e-9
+
+
+def test_png_decode_rejects_truncated_and_oversized_streams():
+    """Hardening pins for the bounded-inflate path: a zlib stream with
+    its Adler-32 trailer truncated must be rejected (decompressobj
+    returns bytes without end-of-stream validation — dec.eof is the
+    guard), and an IHDR declaring an absurd pixel budget must be
+    rejected BEFORE inflation (the cap must not be attacker-sized)."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    from distributed_map_reduce_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    rgb = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    good = _make_png(rgb)
+    assert decode_png_pixels(good) is not None
+
+    # rebuild with the IDAT zlib trailer (Adler-32) cut off
+    def chunk(tag, body):
+        return (_s.pack(">I", len(body)) + tag + body
+                + _s.pack(">I", _z.crc32(tag + body)))
+
+    raw = bytearray()
+    for y in range(5):
+        raw.append(0)
+        raw += bytes(rgb[y].reshape(-1))
+    z = _z.compress(bytes(raw))
+    truncated = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", z[:-4])
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(truncated) is None
+
+    # 65535x65535 RGBA IHDR with a tiny high-ratio body: must return
+    # None without attempting a ~17 GB inflation
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 65535, 65535, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(b"\x00" * 1024))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(bomb) is None

@@ -436,7 +436,7 @@ def test_streaming_bm25_incremental_equals_batch(spark, sf_dir, tmp_path):
 
     batch = load_table(spark, sf_dir, "documents")
     src = str(tmp_path / "src")
-    tf_ckpt, dl_ckpt = str(tmp_path / "tf_ckpt"), str(tmp_path / "dl_ckpt")
+    tf_ckpt = str(tmp_path / "tf_ckpt")
     batch.filter("doc_id % 2 = 0").write.mode("append").parquet(src)
 
     def drain(suffix):
@@ -448,16 +448,11 @@ def test_streaming_bm25_incremental_equals_batch(spark, sf_dir, tmp_path):
             toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")),
             tf_ckpt, f"inc_bm25_tf_{suffix}", "complete",
         )
-        run_available_now(
-            toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
-            dl_ckpt, f"inc_bm25_dl_{suffix}", "complete",
-        )
         # fresh lineage: a memory-sink view on both sides of the
-        # tf-vs-its-own-df join trips analyzer reference conflicts
-        return (
-            spark.table(f"inc_bm25_tf_{suffix}").localCheckpoint(),
-            spark.table(f"inc_bm25_dl_{suffix}").localCheckpoint(),
-        )
+        # tf-vs-its-own-df join trips analyzer reference conflicts.
+        # dl is a derived view of the drained tf state (q130's posture).
+        tf = spark.table(f"inc_bm25_tf_{suffix}").localCheckpoint()
+        return tf, tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
 
     def batch_topk(docs):
         toks = docs.select(

@@ -144,9 +144,9 @@ def main() -> int:
         "|---|---|---|---|---|---|",
     ]
     for r in rows[:10]:
+        tags = qs[r["query"]].tags
         cause = CAUSES.get(
-            r["query"],
-            "tags: " + ",".join(qs[r["query"]].tags) or "-",
+            r["query"], ("tags: " + ",".join(tags)) if tags else "-"
         )
         lines.append(
             f"| `{r['query']}` | {r['t_lo']} | {r['t_hi']} | "
