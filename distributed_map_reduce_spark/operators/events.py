@@ -756,6 +756,119 @@ ORDER BY campaign
 """
 
 
+# --- q142: event-type transition census --------------------------------------
+
+def q142_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition census: for every adjacent pair of
+    events in a user's timeline, count (from_type -> to_type) — the
+    behavioral-model audit behind "what do users do after X" (distinct
+    from q73's as-of-with-tolerance, which finds the next event of ONE
+    type within a time budget; this is the unconditional adjacency
+    matrix). n_from rides along so P(to|from) = n / n_from is two
+    exact integers — no float probabilities to diverge.
+
+    Scale shape: one (user_id, ts) window shuffle + sort for the lead,
+    then a |types|² groupBy — tiny; the per-from totals are a window
+    over the aggregated matrix, not the events."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    m = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return (
+        m.withColumn("n_from", F.sum("n").over(wf))
+        .orderBy("from_type", "to_type")
+    )
+
+
+Q142_ORACLE = """
+WITH t AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+m AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM t WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       SUM(n) OVER (PARTITION BY from_type) AS n_from
+FROM m
+ORDER BY from_type, to_type
+"""
+
+
+# --- q143: user burstiness (Fano factor) -------------------------------------
+
+def q143_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness of hourly activity: the Fano factor
+    (variance/mean of events-per-active-hour) — the dispersion audit
+    that separates steady drips (~Poisson, F≈1) from bursty bots and
+    batch imports (F>>1); the per-user sibling of q87's global trend
+    and q111's key-skew audit.
+
+    Determinism without rounding: the moments come from EXACT integer
+    sums (Σc, Σc² over hourly counts), and the Fano expression applies
+    the identical IEEE op sequence on both engines — the q132 lesson
+    says a final ROUND(x, 2) is the only step that can diverge (Spark
+    rounds the shortest-decimal repr, DuckDB the binary value), so the
+    double ships unrounded and hashes bit-for-bit.
+
+    Scale shape: two map-side-combinable groupBys (hourly counts, then
+    per-user moments); no windows, no self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    m1 = F.col("n_events").cast("double") / F.col("n_hours")
+    m2 = F.col("s2").cast("double") / F.col("n_hours")
+    return (
+        m.select(
+            "user_id",
+            "n_hours",
+            "n_events",
+            ((m2 - m1 * m1) / m1).alias("fano"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q143_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY user_id, h
+),
+m AS (
+  SELECT user_id, COUNT(*) AS n_hours, SUM(c) AS n_events,
+         SUM(c * c) AS s2
+  FROM hourly GROUP BY user_id
+)
+SELECT user_id,
+       n_hours,
+       CAST(n_events AS BIGINT) AS n_events,
+       ((CAST(s2 AS DOUBLE) / n_hours)
+        - (CAST(n_events AS DOUBLE) / n_hours)
+          * (CAST(n_events AS DOUBLE) / n_hours))
+       / (CAST(n_events AS DOUBLE) / n_hours) AS fano
+FROM m
+ORDER BY user_id
+"""
+
+
 # --- q136: longest activity streak (gaps and islands) ------------------------
 
 def q136_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,6 +934,14 @@ QUERIES = [
               "session x campaign interval-overlap join with exact "
               "microsecond overlap mass (broadcast interval dim)",
               ("events", "join", "temporal")),
+    QuerySpec("q142_event_transitions", q142_event_transitions, Q142_ORACLE,
+              "first-order Markov transition census of adjacent event "
+              "types per user (exact n / n_from)",
+              ("events", "window", "stats")),
+    QuerySpec("q143_user_burstiness", q143_user_burstiness, Q143_ORACLE,
+              "per-user Fano factor of hourly activity from exact "
+              "integer moments (bot/burst audit)",
+              ("events", "stats", "profile")),
     QuerySpec("q123_temporal_sweep", q123_temporal_sweep, Q123_ORACLE,
               "calendar-function sweep (quarter/isodow/doy/ISO week/"
               "datediff) per type x quarter",
