@@ -801,7 +801,7 @@ m AS (
   GROUP BY from_type, to_type
 )
 SELECT from_type, to_type, n,
-       SUM(n) OVER (PARTITION BY from_type) AS n_from
+       CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
 FROM m
 ORDER BY from_type, to_type
 """
