@@ -411,9 +411,14 @@ def q131_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value near a rounding boundary could hash-mismatch. Instead each
     # sum collects its terms keyed by token, sorts, and LEFT-FOLDS in
     # token order — the same IEEE op sequence on both engines, the q141
-    # fixed-order posture applied to variable-length sums. List sizes
-    # are bounded by the df cap (norms: tokens per doc; dot: shared
-    # tokens per pair), so the collected arrays stay small.
+    # fixed-order posture applied to variable-length sums. Memory
+    # bound: the collected array is the per-DOCUMENT distinct-token set
+    # (norms) / the shared-token set of one pair (dot) — proportional
+    # to document length, NOT to the corpus (the df cap bounds posting
+    # lists, not these). Fine wherever ingestion caps document size
+    # (every crawl pipeline does); for uncapped documents the plain SUM
+    # is the fallback, trading cross-engine bit-determinism for O(1)
+    # aggregation state.
     def _ordered_sum(pairs_col: str) -> F.Column:
         return F.aggregate(
             F.sort_array(F.collect_list(pairs_col)),

@@ -62,15 +62,28 @@ CAUSES = {
 
 
 def time_suite(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, float]:
+    """min-of-two timing per query: the first execution of a fresh
+    session carries JIT/codegen/footer-cache warm-up that lands almost
+    entirely on whichever sf runs first — one contaminated lo pass
+    deflates EVERY exponent and the n^1.5 gate silently weakens
+    (observed: a full refresh recorded q4 at 2.08 s @sf0.01 vs 0.38 s
+    @sf0.1, a physically impossible negative slope). Two runs, keep the
+    faster."""
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.range(4).mapInPandas(lambda it: it, "id long").count()
     out: dict[str, float] = {}
     for name, spec in all_queries().items():
         if only is not None and name not in only:
             continue
-        t0 = time.perf_counter()
-        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
@@ -169,6 +182,13 @@ def main() -> int:
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write("\n".join(lines))
     worst = rows[0]
+    suspect = [r["query"] for r in rows if r["exponent"] < -0.2]
+    if suspect:
+        print(
+            f"WARNING: {len(suspect)} queries show strongly negative "
+            f"exponents (10x data running faster) — the lo pass was "
+            f"likely contaminated; rerun on a quiet box: {suspect[:5]}"
+        )
     print(
         f"wrote SCALING.md + scaling_results.json; worst exponent "
         f"{worst['exponent']} ({worst['query']})"
