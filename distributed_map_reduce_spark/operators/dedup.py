@@ -992,6 +992,105 @@ Q90_ORACLE = (
 )
 
 
+# --- q144: incremental EXACT dedup against a stored shingle store ------------
+
+def shingle_store_tables(
+    spark: SparkSession, sf_dir: str, base: DataFrame, n_buckets: int = 8
+) -> tuple[str, str]:
+    """The exact detector's analog of :func:`minhash_store_tables`:
+    hashed shingle keys bucketed by ``k`` (the probe key — a new crawl
+    joins on it with the stored side shuffle-free) plus per-doc set
+    sizes bucketed by doc_id (the Jaccard denominator, one row per
+    doc). Write shuffles once; every later crawl probe reads buckets.
+    Returns (shingles_table, sizes_table)."""
+    import uuid
+
+    sh = _doc_shingle_keys(spark, sf_dir, docs=base).localCheckpoint(
+        eager=False
+    )
+    sfx = uuid.uuid4().hex[:8]
+    sh_tbl, sz_tbl = f"shingle_store_{sfx}", f"shingle_sizes_{sfx}"
+    sh.write.bucketBy(n_buckets, "k").saveAsTable(sh_tbl)
+    (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.bucketBy(n_buckets, "doc_id")
+        .saveAsTable(sz_tbl)
+    )
+    return sh_tbl, sz_tbl
+
+
+def incremental_exact_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    sh_tbl: str,
+    sz_tbl: str,
+    delta: DataFrame,
+) -> DataFrame:
+    """q24's exact-Jaccard pairs RESTRICTED to pairs touching a delta
+    doc, computed against the stored shingle corpus instead of a
+    recompute: intersection rows = (new shingles x stored shingles) on
+    the bucketed key + the (new x new) self-join; sizes = stored sizes
+    ∪ delta sizes. Recompute equivalence is the oracle (q90's contract
+    applied to the exact detector).
+
+    Scale shape: per crawl, O(delta shingles + shared-key collisions);
+    the corpus-sized store arrives pre-bucketed on `k` so it never
+    re-shuffles — only the delta side and the (candidate-pair-sized)
+    intersection aggregate exchange."""
+    sh_new = _doc_shingle_keys(spark, sf_dir, docs=delta).localCheckpoint(
+        eager=False
+    )
+    stored = spark.table(sh_tbl)
+    cross = (
+        sh_new.select(F.col("doc_id").alias("nd"), "k")
+        .join(stored.select(F.col("doc_id").alias("sd"), "k"), "k")
+        .select(
+            F.least("nd", "sd").alias("ad"),
+            F.greatest("nd", "sd").alias("bd"),
+        )
+    )
+    within = (
+        sh_new.select(F.col("doc_id").alias("ad"), "k")
+        .join(sh_new.select(F.col("doc_id").alias("bd"), "k"), "k")
+        .filter(F.col("ad") < F.col("bd"))
+        .select("ad", "bd")
+    )
+    inter = (
+        cross.unionByName(within)
+        .groupBy("ad", "bd")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = spark.table(sz_tbl).unionByName(
+        sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _finish_jaccard(inter, sizes)
+
+
+def q144_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only crawl for the EXACT detector: the corpus minus this
+    crawl's docs (doc_id % 10 == 7, q90's declared delta) is shingled
+    into a bucketed store, then only the new docs are probed against
+    it. Hash-checked against the full-corpus q24 recompute restricted
+    to pairs touching a new doc — incremental must find EXACTLY what
+    batch finds. Together with q90 this closes the incremental story
+    for both rungs of the dedup ladder (approximate LSH and exact
+    Jaccard)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_delta = F.col("doc_id") % INC_MOD == INC_REM
+    sh_tbl, sz_tbl = shingle_store_tables(spark, sf_dir, docs.filter(~is_delta))
+    return incremental_exact_pairs(
+        spark, sf_dir, sh_tbl, sz_tbl, docs.filter(is_delta)
+    )
+
+
+Q144_ORACLE = (
+    Q24_ORACLE_BODY
+    + f"  AND (ad % {INC_MOD} = {INC_REM} OR bd % {INC_MOD} = {INC_REM})\n"
+    + "ORDER BY ad, bd\n"
+)
+
+
 def q103_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator calibration: for every LSH candidate pair,
     the signature-agreement estimate of Jaccard (#matching permutation
@@ -1206,6 +1305,11 @@ QUERIES = [
     QuerySpec("q90_incremental_dedup", q90_incremental_dedup, Q90_ORACLE,
               "new-crawl docs probed against a bucketed MinHash store",
               ("dedup", "lsh", "incremental")),
+    QuerySpec("q144_incremental_exact_dedup", q144_incremental_exact_dedup,
+              Q144_ORACLE,
+              "new-crawl docs probed against a bucketed shingle store "
+              "(exact-Jaccard incremental, == batch q24 on the delta)",
+              ("dedup", "incremental", "scale")),
     QuerySpec("q103_minhash_calibration", q103_minhash_calibration,
               Q103_ORACLE,
               "estimated vs exact Jaccard for every LSH candidate pair "

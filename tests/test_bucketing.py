@@ -149,3 +149,36 @@ def test_bucketed_q6_twin_has_no_join_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_shingle_store_probe_join_never_shuffles_stored_side(spark, sf_dir):
+    """q144's exact-detector analog of the MinHash-store pin: the
+    shingle store is bucketed on the key `k`, so a new-crawl probe join
+    reads it with ZERO Exchange — only the (small) delta side shuffles."""
+    import pyspark.sql.functions as F
+
+    from distributed_map_reduce_spark.operators.dedup import (
+        INC_MOD,
+        INC_REM,
+        _doc_shingle_keys,
+        shingle_store_tables,
+    )
+
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        is_delta = F.col("doc_id") % INC_MOD == INC_REM
+        sh_tbl, _ = shingle_store_tables(spark, sf_dir, docs.filter(~is_delta))
+        new_sh = _doc_shingle_keys(
+            spark, sf_dir, docs=docs.filter(is_delta)
+        ).localCheckpoint()
+        probe = new_sh.withColumnsRenamed({"doc_id": "nd"}).join(
+            spark.table(sh_tbl), "k"
+        )
+        plan = formatted_plan(probe)
+        assert "SelectedBucketsCount" in plan, plan
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") == 1, tree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
