@@ -924,6 +924,97 @@ ORDER BY streak
 """
 
 
+# --- q148: CUSUM mean-shift drift detector -----------------------------------
+
+def q148_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM drift statistic over the daily value
+    series: S_k = Σ_{i≤k}(x_i − mean), the classic mean-shift change
+    detector (Page 1954) — a feed whose daily spend drifts mid-history
+    shows a large |S_k| peak at the change point, while white noise
+    around a stable mean keeps every partial sum near zero. The audit
+    that tells "this source's volume regime changed on day D" from
+    "this source is just noisy" (q143 measures dispersion; this
+    measures WHEN the level moved).
+
+    Determinism: multiply through by n so the statistic stays integer —
+    n·S_k = n·prefix_k − k·total over integer daily cents; max |n·S_k|
+    and its argmax day are exact on both engines, no FP anywhere.
+
+    Scale shape: one map-side-combinable daily aggregate over the raw
+    events (the only full-data pass), then two windows over the tiny
+    calendar-bounded (type × day) frame — thousands of rows at any SF,
+    so the window partitions never concentrate raw-event volume."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("x")
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    wt = Window.partitionBy("event_type")
+    cur = (
+        daily.withColumn("k", F.row_number().over(wd))
+        .withColumn("prefix", F.sum("x").over(wd))
+        .withColumn("n_days", F.count(F.lit(1)).over(wt))
+        .withColumn("total_cents", F.sum("x").over(wt))
+        .withColumn(
+            "dev",
+            F.col("n_days") * F.col("prefix") - F.col("k") * F.col("total_cents"),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("dev")).desc(), F.col("d").asc()
+    )
+    return (
+        cur.withColumn("r", F.row_number().over(pick))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            "total_cents",
+            F.abs(F.col("dev")).alias("max_cusum_num"),
+            F.to_date("d").alias("drift_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q148_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+  FROM events GROUP BY event_type, d
+),
+cur AS (
+  SELECT event_type, d,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS k,
+         SUM(x) OVER (PARTITION BY event_type ORDER BY d) AS prefix,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+         SUM(x) OVER (PARTITION BY event_type) AS total_cents
+  FROM daily
+),
+dev AS (
+  SELECT event_type, d, n_days, total_cents,
+         n_days * prefix - k * total_cents AS dev,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY ABS(n_days * prefix - k * total_cents) DESC, d ASC
+         ) AS r
+  FROM cur
+)
+SELECT event_type,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(total_cents AS BIGINT) AS total_cents,
+       CAST(ABS(dev) AS BIGINT) AS max_cusum_num,
+       CAST(d AS DATE) AS drift_day
+FROM dev
+WHERE r = 1
+ORDER BY event_type
+"""
+
+
 QUERIES = [
     QuerySpec("q136_activity_streaks", q136_activity_streaks, Q136_ORACLE,
               "longest consecutive-day streak per user as a histogram "
@@ -985,4 +1076,8 @@ QUERIES = [
               "median absolute deviation + robust sigma vs stddev per "
               "event type",
               ("events", "robust-stats")),
+    QuerySpec("q148_cusum_drift", q148_cusum_drift, Q148_ORACLE,
+              "per-type CUSUM mean-shift statistic over daily cents "
+              "(integer-exact change-point audit: max |n*S_k| + drift day)",
+              ("events", "drift", "robust-stats")),
 ]

@@ -2060,6 +2060,205 @@ Q112_ORACLE = _Q112_BODY.format(
 )
 
 
+# --- q145: Bloom-filter semi-join prefilter ----------------------------------
+
+# Sized for the tested SFs (build side <= a few thousand keys => FPP
+# well under 1e-3). At production the bits scale with the build-side
+# count estimate (m ~ 14.4 * n for 1% FPP, k = 10) — the constants are
+# fixed here so the plan is deterministic and the filter is a ~8 KiB
+# broadcast either way.
+BLOOM_BITS = 1 << 16
+BLOOM_K = 5
+
+
+def _bloom_positions(key):
+    """k bit positions for a key: xxhash64 seeded by hashing the seed
+    ordinal in as an extra column — pure codegen, no Python."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(BLOOM_BITS))
+        for i in range(BLOOM_K)
+    ]
+
+
+def q145_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of orders placed by high-balance BUILDING-segment
+    customers, computed through a hand-built Bloom-filter semi-join:
+    the build side's custkeys are folded into a 64 Ki-bit filter (a
+    1-row map<word, bits> assembled with xxhash64 + bit_or — all
+    codegen), broadcast to the probe side, and non-members are dropped
+    BEFORE the exact LEFT SEMI join confirms the survivors.
+
+    This is the runtime-filter pattern for selective semi-joins at
+    100 TB: the probe side sheds ~95% of its rows against an ~8 KiB
+    broadcast bitmap before anything shuffles, so the exact semi-join
+    only pays for candidates (false positives included, which is why
+    the confirming join must stay). Spark's own InjectRuntimeFilter
+    does this transparently for shuffle joins; building it from
+    public expressions pins the technique as an operator the engine
+    owns — and because bloom-pass ∘ exact-confirm ≡ exact semi-join,
+    the oracle is the plain EXISTS query with no hash replication.
+
+    Plan check: the bitmap is one broadcast row (BroadcastNestedLoop
+    over a 1-row frame, the q68 scalar idiom); the probe scan carries
+    the membership predicate; the confirming semi join sees only
+    bloom survivors."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    build = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7500)
+    ).select(F.col("c_custkey").alias("key"))
+    # Build: key -> k positions -> (word, bit) -> bit_or per word -> 1-row map.
+    pos = build.select(
+        F.explode(F.array(*_bloom_positions(F.col("key")))).alias("pos")
+    )
+    words = pos.select(
+        F.floor(F.col("pos") / 64).cast("long").alias("w"),
+        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("b"),
+    )
+    bf = (
+        words.groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bf"))
+    )
+    # Probe: membership = all k bits set; then exact semi-join confirm.
+    probe = orders.select("o_custkey", "o_orderpriority", "o_totalprice")
+    probe = probe.crossJoin(F.broadcast(bf))
+    for i in range(BLOOM_K):
+        probe = probe.withColumn(
+            f"pos_{i}",
+            F.pmod(F.xxhash64(F.col("o_custkey"), F.lit(i)), F.lit(BLOOM_BITS)),
+        )
+    cond = F.lit(True)
+    for i in range(BLOOM_K):
+        cond = cond & F.expr(
+            f"(coalesce(element_at(bf, CAST(floor(pos_{i} / 64) AS BIGINT)),"
+            f" 0L) & shiftleft(1L, CAST(pmod(pos_{i}, 64) AS INT))) != 0"
+        )
+    candidates = probe.filter(cond).drop(
+        "bf", *[f"pos_{i}" for i in range(BLOOM_K)]
+    )
+    confirmed = candidates.join(
+        build.withColumnRenamed("key", "o_custkey"), "o_custkey", "left_semi"
+    )
+    return (
+        confirmed.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).alias("rev_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q145_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey
+    AND c.c_mktsegment = 'BUILDING'
+    AND c.c_acctbal > 7500
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- q146: exponentially weighted moving average -----------------------------
+
+# alpha = 1/2 with a 14-day horizon: every weight 0.5^k is an exact
+# dyadic, so cents * weight has <= 44 significant bits and every
+# partial sum stays exactly representable — the weighted sum is
+# order-free and bit-identical across engines with NO rounding step
+# (the q143 lesson: never ROUND a computed double at the boundary).
+EWMA_HORIZON_DAYS = 14
+
+
+def q146_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily order revenue per
+    priority — q88's flat 7-day mean upgraded to the recency-weighted
+    smoother dashboards actually plot (alpha=1/2, 14-day horizon, so
+    the truncated tail weight is 2^-14 ~ 6e-5 of the window).
+
+    A RANGE window frame cannot weight by distance, so the EWMA is a
+    self-join of the daily frame against itself on (priority, day-k):
+    the daily pre-aggregate is the only full-data pass (one shuffle,
+    map-side partials); the join runs over the calendar-bounded
+    (priority x day) frame — thousands of rows at ANY corpus size, so
+    the quadratic-looking join is O(days * horizon) on a frame that
+    never grows with data volume. Weights 0.5^k are exact powers of
+    two: the weighted sum is exact integer-scaled arithmetic and the
+    single final division is one IEEE op on identical operands."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    daily = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+        .withColumn("day_num", F.unix_date("day"))
+        .localCheckpoint(eager=False)  # two consumers; scan the daily frame once
+    )
+    a = daily.select(
+        F.col("o_orderpriority").alias("p"),
+        F.col("day").alias("day"),
+        F.col("day_num").alias("anchor"),
+    )
+    b = daily.select(
+        F.col("o_orderpriority").alias("p2"),
+        F.col("day_num").alias("d2"),
+        F.col("cents").alias("c2"),
+    )
+    k = F.col("anchor") - F.col("d2")
+    joined = a.join(
+        b,
+        (F.col("p") == F.col("p2"))
+        & (F.col("d2") <= F.col("anchor"))
+        & (F.col("d2") > F.col("anchor") - EWMA_HORIZON_DAYS),
+    )
+    return (
+        joined.groupBy(F.col("p").alias("o_orderpriority"), "day")
+        .agg(
+            (
+                F.sum(F.col("c2") * F.pow(F.lit(0.5), k))
+                / F.sum(F.pow(F.lit(0.5), k))
+            ).alias("ewma_cents"),
+            F.count(F.lit(1)).alias("n_in_frame"),
+        )
+        .orderBy("o_orderpriority", "day")
+    )
+
+
+Q146_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_orderpriority, day
+),
+keyed AS (
+  SELECT o_orderpriority, day,
+         datediff('day', DATE '1970-01-01', day) AS day_num, cents
+  FROM daily
+)
+SELECT a.o_orderpriority, a.day,
+       SUM(b.cents * POWER(0.5, a.day_num - b.day_num))
+         / SUM(POWER(0.5, a.day_num - b.day_num)) AS ewma_cents,
+       COUNT(*) AS n_in_frame
+FROM keyed a
+JOIN keyed b
+  ON a.o_orderpriority = b.o_orderpriority
+ AND b.day_num <= a.day_num
+ AND b.day_num > a.day_num - {EWMA_HORIZON_DAYS}
+GROUP BY a.o_orderpriority, a.day
+ORDER BY a.o_orderpriority, a.day
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -2201,4 +2400,14 @@ QUERIES = [
               "snapshot reconciliation diff (added/removed/changed) via "
               "FULL OUTER join on md5 fingerprints",
               ("relational", "join", "diff")),
+    QuerySpec("q145_bloom_semi_join", q145_bloom_semi_join, Q145_ORACLE,
+              "Bloom-filter semi-join prefilter (codegen xxhash64 bitmap "
+              "broadcast, exact semi-join confirm; the runtime-filter "
+              "pattern for selective joins)",
+              ("relational", "join", "bloom")),
+    QuerySpec("q146_ewma_revenue", q146_ewma_revenue, Q146_ORACLE,
+              "alpha=1/2 EWMA of daily revenue per priority (distance-"
+              "weighted self-join over the calendar-bounded daily frame; "
+              "exact dyadic weights, FP-order-free)",
+              ("relational", "window", "timeseries")),
 ]

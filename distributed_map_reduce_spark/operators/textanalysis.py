@@ -782,6 +782,93 @@ LIMIT {PMI_TOP_K}
 """
 
 
+# --- q147: bigram language-model log-probability -----------------------------
+
+def q147_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-one-smoothed bigram model — q68's unigram scorer upgraded one
+    Markov order: ln((c(w1,w2)+1) / (c(w1·)+V)) averaged over each
+    doc's bigrams. Word salad keeps plausible unigrams but implausible
+    transitions, so the bigram score separates shuffled text that q68
+    cannot.
+
+    Shape: one bigram explode (q92's zip_with idiom), a bigram-count
+    aggregate, a prefix-count aggregate derived FROM the bigram counts
+    (no third corpus scan), a 1-row vocab scalar that stays in-plan,
+    then bigrams join both count frames and re-aggregate per doc.
+    The bigram-count frame is the largest mid-structure; the join is a
+    plain hash join on the (w1,w2) key — AQE broadcasts it while it
+    fits, shuffles when it doesn't. Smoothing keeps every term finite,
+    and ln() of an integer ratio is bit-identical across engines (the
+    q68 precedent, green since round 1).
+    """
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_TOKS).alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (a, b) -> struct(a AS x, b AS y))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.x").alias("w1"), F.col("p.y").alias("w2"))
+    # Bigram counts once; prefix counts c(w1, ·) roll up from them so
+    # the corpus is scanned exactly twice (bigrams + the vocab scalar).
+    cb = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=False)
+    )
+    cp = cb.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(_TOKS)).alias("token"))
+        .agg(F.count_distinct("token").cast("double").alias("v"))
+    )
+    return (
+        big.join(cb, ["w1", "w2"])
+        .join(cp, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log((F.col("c_xy") + 1.0) / (F.col("c_x") + F.col("v")))), 4
+            ).alias("logprob"),
+            F.count(F.lit(1)).alias("n_bigram"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q147_ORACLE = f"""
+WITH docs_t AS (
+  SELECT doc_id, {DUCK_TOKS_EXPR} AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM docs_t, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+cb AS (SELECT w1, w2, COUNT(*) AS c_xy FROM big GROUP BY w1, w2),
+cp AS (SELECT w1, SUM(c_xy) AS c_x FROM cb GROUP BY w1),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v
+  FROM (SELECT unnest({DUCK_TOKS_EXPR}) AS token FROM documents)
+)
+SELECT doc_id,
+       ROUND(AVG(LN((c_xy + 1.0) / (c_x + v))), 4) AS logprob,
+       COUNT(*) AS n_bigram
+FROM big JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("q28_token_counts", q28_token_counts, Q28_ORACLE,
               "whitespace + BPE-ish regex token counts by source",
@@ -818,4 +905,8 @@ QUERIES = [
     QuerySpec("q92_bigram_pmi", q92_bigram_pmi, Q92_ORACLE,
               "top-K bigram collocations by PMI (phrase mining)",
               ("textanalysis", "vocab")),
+    QuerySpec("q147_bigram_logprob", q147_bigram_logprob, Q147_ORACLE,
+              "per-doc mean add-one bigram log-prob (order-2 fluency score; "
+              "catches shuffled text q68's unigram model cannot)",
+              ("textanalysis", "quality")),
 ]
