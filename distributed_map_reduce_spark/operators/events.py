@@ -944,14 +944,22 @@ def q148_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     events (the only full-data pass), then two windows over the tiny
     calendar-bounded (type × day) frame — thousands of rows at any SF,
     so the window partitions never concentrate raw-event volume."""
-    from pyspark.sql.window import Window
-
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("x")
     )
+    return cusum_tail(daily)
+
+
+def cusum_tail(daily: DataFrame) -> DataFrame:
+    """CUSUM statistic over any (event_type, d, x) daily frame — shared
+    by batch q148 and the q153 streaming twin so stream==batch is a
+    property of the daily aggregate alone (the tail is deterministic
+    integer window arithmetic over the tiny calendar-bounded frame)."""
+    from pyspark.sql.window import Window
+
     wd = Window.partitionBy("event_type").orderBy("d")
     wt = Window.partitionBy("event_type")
     cur = (
@@ -1012,6 +1020,81 @@ SELECT event_type,
 FROM dev
 WHERE r = 1
 ORDER BY event_type
+"""
+
+
+# --- q149: DAU/WAU/MAU active-user ratios ------------------------------------
+
+def q149_active_user_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily / trailing-7-day / trailing-30-day active users per
+    calendar day, plus the DAU/MAU "stickiness" ratio in integer basis
+    points — the product-analytics triple every events pipeline ships.
+
+    Trailing COUNT(DISTINCT) cannot ride a window frame (distinct is
+    holistic), so the classic exact shape is: dedup to the (user, day)
+    frame first (map-side combinable, collapses raw volume by the
+    events-per-user-day factor), then fan each activity day onto the
+    anchor days it is visible from (<= 30 of them — a bounded
+    row-multiplier, not a shuffle amplifier) and run three conditional
+    distinct aggregates per anchor. At 100 TB the (user, day) frame is
+    ~billions x 30 fan-out shuffled once on the anchor key; the
+    approximate sibling is one HLL sketch per day merged over trailing
+    windows (`sketch_hll_union` pins the mergeability), which drops
+    the fan-out entirely — this query is the exact ladder rung.
+
+    Stickiness ships as floor(10000 * dau / mau) — integer division of
+    two exact counts, no FP anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .withColumn("dnum", F.unix_date("d"))
+        .localCheckpoint(eager=False)  # one dedup pass feeds the fan-out + anchors
+    )
+    anchors = user_days.select(
+        F.col("d").alias("anchor"), F.col("dnum").alias("anum")
+    ).distinct()
+    fan = anchors.join(
+        user_days,
+        (F.col("dnum") <= F.col("anum"))
+        & (F.col("dnum") > F.col("anum") - 30),
+    )
+    return (
+        fan.groupBy("anchor")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("dnum") == F.col("anum"), F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct(
+                F.when(F.col("dnum") > F.col("anum") - 7, F.col("user_id"))
+            ).alias("wau"),
+            F.count_distinct("user_id").alias("mau"),
+        )
+        .withColumn(
+            "stick_bp",
+            F.floor(F.lit(10000) * F.col("dau") / F.col("mau")).cast("bigint"),
+        )
+        .orderBy("anchor")
+    )
+
+
+Q149_ORACLE = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dnum
+  FROM events
+),
+anchors AS (SELECT DISTINCT d AS anchor, dnum AS anum FROM user_days)
+SELECT anchor,
+       COUNT(DISTINCT CASE WHEN dnum = anum THEN user_id END) AS dau,
+       COUNT(DISTINCT CASE WHEN dnum > anum - 7 THEN user_id END) AS wau,
+       COUNT(DISTINCT user_id) AS mau,
+       CAST(floor(10000 * COUNT(DISTINCT CASE WHEN dnum = anum THEN user_id END)
+                  / COUNT(DISTINCT user_id)) AS BIGINT) AS stick_bp
+FROM anchors
+JOIN user_days ON dnum <= anum AND dnum > anum - 30
+GROUP BY anchor
+ORDER BY anchor
 """
 
 
@@ -1080,4 +1163,9 @@ QUERIES = [
               "per-type CUSUM mean-shift statistic over daily cents "
               "(integer-exact change-point audit: max |n*S_k| + drift day)",
               ("events", "drift", "robust-stats")),
+    QuerySpec("q149_active_user_ratios", q149_active_user_ratios, Q149_ORACLE,
+              "DAU/WAU/MAU + stickiness basis points per day (exact "
+              "trailing-distinct via bounded 30-day fan-out; HLL sketch "
+              "union is the approximate scale path)",
+              ("events", "product-analytics", "distinct")),
 ]

@@ -2259,6 +2259,148 @@ ORDER BY a.o_orderpriority, a.day
 """
 
 
+# --- q150: referential-integrity audit ---------------------------------------
+
+def q150_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the dbt-test /
+    data-contract pass every warehouse runs before publishing a
+    snapshot: orphaned lineitems (no parent order), childless orders
+    (no lineitem), orders pointing at missing customers, and customers
+    pointing at missing nations, each as one (check, n_bad, n_total)
+    row. A healthy snapshot is all-zeros in n_bad; a broken ingest
+    shows WHERE the contract failed without scanning results by hand.
+
+    Every check is a LEFT ANTI join on the foreign key — the exact
+    shape Catalyst already optimizes best (broadcast when the parent
+    side is small, shuffled hash otherwise, AQE decides), and each
+    audits its tables independently so the four checks parallelize as
+    separate stages of one job. Keys project to single columns before
+    joining, so at 100 TB each anti join moves key columns only —
+    never payload."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def check(name, child, parent, ckey, pkey):
+        bad = child.join(
+            parent.withColumnRenamed(pkey, ckey), ckey, "left_anti"
+        )
+        return bad.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_bad"),
+        ).crossJoin(
+            F.broadcast(child.agg(F.count(F.lit(1)).alias("n_total")))
+        )
+
+    out = (
+        check("lineitem_orphan_order", li, orders.select("o_orderkey"),
+              "l_orderkey", "o_orderkey")
+        .unionByName(check("order_childless", orders.select("o_orderkey"),
+                           li, "o_orderkey", "l_orderkey"))
+        .unionByName(check("order_missing_customer",
+                           orders.select("o_custkey"),
+                           cust.select("c_custkey"), "o_custkey", "c_custkey"))
+        .unionByName(check("customer_missing_nation",
+                           cust.select("c_nationkey"),
+                           nation, "c_nationkey", "n_nationkey"))
+    )
+    return out.select("check_name", "n_bad", "n_total").orderBy("check_name")
+
+
+Q150_ORACLE = """
+SELECT * FROM (
+  SELECT 'lineitem_orphan_order' AS check_name,
+         COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_bad,
+         COUNT(*) AS n_total
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'order_childless',
+         COUNT(CASE WHEN l.l_orderkey IS NULL THEN 1 END), COUNT(*)
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+    ON o.o_orderkey = l.l_orderkey
+  UNION ALL
+  SELECT 'order_missing_customer',
+         COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END), COUNT(*)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'customer_missing_nation',
+         COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END), COUNT(*)
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+ORDER BY check_name
+"""
+
+
+# --- q152: Benford first-digit audit -----------------------------------------
+
+def q152_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation — the forensic-accounting screen for
+    fabricated or re-binned monetary data (organic multi-scale amounts
+    follow P(d) = log10(1 + 1/d); synthetic uniform fills and clipped
+    feeds don't). One row per digit with observed share and the
+    Benford share, both in integer basis points, plus the absolute
+    gap — the reviewer reads the worst gap straight off the sort.
+
+    Determinism: the digit comes from the DECIMAL STRING of integer
+    cents (bigint-to-string is exact in both engines — never
+    floor(log10(double)), whose boundary cells flip at powers of ten),
+    and every share is floor-divided into basis points. Benford's
+    irrational log10 shares are pre-rounded CONSTANTS (3010 bp for
+    digit 1, ...), not computed in-plan. Shape: one projected scan,
+    one 9-group aggregate, a 1-row total that stays in-plan."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    digits = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    ).filter(F.col("digit") >= 1)
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    # floor(10000 * log10(1 + 1/d)) for d = 1..9: fixed public constants.
+    bexp = F.expr(
+        "element_at(array(3010, 1760, 1249, 969, 791, 669, 579, 511, 457),"
+        " digit)"
+    ).cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.floor(F.lit(10000) * F.col("n") / F.col("n_total"))
+            .cast("bigint").alias("share_bp"),
+            bexp.alias("benford_bp"),
+        )
+        .withColumn(
+            "gap_bp", F.abs(F.col("share_bp") - F.col("benford_bp"))
+        )
+        .orderBy("digit")
+    )
+
+
+Q152_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+),
+counts AS (
+  SELECT digit, COUNT(*) AS n FROM digits WHERE digit >= 1 GROUP BY digit
+),
+total AS (SELECT SUM(n) AS n_total FROM counts)
+SELECT digit, n,
+       CAST(floor(10000 * n / n_total) AS BIGINT) AS share_bp,
+       CAST([3010, 1760, 1249, 969, 791, 669, 579, 511, 457][digit]
+            AS BIGINT) AS benford_bp,
+       ABS(CAST(floor(10000 * n / n_total) AS BIGINT)
+           - [3010, 1760, 1249, 969, 791, 669, 579, 511, 457][digit])
+         AS gap_bp
+FROM counts CROSS JOIN total
+ORDER BY digit
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -2410,4 +2552,14 @@ QUERIES = [
               "weighted self-join over the calendar-bounded daily frame; "
               "exact dyadic weights, FP-order-free)",
               ("relational", "window", "timeseries")),
+    QuerySpec("q150_referential_integrity", q150_referential_integrity,
+              Q150_ORACLE,
+              "four-way FK orphan audit via LEFT ANTI joins (the dbt-test "
+              "data-contract pass; key-only projections)",
+              ("relational", "join", "audit")),
+    QuerySpec("q152_benford_digits", q152_benford_digits, Q152_ORACLE,
+              "Benford first-digit audit of order totals in integer basis "
+              "points (digit from exact cents string, constant expected "
+              "shares; forensic data-quality screen)",
+              ("relational", "audit", "stats")),
 ]

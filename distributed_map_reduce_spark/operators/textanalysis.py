@@ -869,6 +869,77 @@ ORDER BY doc_id
 """
 
 
+# --- q151: cross-source vocabulary-overlap matrix ----------------------------
+
+def q151_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between document sources — the
+    corpus-drift audit that says which feeds speak the same language
+    (near-identical vocab => candidate mirrors worth a dedup pass;
+    near-disjoint vocab => a feed that shifts the training mixture).
+    The source-level sibling of q77's doc-level dup matrix.
+
+    Shape: dedup to the (source, token) vocabulary frame (map-side
+    combinable — the 100 TB corpus collapses to |sources| x |vocab|),
+    per-source sizes from it, then a token-keyed self-join counts
+    intersections for the source_a < source_b triangle. Per-token join
+    fan-out is bounded by |sources|^2 (a constant ~hundreds of pairs),
+    NOT corpus size, so the hot all-sources tokens ('the') cost the
+    same as rare ones. Union = |A| + |B| - |A∩B| and the Jaccard ships
+    as exact integer basis points — no FP anywhere."""
+    voc = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.expr(_TOKS)).alias("token"))
+        .distinct()
+        .localCheckpoint(eager=False)  # sizes + self-join share one dedup pass
+    )
+    sizes = voc.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        voc.alias("a")
+        .join(voc.alias("b"), "token")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("source", "source_a")
+                        .withColumnRenamed("n", "n_a"), "source_a")
+        .join(sizes.withColumnRenamed("source", "source_b")
+                   .withColumnRenamed("n", "n_b"), "source_b")
+        .select(
+            "source_a", "source_b", "n_a", "n_b", "n_common",
+            F.floor(
+                F.lit(10000) * F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).cast("bigint").alias("jaccard_bp"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+Q151_ORACLE = f"""
+WITH voc AS (
+  SELECT DISTINCT source, token
+  FROM (SELECT source, unnest({DUCK_TOKS_EXPR}) AS token FROM documents)
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM voc GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM voc a JOIN voc b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_common,
+       CAST(floor(10000 * n_common / (sa.n + sb.n - n_common)) AS BIGINT)
+         AS jaccard_bp
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = [
     QuerySpec("q28_token_counts", q28_token_counts, Q28_ORACLE,
               "whitespace + BPE-ish regex token counts by source",
@@ -909,4 +980,9 @@ QUERIES = [
               "per-doc mean add-one bigram log-prob (order-2 fluency score; "
               "catches shuffled text q68's unigram model cannot)",
               ("textanalysis", "quality")),
+    QuerySpec("q151_vocab_overlap", q151_vocab_overlap, Q151_ORACLE,
+              "pairwise source-vocabulary Jaccard matrix in integer basis "
+              "points (corpus-drift / mirror-feed audit; token-keyed join "
+              "bounded by |sources|^2 per token)",
+              ("textanalysis", "dedup", "audit")),
 ]

@@ -663,6 +663,55 @@ ORDER BY event_type
 """
 
 
+def q153_streaming_cusum_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift detection: the heavy pass of q148 (the daily
+    cents-per-type aggregate — the only stage that touches raw event
+    volume) runs as a 1-day tumbling-window STREAMING aggregate drained
+    with availableNow in complete mode, and the tiny CUSUM tail is the
+    literal shared function batch q148 calls (`cusum_tail`). So the
+    stream==batch guarantee extends to the drift family by
+    construction: if the streamed daily frame matches batch (windowed
+    state, late-data handling), the drift report matches bit-for-bit —
+    and the DuckDB oracle (Q148's) checks exactly that.
+
+    This is the production posture for drift monitoring at 100 TB:
+    the state store holds one row per (type, day) — calendar-bounded —
+    while the detector itself reruns per drain over thousands of rows."""
+    import tempfile
+    import uuid
+
+    from ..operators.events import cusum_tail
+
+    ev = events_stream(spark, sf_dir)
+    daily = ev.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("x")
+    )
+    table = f"stream_q153_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dmrs_q153_stream_ckpt_")
+    run_available_now(
+        daily,
+        checkpoint_dir=ckpt,
+        table_name=table,
+        output_mode="complete",
+    )
+    drained = spark.table(table).select(
+        "event_type",
+        # ltz window start -> NTZ wall-clock, matching batch date_trunc
+        F.to_timestamp(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss"))
+        .alias("d"),
+        "x",
+    )
+    return cusum_tail(drained)
+
+
+def _q148_oracle() -> str:
+    from ..operators.events import Q148_ORACLE
+
+    return Q148_ORACLE
+
+
 def _build_queries():
     from ..operators.events import Q14_ORACLE, Q32_ORACLE, Q39_ORACLE
     from ..registry import QuerySpec
@@ -717,6 +766,14 @@ def _build_queries():
             "keyed dropDuplicates under doubled delivery, drained and "
             "aggregated (== batch agg over the original table)",
             ("streaming", "events", "dedup"),
+        ),
+        QuerySpec(
+            "q153_streaming_cusum_twin",
+            q153_streaming_cusum_twin,
+            _q148_oracle(),
+            "1-day windowed streaming aggregate drained into the shared "
+            "CUSUM tail (== batch q148 drift report)",
+            ("streaming", "events", "drift"),
         ),
     ]
 

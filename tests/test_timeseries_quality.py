@@ -95,6 +95,76 @@ def test_ewma_is_a_convex_combination_of_its_frame(spark, sf_dir):
     assert n_bad == 0 and joined.count() > 0
 
 
+def test_active_user_ratios_are_monotone(spark, sf_dir):
+    """DAU <= WAU <= MAU by containment of the trailing windows, and
+    stickiness is a valid basis-point fraction."""
+    from distributed_map_reduce_spark.operators.events import (
+        q149_active_user_ratios,
+    )
+
+    rows = q149_active_user_ratios(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["dau"] <= r["wau"] <= r["mau"]
+        assert 0 <= r["stick_bp"] <= 10000
+
+
+def test_referential_integrity_clean_on_generated_corpus(spark, sf_dir):
+    """The driver-generated TPC-H-ish tables are referentially closed on
+    the parent-side checks; the audit must report zero orphans there
+    (childless orders can legitimately exist in a sampled corpus, so
+    that check only asserts n_bad <= n_total)."""
+    from distributed_map_reduce_spark.operators.relational import (
+        q150_referential_integrity,
+    )
+
+    out = {r["check_name"]: r for r in
+           q150_referential_integrity(spark, sf_dir).collect()}
+    assert set(out) == {
+        "lineitem_orphan_order", "order_childless",
+        "order_missing_customer", "customer_missing_nation",
+    }
+    assert out["lineitem_orphan_order"]["n_bad"] == 0
+    assert out["order_missing_customer"]["n_bad"] == 0
+    assert out["customer_missing_nation"]["n_bad"] == 0
+    for r in out.values():
+        assert 0 <= r["n_bad"] <= r["n_total"]
+
+
+def test_benford_shares_form_a_distribution(spark, sf_dir):
+    """Nine digits, observed shares sum to ~10000 bp (floor division
+    loses at most 9 bp), and the expected shares are the Benford
+    constants."""
+    from distributed_map_reduce_spark.operators.relational import (
+        q152_benford_digits,
+    )
+
+    rows = q152_benford_digits(spark, sf_dir).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    total_bp = sum(r["share_bp"] for r in rows)
+    assert 10000 - 9 <= total_bp <= 10000
+    assert [r["benford_bp"] for r in rows] == [
+        3010, 1760, 1249, 969, 791, 669, 579, 511, 457,
+    ]
+
+
+def test_vocab_overlap_triangle_is_complete_and_bounded(spark, sf_dir):
+    """One row per unordered source pair; Jaccard bp in [0, 10000];
+    intersection never exceeds either vocabulary."""
+    from distributed_map_reduce_spark.operators.textanalysis import (
+        q151_vocab_overlap,
+    )
+
+    rows = q151_vocab_overlap(spark, sf_dir).collect()
+    n_sources = len({r["source_a"] for r in rows}
+                    | {r["source_b"] for r in rows})
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["n_common"] <= min(r["n_a"], r["n_b"])
+        assert 0 <= r["jaccard_bp"] <= 10000
+
+
 def test_cusum_flags_injected_level_shift(spark):
     """A synthetic series flat at 100 then flat at 200 must put the
     CUSUM peak exactly at the last day of the low regime."""
