@@ -2155,7 +2155,7 @@ def q145_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q145_ORACLE = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
 FROM orders o
 WHERE EXISTS (
   SELECT 1 FROM customer c
