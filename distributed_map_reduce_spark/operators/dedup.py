@@ -254,11 +254,34 @@ PAIR_STORE_TABLE = "pair_store.neardup_pairs"
 PAIR_STORE_BUCKETS = 16
 
 
+def default_pair_store_table(sf_dir: str) -> str:
+    """Per-corpus default store name: the table is keyed by the sf_dir
+    basename so a store built at one scale factor can never serve a
+    query running at another (the driver checks sf0.01 while bench runs
+    sf0.1 in the same warehouse)."""
+    import re
+
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"pair_store.neardup_pairs_{tag}"
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap freshness token for the documents corpus (size + mtime of
+    the parquet file — a driver-side stat, no Spark job). The test
+    corpus is REGENERATED between rounds; a persisted store that
+    outlives its corpus must fall back to inline recompute, not serve
+    stale pairs into a hash-checked query."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir.rstrip("/"), "documents.parquet"))
+    return f"{st.st_size}:{int(st.st_mtime)}"
+
+
 def write_pair_store(
     spark: SparkSession,
     sf_dir: str,
     *,
-    table: str = PAIR_STORE_TABLE,
+    table: str | None = None,
     buckets: int = PAIR_STORE_BUCKETS,
     location: str | None = None,
 ) -> str:
@@ -267,12 +290,17 @@ def write_pair_store(
     The one-time write pays q24's shuffles; afterwards every consumer
     join/aggregate keyed on ``ad`` reads pre-partitioned buckets. Returns
     the table name for :func:`read_pair_store` / ``pairs=`` hooks.
+    ``table`` defaults to the per-corpus name; once written, every
+    ``pairs=None`` consumer for the same ``sf_dir`` resolves to it
+    automatically (see :func:`resolve_pairs`).
 
     ``table`` must be database-qualified: with a bare name the CREATE
     DATABASE below would make a database named after the table while
     ``saveAsTable`` wrote into the CURRENT database — silently dropping
     the ``location`` request.
     """
+    if table is None:
+        table = default_pair_store_table(sf_dir)
     if "." not in table:
         raise ValueError(
             f"pair-store table must be db-qualified ('db.table'), got {table!r}"
@@ -287,6 +315,10 @@ def write_pair_store(
         .sortBy("ad", "bd")
         .saveAsTable(table)
     )
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('corpus_fp' = '{_corpus_fingerprint(sf_dir)}')"
+    )
     return table
 
 
@@ -294,13 +326,41 @@ def read_pair_store(spark: SparkSession, table: str = PAIR_STORE_TABLE) -> DataF
     return spark.table(table)
 
 
+def _stored_pairs_if_fresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame | None:
+    """The per-corpus store, iff it exists AND its recorded corpus
+    fingerprint still matches the parquet on disk; None otherwise."""
+    table = default_pair_store_table(sf_dir)
+    if not spark.catalog.tableExists(table):
+        return None
+    props = dict(
+        spark.sql(f"SHOW TBLPROPERTIES {table}")
+        .select("key", "value")
+        .collect()
+    )
+    if props.get("corpus_fp") != _corpus_fingerprint(sf_dir):
+        return None
+    return spark.table(table)
+
+
 def resolve_pairs(
     spark: SparkSession, sf_dir: str, pairs: DataFrame | None
 ) -> DataFrame:
-    """``pairs=`` hook shared by every pair-frame consumer: a caller-
-    provided frame (typically :func:`read_pair_store`'s bucketed table)
-    or the inline q24 detector. Schema contract: (ad, bd, jacc)."""
-    return pairs if pairs is not None else q24_ngram_jaccard_dedup(spark, sf_dir)
+    """``pairs=`` hook shared by every pair-frame consumer, in priority
+    order: a caller-provided frame; else the persisted per-corpus
+    bucketed store when present AND fresh (VERDICT r6 item 5 — at
+    production scale the pair table is computed once per corpus
+    snapshot and every composition reads it); else the inline q24
+    detector. The store round-trips q24's exact rows (pinned in
+    tests/test_pair_store.py), so which branch serves is invisible to
+    results — only to the plan. Schema contract: (ad, bd, jacc)."""
+    if pairs is not None:
+        return pairs
+    stored = _stored_pairs_if_fresh(spark, sf_dir)
+    if stored is not None:
+        return stored
+    return q24_ngram_jaccard_dedup(spark, sf_dir)
 
 # --- q25: MinHash + LSH banding ---------------------------------------------
 
@@ -1277,6 +1337,171 @@ def q104_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shares q24's oracle exactly like q57_fuzzy_blocked shares q57's.
 
 
+# --- q157: IDF-weighted Jaccard -----------------------------------------------
+
+WJACCARD_T = 0.5
+IDF_WEIGHT_SCALE = 1000  # rarity weight = floor(N_docs * 1000 / df)
+
+
+def q157_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-weighted Jaccard near-dup pairs: every shingle carries an
+    IDF-like integer weight floor(N*1000/df), and pair similarity is
+    sum(weights of shared shingles) / sum(weights of union) — overlap
+    on RARE content counts for more than overlap on boilerplate, the
+    standard upgrade over q24's uniform Jaccard for curation (one
+    shared rare paragraph outweighs dozens of shared header shingles).
+
+    Determinism: weights are exact integers (floor of an exact-input
+    division — no logs), so intersection/union masses are exact integer
+    sums; the similarity is one double division, rounded at 4dp.
+
+    Scale shape: identical join graph to q24 (shingle-bucket self-join
+    + two size joins), with one extra tiny (key -> df) aggregate that
+    the stop-shingle cap also needs; weights ride the existing rows, so
+    shuffle volume grows by 8 bytes/row. Same skew story as q24
+    (boilerplate buckets) — and the same `max_doc_freq` mitigation
+    applies unchanged upstream."""
+    sh = _doc_shingle_keys(spark, sf_dir).localCheckpoint(eager=False)
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    weighted = (
+        sh.join(
+            sh.groupBy("k").agg(F.count(F.lit(1)).alias("df")), "k"
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "k",
+            F.floor(
+                F.col("nd") * IDF_WEIGHT_SCALE / F.col("df")
+            ).cast("bigint").alias("w"),
+        )
+        .localCheckpoint(eager=False)  # feeds both join sides + doc masses
+    )
+    mass = weighted.groupBy("doc_id").agg(F.sum("w").alias("m"))
+    inter = (
+        weighted.select(F.col("doc_id").alias("ad"), "k", "w")
+        .join(weighted.select(F.col("doc_id").alias("bd"), "k"), "k")
+        .filter(F.col("ad") < F.col("bd"))
+        .groupBy("ad", "bd")
+        .agg(F.sum("w").alias("iw"))
+    )
+    sim = (
+        inter.join(mass.withColumnsRenamed({"doc_id": "ad", "m": "ma"}), "ad")
+        .join(mass.withColumnsRenamed({"doc_id": "bd", "m": "mb"}), "bd")
+        .withColumn(
+            "wjac",
+            F.col("iw").cast("double")
+            / (F.col("ma") + F.col("mb") - F.col("iw")).cast("double"),
+        )
+    )
+    return (
+        sim.filter(F.col("wjac") >= WJACCARD_T)
+        .select("ad", "bd", F.round("wjac", 4).alias("wjac"))
+        .orderBy("ad", "bd")
+    )
+
+
+Q157_ORACLE = f"""
+WITH s AS ({_DUCK_DOC_SHINGLES}),
+nd AS (SELECT COUNT(*) AS nd FROM documents),
+weighted AS (
+  SELECT s.doc_id, s.sh,
+         CAST(floor(nd.nd * {IDF_WEIGHT_SCALE} / df.df) AS BIGINT) AS w
+  FROM s
+  JOIN (SELECT sh, COUNT(*) AS df FROM s GROUP BY sh) df USING (sh)
+  CROSS JOIN nd
+),
+mass AS (SELECT doc_id, SUM(w) AS m FROM weighted GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ad, b.doc_id AS bd, SUM(a.w) AS iw
+  FROM weighted a JOIN weighted b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY ad, bd
+)
+SELECT ad, bd,
+       ROUND(CAST(iw AS DOUBLE) / CAST(x.m + y.m - iw AS DOUBLE), 4) AS wjac
+FROM inter
+JOIN mass x ON x.doc_id = ad
+JOIN mass y ON y.doc_id = bd
+WHERE CAST(iw AS DOUBLE) / CAST(x.m + y.m - iw AS DOUBLE) >= {WJACCARD_T}
+ORDER BY ad, bd
+"""
+
+
+# --- q163: containment (asymmetric Jaccard) -----------------------------------
+
+CONTAIN_T = 0.8
+
+
+def q163_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: C = |A ∩ B| / min(|A|, |B|) >= 0.8 —
+    the asymmetric rung of the dedup ladder. Symmetric Jaccard misses a
+    document EMBEDDED in a much larger one (J = |A|/|B| stays small);
+    containment flags exactly that quote/aggregation/wrapper case,
+    which is how boilerplate-wrapped crawl dups usually present. Ships
+    both scores so the gap (high cont, low jacc) is visible per pair.
+
+    Scale shape: byte-identical join graph to q24 (the shingle-bucket
+    self-join already produces |A ∩ B|); only the final threshold
+    predicate differs. Same skew caveats, same `max_doc_freq`
+    mitigation upstream."""
+    sh = _doc_shingle_keys(spark, sf_dir).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("ad"), "k")
+        .join(sh.select(F.col("doc_id").alias("bd"), "k"), "k")
+        .filter(F.col("ad") < F.col("bd"))
+        .groupBy("ad", "bd")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    scored = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "ad", "n": "na"}), "ad")
+        .join(sizes.withColumnsRenamed({"doc_id": "bd", "n": "nb"}), "bd")
+        .withColumn(
+            "cont",
+            F.col("i").cast("double") / F.least("na", "nb").cast("double"),
+        )
+        .withColumn(
+            "jacc",
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+        )
+    )
+    return (
+        scored.filter(F.col("cont") >= CONTAIN_T)
+        .select(
+            "ad",
+            "bd",
+            F.round("cont", 4).alias("cont"),
+            F.round("jacc", 4).alias("jacc"),
+        )
+        .orderBy("ad", "bd")
+    )
+
+
+Q163_ORACLE = f"""
+WITH s AS ({_DUCK_DOC_SHINGLES}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ad, b.doc_id AS bd, COUNT(*) AS i
+  FROM s a JOIN s b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY ad, bd
+)
+SELECT ad, bd,
+       ROUND(CAST(i AS DOUBLE) / CAST(LEAST(x.n, y.n) AS DOUBLE), 4) AS cont,
+       ROUND(CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE), 4) AS jacc
+FROM inter
+JOIN sz x ON x.doc_id = ad
+JOIN sz y ON y.doc_id = bd
+WHERE CAST(i AS DOUBLE) / CAST(LEAST(x.n, y.n) AS DOUBLE) >= {CONTAIN_T}
+ORDER BY ad, bd
+"""
+
+
 QUERIES = [
     QuerySpec("q24_ngram_jaccard_dedup", q24_ngram_jaccard_dedup, Q24_ORACLE,
               "exact 3-gram shingle Jaccard near-dup pairs (J >= 0.5)",
@@ -1320,4 +1545,14 @@ QUERIES = [
               "q24's exact pairs via AllPairs prefix filtering "
               "(rarity-ordered prefixes as join keys, no LSH)",
               ("dedup", "blocking")),
+    QuerySpec("q157_idf_weighted_jaccard", q157_idf_weighted_jaccard,
+              Q157_ORACLE,
+              "rarity-weighted Jaccard pairs (integer IDF weights; rare "
+              "overlap outranks boilerplate overlap)",
+              ("dedup", "weighted")),
+    QuerySpec("q163_containment_dedup", q163_containment_dedup,
+              Q163_ORACLE,
+              "containment pairs C = i/min(|A|,|B|) >= 0.8 (asymmetric "
+              "rung: catches docs embedded in larger docs)",
+              ("dedup", "containment")),
 ]

@@ -1098,6 +1098,223 @@ ORDER BY anchor
 """
 
 
+# --- q154: trailing 7-day rolling correlation --------------------------------
+
+def q154_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day Pearson correlation between daily event volume
+    and daily revenue per event type — the rolling co-movement monitor
+    (are spikes in traffic still converting to revenue?).
+
+    Determinism contract: built-in ``corr`` accumulates co-moments in
+    engine- and partition-order-specific fp order, so its 4th decimal
+    is not portable. Instead both engines fold the day to EXACT
+    integers (x = event count, y = whole-dollar revenue via
+    floor(value + 0.5), the q148 cents trick one unit up) and the
+    window carries five integer sums; the only fp ops are the final
+    IEEE sqrt/divide on identical integers — bit-identical across
+    engines.
+
+    Scale shape: one groupBy collapses raw events to (type, day) —
+    map-side combinable, output rows = types x days regardless of
+    volume — then the ROWS-frame window sorts only that tiny frame.
+    No window ever touches raw events."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.floor(F.col("value") + 0.5).cast("bigint")).alias("y"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    daily = daily.withColumn("xy", F.col("x") * F.col("y")).withColumn(
+        "xx", F.col("x") * F.col("x")
+    ).withColumn("yy", F.col("y") * F.col("y"))
+    rolled = daily.select(
+        "event_type",
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum("xy").over(w).alias("sxy"),
+        F.sum("xx").over(w).alias("sxx"),
+        F.sum("yy").over(w).alias("syy"),
+    ).filter(F.col("n") == 7)
+    dx = F.lit(7) * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.lit(7) * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.lit(7) * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return (
+        rolled.filter((dx > 0) & (dy > 0))
+        .select(
+            "event_type",
+            "d",
+            F.round(
+                num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+                4,
+            ).alias("corr7"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+Q154_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         COUNT(*) AS x,
+         SUM(CAST(floor(value + 0.5) AS BIGINT)) AS y
+  FROM events GROUP BY event_type, d
+),
+rolled AS (
+  SELECT event_type, d,
+         COUNT(*) OVER w AS n,
+         SUM(x) OVER w AS sx,
+         SUM(y) OVER w AS sy,
+         SUM(x * y) OVER w AS sxy,
+         SUM(x * x) OVER w AS sxx,
+         SUM(y * y) OVER w AS syy
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, d,
+       ROUND(CAST(7 * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(7 * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(7 * syy - sy * sy AS DOUBLE))), 4) AS corr7
+FROM rolled
+WHERE n = 7 AND 7 * sxx - sx * sx > 0 AND 7 * syy - sy * sy > 0
+ORDER BY event_type, d
+"""
+
+
+# --- q159: z-score anomaly days -----------------------------------------------
+
+def q159_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue anomaly flags per event type: days whose exact
+    whole-dollar total deviates more than 2 population-sigmas from the
+    type's mean — the threshold sibling of the q148 CUSUM drift and
+    q146 EWMA monitors (point anomalies vs mean shifts vs smoothing).
+
+    Determinism: daily totals are exact integers; mean/sigma derive
+    from the integer sums S and Q through ONE fixed expression tree
+    (z = (x - S/n) / sqrt(Q/n - (S/n)^2)) written identically in both
+    engines, so every double is reproduced bit-for-bit.
+
+    Scale shape: groupBy to (type, day) — map-side combinable — then a
+    broadcast-sized per-type stats frame joins back. No window over raw
+    data, no global sort except the bounded output."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.floor(F.col("value") + 0.5).cast("bigint")).alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = F.col("q").cast("double") / F.col("n").cast("double") - mean * mean
+    z = (F.col("x").cast("double") - mean) / F.sqrt(var)
+    return (
+        j.filter(var > 0)
+        .select(
+            "event_type", "d", "x", F.round(z, 4).alias("z")
+        )
+        .filter(F.abs(F.col("z")) > 2)
+        .orderBy("event_type", "d")
+    )
+
+
+Q159_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         SUM(CAST(floor(value + 0.5) AS BIGINT)) AS x
+  FROM events GROUP BY event_type, d
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q
+  FROM daily GROUP BY event_type
+),
+scored AS (
+  SELECT d.event_type, d.d, d.x,
+         ROUND((CAST(d.x AS DOUBLE)
+                - CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+               / sqrt(CAST(s.q AS DOUBLE) / CAST(s.n AS DOUBLE)
+                      - (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+                        * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))),
+               4) AS z
+  FROM daily d JOIN stats s ON d.event_type = s.event_type
+  WHERE CAST(s.q AS DOUBLE) / CAST(s.n AS DOUBLE)
+        - (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+          * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE)) > 0
+)
+SELECT event_type, d, x, z FROM scored
+WHERE ABS(z) > 2
+ORDER BY event_type, d
+"""
+
+
+# --- q161: behavioral trigram paths -------------------------------------------
+
+SESSION_PATHS_TOP = 20
+
+
+def q161_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths: the census of three consecutive
+    actions per user (view>click>purchase, ...) — the path-mining
+    primitive behind funnel discovery and next-action models (the
+    sequence sibling of q142's first-order Markov pairs).
+
+    Determinism: lead() over (user, ts, event_id) — event_id breaks
+    timestamp ties — and the top-k is fully tie-broken (n DESC, path
+    ASC).
+
+    Scale shape: one shuffle on user_id + per-user sort (the window),
+    then a map-side-combinable path count; at most |types|^3 = 125
+    groups. No self-joins — sequence extraction rides lead(), which
+    never re-reads the partition."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    ).filter(F.col("e2").isNotNull())
+    return (
+        tri.select(
+            F.concat_ws(">", "event_type", "e1", "e2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(SESSION_PATHS_TOP)
+    )
+
+
+Q161_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type, 1) OVER w AS e1,
+         LEAD(event_type, 2) OVER w AS e2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e1 || '>' || e2 AS path, COUNT(*) AS n
+FROM seq
+WHERE e2 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT {SESSION_PATHS_TOP}
+"""
+
+
 QUERIES = [
     QuerySpec("q136_activity_streaks", q136_activity_streaks, Q136_ORACLE,
               "longest consecutive-day streak per user as a histogram "
@@ -1168,4 +1385,17 @@ QUERIES = [
               "trailing-distinct via bounded 30-day fan-out; HLL sketch "
               "union is the approximate scale path)",
               ("events", "product-analytics", "distinct")),
+    QuerySpec("q154_rolling_correlation", q154_rolling_correlation,
+              Q154_ORACLE,
+              "trailing-7-day Pearson corr of daily volume vs revenue "
+              "per type (integer window sums; fp only at final sqrt)",
+              ("events", "window", "stats")),
+    QuerySpec("q159_zscore_anomaly", q159_zscore_anomaly, Q159_ORACLE,
+              "daily revenue >2-sigma anomaly days per type from exact "
+              "integer moments (point-anomaly sibling of CUSUM/EWMA)",
+              ("events", "drift", "robust-stats")),
+    QuerySpec("q161_session_paths", q161_session_paths, Q161_ORACLE,
+              "top event-type trigram paths via lead() windows "
+              "(path-mining census, fully tie-broken top-k)",
+              ("events", "window", "funnel")),
 ]

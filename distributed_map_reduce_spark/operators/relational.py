@@ -1303,11 +1303,18 @@ def q116_array_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings — the complex-type sibling of the q75 string and q76
     math sweeps: filter (positive count), exists-as-filter-length
     (|x| > 2 outliers), aggregate (abs-sum fold), transform+sort+slice
-    (rounded top-3 components, array-valued output column), and
-    distinct-of-transform (sign vocabulary). Everything stays inside
-    whole-stage codegen; zero shuffles before the final sort of 50
-    rows. DuckDB twins: list_filter / list_aggregate / list_sort /
-    list_distinct."""
+    (top-3 components), and distinct-of-transform (sign vocabulary).
+
+    Output contract: every column is a SCALAR. The top-3 components are
+    serialized to one comma-joined string of fixed-point integers
+    (round(x*10000) as bigint) rather than shipped as array<double> —
+    the driver's canonicalizer sorts cells with pandas and cannot hash
+    list-typed cells (round-6 q116 err: "unhashable type: 'list'"), and
+    fixed-point integers make the string identical across engines with
+    no float-formatting ambiguity. Everything stays inside whole-stage
+    codegen; zero shuffles before the final sort of 50 rows. DuckDB
+    twins: list_filter / list_aggregate / list_sort / list_distinct /
+    array_to_string."""
     emb = _t(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < ARRAY_SWEEP_MAX_ID
     ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -1321,12 +1328,22 @@ def q116_array_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("abs_sum"),
-        F.slice(
-            F.sort_array(
-                F.transform("v", lambda x: F.round(x, 4)), asc=False
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.transform(
+                            "v",
+                            lambda x: F.round(x * 10000, 0).cast("long"),
+                        ),
+                        asc=False,
+                    ),
+                    1,
+                    3,
+                ),
+                lambda x: x.cast("string"),
             ),
-            1,
-            3,
         ).alias("top3"),
         F.array_size(
             F.array_distinct(F.transform("v", lambda x: F.signum(x)))
@@ -1340,7 +1357,10 @@ SELECT vec_id,
        len(list_filter(v, x -> abs(x) > 2)) AS n_outlier,
        ROUND(list_aggregate(list_transform(v, x -> abs(x)), 'sum'), 4)
          AS abs_sum,
-       list_sort(list_transform(v, x -> ROUND(x, 4)), 'DESC')[1:3] AS top3,
+       array_to_string(
+         list_sort(list_transform(v, x -> CAST(ROUND(x * 10000) AS BIGINT)),
+                   'DESC')[1:3],
+         ',') AS top3,
        len(list_distinct(list_transform(v, x -> CAST(sign(x) AS DOUBLE))))
          AS n_signs
 FROM (
@@ -2401,6 +2421,454 @@ ORDER BY digit
 """
 
 
+# --- q155: inter-order gap statistics -----------------------------------------
+
+def q155_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap statistics per market segment: day gaps
+    between a customer's consecutive orders (lag window), rolled up to
+    segment-level count / mean / min / max — the repeat-purchase-cadence
+    profile behind churn and LTV models.
+
+    Determinism: gaps are exact integer day differences (date ordering
+    ties contribute gap 0 under any tie order, but o_orderkey tie-break
+    pins the frame anyway); mean = integer sum / integer count through
+    one division.
+
+    Scale shape: one shuffle on o_custkey + per-customer sort (the lag
+    window), then a map-side-combinable segment rollup over the tiny
+    customer dimension join (broadcast)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od"), "o_orderkey"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = (
+        o.withColumn("prev", F.lag("od").over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn("gap", F.datediff("od", "prev").cast("bigint"))
+    )
+    return (
+        gaps.join(F.broadcast(c), gaps.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.sum("gap").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_gap"),
+            F.min("gap").alias("min_gap"),
+            F.max("gap").alias("max_gap"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q155_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+                  LAG(CAST(o_orderdate AS DATE)) OVER w,
+                  CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_gaps,
+       ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 4) AS avg_gap,
+       MIN(gap) AS min_gap,
+       MAX(gap) AS max_gap
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap IS NOT NULL
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- q156: global percentile bands --------------------------------------------
+
+def q156_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile banding of lineitem prices: exact global quartile
+    cutoffs from ONE partial-aggregating percentile pass (a 3-number
+    frame, broadcast back), then every row CASEs into its band and a
+    map-side-combinable rollup counts and sums each band in exact
+    cents — the two-pass global-distribution pattern that replaces a
+    full sort (NTILE) at scale.
+
+    Determinism: both engines interpolate percentiles with the same
+    rank = p*(n-1) formula over the same doubles; band comparisons see
+    bit-identical cutoffs; band sums are exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    cuts = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
+        ).alias("qs")
+    ).select(
+        F.col("qs").getItem(0).alias("q1"),
+        F.col("qs").getItem(1).alias("q2"),
+        F.col("qs").getItem(2).alias("q3"),
+    )
+    banded = li.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("l_extendedprice") <= F.col("q1"), "Q1")
+        .when(F.col("l_extendedprice") <= F.col("q2"), "Q2")
+        .when(F.col("l_extendedprice") <= F.col("q3"), "Q3")
+        .otherwise("Q4")
+        .alias("band"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("band_cents"),
+            F.round(
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1)) / 100.0,
+                4,
+            ).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+Q156_ORACLE = """
+WITH cuts AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.5) AS q2,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem
+),
+banded AS (
+  SELECT CASE WHEN l_extendedprice <= q1 THEN 'Q1'
+              WHEN l_extendedprice <= q2 THEN 'Q2'
+              WHEN l_extendedprice <= q3 THEN 'Q3'
+              ELSE 'Q4' END AS band,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem CROSS JOIN cuts
+)
+SELECT band, COUNT(*) AS n_items, SUM(cents) AS band_cents,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 4) AS avg_price
+FROM banded
+GROUP BY band
+ORDER BY band
+"""
+
+
+# --- q160: month-of-year seasonal index ---------------------------------------
+
+def q160_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal revenue index: each calendar month's
+    average monthly revenue (in exact cents, averaged across the years
+    it appears) divided by the all-months average — the classical
+    seasonality decomposition step for demand forecasting.
+
+    Determinism: monthly totals are exact integer cents; the two
+    averages each perform one exact-int division; the index is one
+    double division of those, identical expression tree both engines.
+    The reported per-month average is floored to whole cents (a
+    round(x, 2) here sits on decimal half-way points that Spark's
+    BigDecimal HALF_UP and DuckDB's multiply-round-divide resolve
+    differently — measured one-cent split at sf0.001).
+
+    Scale shape: two nested map-side-combinable groupBys (rows shrink
+    to years x 12 after the first) and a broadcast 1-row denominator."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    monthly = o.groupBy("y", "m").agg(F.sum("cents").alias("mc"))
+    per_month = monthly.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_years"),
+        (F.sum("mc").cast("double") / F.count(F.lit(1))).alias("m_avg"),
+    )
+    overall = monthly.agg(
+        (F.sum("mc").cast("double") / F.count(F.lit(1))).alias("g_avg")
+    )
+    return (
+        per_month.crossJoin(F.broadcast(overall))
+        .select(
+            "m",
+            "n_years",
+            F.floor("m_avg").cast("bigint").alias("avg_month_cents"),
+            F.round(F.col("m_avg") / F.col("g_avg"), 4).alias(
+                "seasonal_idx"
+            ),
+        )
+        .orderBy("m")
+    )
+
+
+Q160_ORACLE = """
+WITH monthly AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS y,
+         EXTRACT(month FROM o_orderdate) AS m,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS mc
+  FROM orders GROUP BY y, m
+),
+per_month AS (
+  SELECT m, COUNT(*) AS n_years,
+         CAST(SUM(mc) AS DOUBLE) / COUNT(*) AS m_avg
+  FROM monthly GROUP BY m
+),
+overall AS (
+  SELECT CAST(SUM(mc) AS DOUBLE) / COUNT(*) AS g_avg FROM monthly
+)
+SELECT m, n_years,
+       CAST(floor(m_avg) AS BIGINT) AS avg_month_cents,
+       ROUND(m_avg / g_avg, 4) AS seasonal_idx
+FROM per_month CROSS JOIN overall
+ORDER BY m
+"""
+
+
+# --- q162: log-log price elasticity per brand ---------------------------------
+
+ELASTICITY_SCALE = 10000  # ln values quantized to 1e-4 before the sums
+
+
+def q162_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: the OLS slope of
+    ln(quantity) on ln(unit price) over lineitem x part — the
+    log-log regression whose slope IS the elasticity estimate. The
+    codegen-only sibling of q108's Pandas-UDF OLS: five aggregate sums
+    and a closed-form slope, no Python anywhere.
+
+    Determinism: ln values are quantized to exact 1e-4 integer units
+    per ROW (one log+round per row — portable), so the five sums the
+    slope needs are exact integers; the closed form then runs in
+    doubles over identical integers. Built-in regr_slope would
+    accumulate doubles in partition order — not portable to the 4th
+    decimal; this is, by construction. Integer headroom: |x_i| <~ 1e5,
+    sum x_i^2 <~ 1e15 at sf1 — far inside int64.
+
+    Scale shape: broadcast part join, then one map-side-combinable
+    groupBy(brand) carrying five integer sums. Linear, one shuffle of
+    25 rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = F.lit(ELASTICITY_SCALE)
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")) * s, 0)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log("l_quantity") * s, 0).cast("bigint").alias("y"),
+    )
+    agg = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    return (
+        agg.filter(den > 0)
+        .select(
+            "p_brand",
+            "n",
+            F.round(num / den, 4).alias("elasticity"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q162_ORACLE = f"""
+WITH pts AS (
+  SELECT p_brand,
+         CAST(ROUND(ln(l_extendedprice / l_quantity) * {ELASTICITY_SCALE})
+              AS BIGINT) AS x,
+         CAST(ROUND(ln(l_quantity) * {ELASTICITY_SCALE}) AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_quantity > 0 AND l_extendedprice > 0
+),
+agg AS (
+  SELECT p_brand, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts GROUP BY p_brand
+)
+SELECT p_brand, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+         AS elasticity
+FROM agg
+WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+ORDER BY p_brand
+"""
+
+
+# --- q164: ABC / Pareto revenue classification --------------------------------
+
+def q164_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: rank parts by
+    exact-cents revenue, classify the cumulative-share prefix into
+    A (first 80% of revenue), B (next 15%), C (tail), and report each
+    class's part count, revenue and share — the 80/20 catalog analysis.
+
+    Determinism: class boundaries compare integers (cum*100 <= total*80)
+    — no fp anywhere until the final reported share.
+
+    Scale note: the cumulative window runs over the PART-level rollup
+    (catalog-sized, thousands-per-million-fold smaller than lineitem),
+    not raw rows. For a catalog too large for one partition the
+    two-pass variant seeds per-range offsets from a range-partitioned
+    prefix (same trick as SCALE.md's global-sort note); the declared
+    query keeps the single-frame form exact and hash-checkable."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("cents").alias("pc"))
+    w = Window.orderBy(F.desc("pc"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_part.agg(F.sum("pc").alias("tot"))
+    classed = (
+        per_part.withColumn("cum", F.sum("pc").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pc",
+            F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+            .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+            .otherwise("C")
+            .alias("abc"),
+            "tot",
+        )
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("pc").alias("class_cents"),
+            F.round(
+                F.sum("pc").cast("double") / F.max("tot").cast("double"), 4
+            ).alias("rev_share"),
+        )
+        .orderBy("abc")
+    )
+
+
+Q164_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS pc
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT pc,
+         SUM(pc) OVER (ORDER BY pc DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(pc) OVER () AS tot
+  FROM per_part
+),
+classed AS (
+  SELECT pc, tot,
+         CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+              WHEN cum * 100 <= tot * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked
+)
+SELECT abc, COUNT(*) AS n_parts, SUM(pc) AS class_cents,
+       ROUND(CAST(SUM(pc) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 4)
+         AS rev_share
+FROM classed
+GROUP BY abc
+ORDER BY abc
+"""
+
+
+# --- q165: order-total reconciliation audit -----------------------------------
+
+def q165_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation audit: per order, the ratio of the sum
+    of its lineitem extended prices to the order header's total, bucketed
+    into 10%-wide deciles — the "do the components add up to the
+    invoice" check every warehouse runs after ingest (the value-level
+    sibling of q150's key-level FK audit).
+
+    Determinism: both sides of the ratio are exact integer cents; the
+    bucket is floor(ratio*10) on the one double division — identical
+    expression both engines.
+
+    Scale shape: one map-side-combinable groupBy(orderkey) over
+    lineitem, one key join to orders (co-partitioned on the join key),
+    one tiny bucket rollup. Orders with no lineitems land in bucket 0
+    via COALESCE — absence is an audit finding, not a dropped row."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(F.sum("cents").alias("lc"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("oc"),
+    )
+    j = o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left").select(
+        (
+            F.coalesce(F.col("lc"), F.lit(0)).cast("double")
+            / F.col("oc").cast("double")
+        ).alias("ratio")
+    )
+    b = j.select(
+        F.floor(F.col("ratio") * 10).cast("bigint").alias("bucket"),
+        "ratio",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_ratio"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q165_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS lc
+  FROM lineitem GROUP BY l_orderkey
+),
+ratios AS (
+  SELECT CAST(COALESCE(lc, 0) AS DOUBLE)
+         / CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE)
+           AS ratio
+  FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+)
+SELECT CAST(floor(ratio * 10) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       ROUND(MIN(ratio), 4) AS min_ratio,
+       ROUND(MAX(ratio), 4) AS max_ratio
+FROM ratios
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -2562,4 +3030,29 @@ QUERIES = [
               "points (digit from exact cents string, constant expected "
               "shares; forensic data-quality screen)",
               ("relational", "audit", "stats")),
+    QuerySpec("q155_order_gap_stats", q155_order_gap_stats, Q155_ORACLE,
+              "inter-order day-gap stats per market segment (lag window "
+              "over per-customer order history)",
+              ("relational", "window", "stats")),
+    QuerySpec("q156_percentile_bands", q156_percentile_bands, Q156_ORACLE,
+              "exact global quartile banding of lineitem prices (one "
+              "percentile pass broadcast back; no NTILE global sort)",
+              ("relational", "stats", "distribution")),
+    QuerySpec("q160_seasonal_index", q160_seasonal_index, Q160_ORACLE,
+              "month-of-year seasonal revenue index from exact-cents "
+              "monthly totals (forecasting decomposition step)",
+              ("relational", "temporal", "stats")),
+    QuerySpec("q162_price_elasticity", q162_price_elasticity, Q162_ORACLE,
+              "per-brand log-log OLS elasticity slope from quantized "
+              "integer sums (codegen-only regression, no Python)",
+              ("relational", "regression", "stats")),
+    QuerySpec("q164_abc_pareto", q164_abc_pareto, Q164_ORACLE,
+              "ABC/Pareto revenue classification of parts (integer "
+              "cumulative-share boundaries over the catalog rollup)",
+              ("relational", "window", "stats")),
+    QuerySpec("q165_order_reconciliation", q165_order_reconciliation,
+              Q165_ORACLE,
+              "lineitem-sum vs order-total reconciliation deciles in "
+              "exact cents (value-level audit sibling of the FK pass)",
+              ("relational", "audit", "join")),
 ]

@@ -39,14 +39,18 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-price quantile sketch: approx_percentile keeps a bounded
-    summary per group instead of sorting the column."""
+    summary per group instead of sorting the column. The three
+    quantiles are shipped as scalar columns (not array<double>) per the
+    registry's scalar-output contract — the driver's canonicalizer
+    cannot hash list-typed cells (see q116, round 6)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    q = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000)
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.percentile_approx(
-                "o_totalprice", [0.5, 0.9, 0.99], 10000
-            ).alias("p50_p90_p99")
+            q.getItem(0).alias("p50"),
+            q.getItem(1).alias("p90"),
+            q.getItem(2).alias("p99"),
         )
         .orderBy("o_orderstatus")
     )
@@ -114,7 +118,62 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_row.unionByName(union_row).orderBy("source")
 
 
+def hll_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window DAU/WAU/MAU from MERGEABLE per-day HLL sketches —
+    the approximate sibling q149's docstring promises: build ONE
+    DataSketches HLL sketch per calendar day (maintained incrementally
+    as days land; raw events are touched exactly once), then answer
+    every anchor day's DAU/7-day/30-day active-user counts by UNIONING
+    at most 30 stored sketch blobs — no (user, day) fan-out, no
+    re-scan, which is what replaces q149's exact 30x row multiplier at
+    100 TB.
+
+    Scale shape: groupBy(day) builds the sketches (shuffle carries
+    sketch partials, not user ids); the anchor fan-out joins DAYS x 30
+    sketch rows — kilobytes regardless of event volume; the three
+    windowed unions aggregate blobs. Accuracy vs exact q149 is pinned
+    in tests/test_sketches.py (the ANN-recall-floor pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .groupBy("d")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .withColumn("dnum", F.unix_date("d"))
+        .localCheckpoint(eager=False)  # one sketch build feeds anchors + fan
+    )
+    anchors = daily.select(
+        F.col("d").alias("anchor"), F.col("dnum").alias("anum")
+    )
+    fan = anchors.join(
+        daily.select("dnum", "sk"),
+        (F.col("dnum") <= F.col("anum"))
+        & (F.col("dnum") > F.col("anum") - 30),
+    )
+    return (
+        fan.groupBy("anchor")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(
+                    F.when(F.col("dnum") == F.col("anum"), F.col("sk"))
+                )
+            ).alias("dau_est"),
+            F.hll_sketch_estimate(
+                F.hll_union_agg(
+                    F.when(F.col("dnum") > F.col("anum") - 7, F.col("sk"))
+                )
+            ).alias("wau_est"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("mau_est"),
+        )
+        .orderBy("anchor")
+    )
+
+
 QUERIES = [
+    QuerySpec("sketch_active_users", hll_active_users, None,
+              "trailing 7/30-day DAU/WAU/MAU from per-day mergeable HLL "
+              "sketches (approximate sibling of exact q149; rows-only, "
+              "accuracy-tested)",
+              ("sketch", "approx", "mergeable", "product-analytics")),
     QuerySpec("sketch_hll_union", hll_sketch_union, None,
               "per-source DataSketches HLL sketches + union rollup "
               "(mergeable distinct counts; rows-only, accuracy-tested)",

@@ -940,7 +940,96 @@ ORDER BY source_a, source_b
 """
 
 
+# --- q158: character-level Shannon entropy ------------------------------------
+
+ENTROPY_MAX_ID = 200  # docs audited (bounds the hashed output)
+
+
+def q158_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (letters+space
+    alphabet) — the gibberish/encoding-garbage screen: natural prose
+    sits near 2.6–3.0 nats, repeated-char spam and base64 blobs fall
+    far outside. Complements the token-level q68 log-prob (which needs
+    a vocabulary) with a vocabulary-free per-doc signal.
+
+    H = ln(T) - (sum c*ln c)/T from exact integer char counts — one
+    log per distinct character (<= 27 terms), not per char occurrence.
+    Cross-engine fp note: ln is the only non-exact op; both engines'
+    libm agree well inside the 4dp rounding everywhere except exact
+    rounding-boundary landings (same accepted risk as q68/q92/q147).
+
+    Scale shape: explode to (doc, char) then two nested
+    map-side-combinable groupBys; fan-out is bounded by document
+    length, state by the 27-char alphabet."""
+    chars = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < ENTROPY_MAX_ID)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower("text"), "[^a-z ]", ""), ""
+                )
+            ).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("t"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            .alias("clnc"),
+        )
+        .select(
+            "doc_id",
+            F.col("t").alias("n_chars_used"),
+            "n_distinct",
+            F.round(
+                F.log(F.col("t").cast("double"))
+                - F.col("clnc") / F.col("t").cast("double"),
+                4,
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q158_ORACLE = f"""
+WITH chars AS (
+  SELECT doc_id, ch
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(
+             regexp_replace(lower(text), '[^a-z ]', '', 'g'), '')) AS ch
+    FROM documents WHERE doc_id < {ENTROPY_MAX_ID}
+  )
+  WHERE ch <> ''
+),
+counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       SUM(c) AS n_chars_used,
+       COUNT(*) AS n_distinct,
+       ROUND(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE), 4) AS entropy
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
+    QuerySpec("q158_char_entropy", q158_char_entropy, Q158_ORACLE,
+              "per-doc character Shannon entropy over the a-z+space "
+              "alphabet (gibberish screen; logs only per distinct char)",
+              ("textanalysis", "quality")),
     QuerySpec("q28_token_counts", q28_token_counts, Q28_ORACLE,
               "whitespace + BPE-ish regex token counts by source",
               ("textanalysis",)),

@@ -68,12 +68,15 @@ _OPERATOR_MODULES = [
 CORRECTNESS_WINDOW = 50
 
 _PRIORITY = [
-    # round-6 rotation (VERDICT r5 item 1): 12 anchor contract rows —
-    # every one green in CORRECTNESS_r05 (and every prior round it
-    # appeared) — plus ALL 38 round-5 additions (q91–q128), the only
-    # oracle-bearing entries never driver-checked. 12 + 38 = 50 fills
-    # the window exactly; one green round completes the cross-round
-    # union at 131/131 oracle-bearing entries.
+    # round-7 rotation (VERDICT r6 item 3): 12 anchor contract rows —
+    # green every round they have appeared — plus the fixed
+    # q116_array_sweep for its driver re-check (its round-6 row was the
+    # one err: array-typed cell vs the driver's pandas canonicalizer;
+    # output now scalar-only), plus ALL 24 round-6 additions
+    # (q129–q153), the only oracle-bearing entries never
+    # driver-checked, plus the 13 round-7 additions (q154–q166). One
+    # green round completes the cross-round union at every
+    # oracle-bearing entry having a green driver row.
     "q4_pricing_summary",
     "q7_region_revenue",
     "q9_window_rank",
@@ -86,7 +89,55 @@ _PRIORITY = [
     "q33_click_attribution",
     "q89_dedup_clusters_star",
     "q90_incremental_dedup",
-    # the 38 round-5 additions, first driver check this round
+    # the fixed q116, re-checked this round
+    "q116_array_sweep",
+    # the 24 round-6 additions, first driver check this round
+    "q129_weighted_median_approx",
+    "q130_streaming_bm25_twin",
+    "q131_tfidf_knn",
+    "q132_ntile_deciles",
+    "q134_cohort_retention",
+    "q135_basket_pairs",
+    "q136_activity_streaks",
+    "q137_importance_sampling",
+    "q138_contrastive_spans",
+    "q139_interval_overlap",
+    "q140_distribution_position",
+    "q141_random_projection",
+    "q142_event_transitions",
+    "q143_user_burstiness",
+    "q144_incremental_exact_dedup",
+    "q145_bloom_semi_join",
+    "q146_ewma_revenue",
+    "q147_bigram_logprob",
+    "q148_cusum_drift",
+    "q149_active_user_ratios",
+    "q150_referential_integrity",
+    "q151_vocab_overlap",
+    "q152_benford_digits",
+    "q153_streaming_cusum_twin",
+    # the 13 round-7 additions, first driver check this round
+    # (sketch_active_users is the one rows-only entry — HLL estimates
+    # are implementation-specific, so no cross-engine hash; its
+    # accuracy floor vs exact q149 is pinned in tests/test_sketches.py)
+    "q154_rolling_correlation",
+    "q155_order_gap_stats",
+    "q156_percentile_bands",
+    "q157_idf_weighted_jaccard",
+    "q158_char_entropy",
+    "q159_zscore_anomaly",
+    "q160_seasonal_index",
+    "q161_session_paths",
+    "q162_price_elasticity",
+    "q163_containment_dedup",
+    "q164_abc_pareto",
+    "q165_order_reconciliation",
+    "sketch_active_users",
+    # below here = outside the 50-row window. Every entry has at least
+    # one green driver row (see COVERAGE.md — the generated ledger that
+    # replaces comment-archaeology here) and all stay covered by the
+    # pytest parity gate every round. The round-6 window (q91–q128)
+    # rotates out after its green round-6 check.
     "q91_gopher_rules",
     "q92_bigram_pmi",
     "q93_bm25_retrieval",
@@ -112,7 +163,6 @@ _PRIORITY = [
     "q113_length_bins",
     "q114_streaming_quality_twin",
     "q115_grouping_sets",
-    "q116_array_sweep",
     "q117_weighted_median",
     "q118_khop_reachability",
     "q119_lateral_topk",
@@ -125,13 +175,6 @@ _PRIORITY = [
     "q126_rrf_fusion",
     "q127_hard_negatives",
     "q128_next_purchase",
-    # below here = outside the 50-row window. Every entry except the
-    # round-6 additions (q129+, appended after this list in discovery
-    # order) has at least one green driver row (see COVERAGE.md — the
-    # generated ledger that replaces comment-archaeology here) and all
-    # stay covered by the pytest parity gate every round. Round-7
-    # rotation: swap the round-6 additions into the window for their
-    # first driver check, keeping the 12 anchor rows above.
     "q1_wordcount",
     "q2_inverted_index",
     "q3_sorted_rollup",

@@ -25,3 +25,24 @@ def test_queries_and_oracles_consistent(spark):
         n.startswith(("ann_", "sketch_", "multimodal_", "pagerank_"))
         for n in rows_only
     ), rows_only
+
+
+def test_every_query_output_is_scalar_only(spark, sf_dir):
+    """Driver-canonicalizer compatibility gate (VERDICT r6 item 4): the
+    driver sorts result cells with pandas (Categorical/factorize), which
+    throws `unhashable type: 'list'` on array/map cells — exactly how
+    q116 went red in round 6 despite correct values. No registered
+    query may ship a complex-typed output column; arrays must be
+    serialized (concat_ws / to_json / fixed-point strings) before the
+    result surface."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from distributed_map_reduce_spark.registry import all_queries
+
+    offenders = []
+    for name, spec in all_queries().items():
+        schema = spec.build(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders

@@ -67,6 +67,46 @@ def test_consumer_store_equals_inline(spark, sf_dir, pair_table, name, fn):
     assert _rows(fn(spark, sf_dir, pairs=stored)) == _rows(fn(spark, sf_dir))
 
 
+def test_default_resolution_prefers_fresh_store(spark, sf_dir, tmp_path_factory):
+    """VERDICT r6 item 5: with the per-corpus store written, every
+    ``pairs=None`` consumer must READ it (plan scans the bucketed table;
+    no shingle self-join), results unchanged; and a store whose corpus
+    fingerprint no longer matches the parquet on disk must be ignored
+    in favor of inline recompute — never serve stale pairs."""
+    from distributed_map_reduce_spark.operators.dedup import (
+        default_pair_store_table,
+        resolve_pairs,
+    )
+
+    table = default_pair_store_table(sf_dir)
+    inline_rows = _rows(q24_ngram_jaccard_dedup(spark, sf_dir))
+    loc = tmp_path_factory.mktemp("pair_store_default_wh")
+    try:
+        write_pair_store(spark, sf_dir, location=str(loc))
+
+        resolved = resolve_pairs(spark, sf_dir, None)
+        plan = formatted_plan(resolved)
+        assert table.split(".", 1)[1] in plan, plan  # scans the store...
+        assert "xxhash64" not in plan, plan  # ...not the shingle join
+        assert _rows(resolved) == inline_rows
+
+        # consumer end-to-end: q127 with pairs=None rides the store
+        consumer_plan = formatted_plan(
+            retrieval.q127_hard_negatives(spark, sf_dir)
+        )
+        assert table.split(".", 1)[1] in consumer_plan, consumer_plan
+
+        # stale fingerprint => fall back to inline
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES ('corpus_fp' = 'stale')"
+        )
+        fallback = resolve_pairs(spark, sf_dir, None)
+        assert table.split(".", 1)[1] not in formatted_plan(fallback)
+        assert _rows(fallback) == inline_rows
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_per_ad_aggregate_over_store_never_shuffles(spark, pair_table):
     """Bucket layout contract: groupBy on the bucket key satisfies the
     aggregate's required distribution, so the plan has NO Exchange —

@@ -55,12 +55,37 @@ def test_quantile_sketch_brackets_exact(spark, sf_dir):
         .collect()
     }
     approx = {
-        r["o_orderstatus"]: r["p50_p90_p99"]
+        r["o_orderstatus"]: (r["p50"], r["p90"], r["p99"])
         for r in approx_price_quantiles(spark, sf_dir).collect()
     }
     for k, qs in exact.items():
         for e, a in zip(qs, approx[k]):
             assert abs(a - e) <= 0.05 * e + 1, (k, a, e)
+
+
+def test_hll_active_users_tracks_exact_q149(spark, sf_dir):
+    """The mergeable-sketch DAU/WAU/MAU must track the exact q149
+    triple within HLL error on every anchor day — the accuracy floor
+    that makes it a legitimate 100 TB substitute for the exact 30-day
+    fan-out (same pattern as the ANN recall floors)."""
+    from distributed_map_reduce_spark.operators.sketches import (
+        hll_active_users,
+    )
+
+    exact = {
+        r["anchor"]: (r["dau"], r["wau"], r["mau"])
+        for r in all_queries()["q149_active_user_ratios"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    approx = {
+        r["anchor"]: (r["dau_est"], r["wau_est"], r["mau_est"])
+        for r in hll_active_users(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for anchor, (dau, wau, mau) in exact.items():
+        for est, ex in zip(approx[anchor], (dau, wau, mau)):
+            assert abs(est - ex) <= max(2, 0.05 * ex), (anchor, est, ex)
 
 
 def test_hll_sketch_union_accuracy_and_mergeability(spark, sf_dir):
