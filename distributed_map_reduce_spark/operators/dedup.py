@@ -277,6 +277,33 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     return f"{st.st_size}:{int(st.st_mtime)}"
 
 
+_FP_SIDECAR = "_corpus_fp"
+
+
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if row["col_name"] == "Location":
+            loc = row["data_type"]
+            return loc[5:] if loc.startswith("file:") else loc
+    return None
+
+
+def _default_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """On-disk location the default store lands at under the session
+    warehouse — the cross-session handle: the local in-memory catalog
+    forgets saveAsTable metadata on JVM exit (a production deployment
+    has a real metastore and doesn't), so freshness rides a sidecar
+    file next to the data and readers fall back to the path when the
+    catalog has no entry."""
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[5:]
+    name = default_pair_store_table(sf_dir).split(".", 1)
+    return os.path.join(wh, f"{name[0]}.db", name[1])
+
+
 def write_pair_store(
     spark: SparkSession,
     sf_dir: str,
@@ -315,10 +342,15 @@ def write_pair_store(
         .sortBy("ad", "bd")
         .saveAsTable(table)
     )
-    spark.sql(
-        f"ALTER TABLE {table} SET TBLPROPERTIES "
-        f"('corpus_fp' = '{_corpus_fingerprint(sf_dir)}')"
-    )
+    # freshness sidecar next to the data: survives JVM restarts (the
+    # local in-memory catalog does not), so path-based readers in a
+    # LATER session can still trust-and-read the store.
+    import os
+
+    tloc = _table_location(spark, table)
+    if tloc and os.path.isdir(tloc):
+        with open(os.path.join(tloc, _FP_SIDECAR), "w") as f:
+            f.write(_corpus_fingerprint(sf_dir))
     return table
 
 
@@ -329,19 +361,33 @@ def read_pair_store(spark: SparkSession, table: str = PAIR_STORE_TABLE) -> DataF
 def _stored_pairs_if_fresh(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame | None:
-    """The per-corpus store, iff it exists AND its recorded corpus
-    fingerprint still matches the parquet on disk; None otherwise."""
+    """The per-corpus store, iff it exists AND its sidecar corpus
+    fingerprint still matches the parquet on disk; None otherwise.
+    Two rungs: the catalog table (same session / real metastore —
+    keeps bucket metadata, so per-`ad` consumers stay shuffle-free),
+    else the bare parquet path (fresh local session — bucket info is
+    lost but the q24 recompute is still saved)."""
+    import os
+
+    def _fresh(loc: str | None) -> bool:
+        if not loc:
+            return False
+        sidecar = os.path.join(loc, _FP_SIDECAR)
+        try:
+            with open(sidecar) as f:
+                return f.read().strip() == _corpus_fingerprint(sf_dir)
+        except OSError:
+            return False
+
     table = default_pair_store_table(sf_dir)
-    if not spark.catalog.tableExists(table):
+    if spark.catalog.tableExists(table):
+        if _fresh(_table_location(spark, table)):
+            return spark.table(table)
         return None
-    props = dict(
-        spark.sql(f"SHOW TBLPROPERTIES {table}")
-        .select("key", "value")
-        .collect()
-    )
-    if props.get("corpus_fp") != _corpus_fingerprint(sf_dir):
-        return None
-    return spark.table(table)
+    path = _default_store_path(spark, sf_dir)
+    if _fresh(path if os.path.isdir(path) else None):
+        return spark.read.parquet(path)
+    return None
 
 
 def resolve_pairs(

@@ -73,7 +73,11 @@ def test_default_resolution_prefers_fresh_store(spark, sf_dir, tmp_path_factory)
     no shingle self-join), results unchanged; and a store whose corpus
     fingerprint no longer matches the parquet on disk must be ignored
     in favor of inline recompute — never serve stale pairs."""
+    import os
+
     from distributed_map_reduce_spark.operators.dedup import (
+        _FP_SIDECAR,
+        _table_location,
         default_pair_store_table,
         resolve_pairs,
     )
@@ -96,15 +100,49 @@ def test_default_resolution_prefers_fresh_store(spark, sf_dir, tmp_path_factory)
         )
         assert table.split(".", 1)[1] in consumer_plan, consumer_plan
 
-        # stale fingerprint => fall back to inline
-        spark.sql(
-            f"ALTER TABLE {table} SET TBLPROPERTIES ('corpus_fp' = 'stale')"
-        )
+        # stale sidecar fingerprint => fall back to inline
+        with open(
+            os.path.join(_table_location(spark, table), _FP_SIDECAR), "w"
+        ) as f:
+            f.write("stale")
         fallback = resolve_pairs(spark, sf_dir, None)
         assert table.split(".", 1)[1] not in formatted_plan(fallback)
         assert _rows(fallback) == inline_rows
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_path_fallback_serves_fresh_store_without_catalog(spark, sf_dir):
+    """Cross-session rung: the local in-memory catalog forgets
+    saveAsTable metadata on JVM exit, so a LATER session must still
+    find the store through its on-disk path + sidecar fingerprint
+    (bucket metadata is lost, but the q24 recompute is saved). Emulated
+    here by placing data + sidecar at the default path with no catalog
+    entry."""
+    import os
+    import shutil
+
+    from distributed_map_reduce_spark.operators.dedup import (
+        _FP_SIDECAR,
+        _corpus_fingerprint,
+        _default_store_path,
+        default_pair_store_table,
+        resolve_pairs,
+    )
+
+    assert not spark.catalog.tableExists(default_pair_store_table(sf_dir))
+    path = _default_store_path(spark, sf_dir)
+    inline = q24_ngram_jaccard_dedup(spark, sf_dir)
+    inline_rows = _rows(inline)
+    try:
+        inline.write.mode("overwrite").parquet(path)
+        with open(os.path.join(path, _FP_SIDECAR), "w") as f:
+            f.write(_corpus_fingerprint(sf_dir))
+        resolved = resolve_pairs(spark, sf_dir, None)
+        assert "xxhash64" not in formatted_plan(resolved)
+        assert _rows(resolved) == inline_rows
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def test_per_ad_aggregate_over_store_never_shuffles(spark, pair_table):
