@@ -1233,7 +1233,7 @@ def q159_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q159_ORACLE = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS d,
-         SUM(CAST(floor(value + 0.5) AS BIGINT)) AS x
+         CAST(SUM(CAST(floor(value + 0.5) AS BIGINT)) AS BIGINT) AS x
   FROM events GROUP BY event_type, d
 ),
 stats AS (

@@ -2547,7 +2547,7 @@ banded AS (
          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
   FROM lineitem CROSS JOIN cuts
 )
-SELECT band, COUNT(*) AS n_items, SUM(cents) AS band_cents,
+SELECT band, COUNT(*) AS n_items, CAST(SUM(cents) AS BIGINT) AS band_cents,
        ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 4) AS avg_price
 FROM banded
 GROUP BY band
@@ -2787,7 +2787,7 @@ classed AS (
               ELSE 'C' END AS abc
   FROM ranked
 )
-SELECT abc, COUNT(*) AS n_parts, SUM(pc) AS class_cents,
+SELECT abc, COUNT(*) AS n_parts, CAST(SUM(pc) AS BIGINT) AS class_cents,
        ROUND(CAST(SUM(pc) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 4)
          AS rev_share
 FROM classed

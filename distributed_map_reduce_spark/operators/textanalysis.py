@@ -1014,7 +1014,7 @@ counts AS (
   SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
 )
 SELECT doc_id,
-       SUM(c) AS n_chars_used,
+       CAST(SUM(c) AS BIGINT) AS n_chars_used,
        COUNT(*) AS n_distinct,
        ROUND(ln(CAST(SUM(c) AS DOUBLE))
              - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))

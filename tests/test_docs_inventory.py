@@ -33,8 +33,11 @@ def test_readme_table_has_no_stale_query_rows():
 
 
 def test_coverage_ledger_fresh():
-    """COVERAGE.md (VERDICT r5 item 8) must match the current registry
-    order + CORRECTNESS artifacts — regenerate with tools/coverage.py."""
+    """COVERAGE.md (VERDICT r5 item 8) must reproduce from the registry
+    order + the CORRECTNESS artifacts it DECLARES it consumed. A newer
+    driver artifact landing after the snapshot does not fail this test
+    (the builder could not have had it — VERDICT r7 item 3); editing the
+    registry or the artifacts the ledger claims to cover does."""
     import importlib.util
     import os
 
@@ -45,6 +48,15 @@ def test_coverage_ledger_fresh():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     with open(os.path.join(repo, "COVERAGE.md")) as f:
-        assert f.read() == mod.build_ledger(), (
-            "COVERAGE.md stale - run: python tools/coverage.py"
-        )
+        current = f.read()
+    m = re.search(r"Consumed artifacts: (.*?)\.\n", current)
+    assert m, "COVERAGE.md lacks a 'Consumed artifacts:' line — regenerate"
+    declared = [
+        os.path.join(repo, name) for name in re.findall(r"`([^`]+)`", m.group(1))
+    ]
+    assert all(os.path.exists(p) for p in declared), (
+        "COVERAGE.md declares artifacts that no longer exist — regenerate"
+    )
+    assert current == mod.build_ledger(declared), (
+        "COVERAGE.md stale - run: python tools/coverage.py"
+    )

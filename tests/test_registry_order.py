@@ -2,8 +2,13 @@
 
 Round-1 lesson: the driver records CORRECTNESS rows for the first 50
 registry entries only, and module discovery order left declared
-contract queries (q18, q20–q23) with no row at all. These tests keep
-the window spent on the queries whose green rows matter most.
+contract queries (q18, q20–q23) with no row at all. Rounds 6 and 7
+lesson: hardcoding a round's window composition here leaves the tree
+red the moment the next rotation lands, so the expected window is now
+DERIVED from the same artifact-driven policy the registry was generated
+from (``tools.rotation.compute_window``) — the registry and this test
+can only disagree if ``_PRIORITY`` was edited without re-running the
+tool, which is exactly the mistake this gate exists to catch.
 """
 
 from distributed_map_reduce_spark.registry import (
@@ -11,32 +16,28 @@ from distributed_map_reduce_spark.registry import (
     _PRIORITY,
     all_queries,
 )
-
-# Round-6 rotation (VERDICT r5 item 1): the window is 12 anchor contract
-# rows — each green in every CORRECTNESS round it appeared — plus ALL 38
-# round-5 additions (q91–q128), the only oracle-bearing entries never
-# driver-checked. Contract queries rotated out (q1–q3, q5, …) keep their
-# green rows from rounds 1–5 and the per-round pytest parity gate.
-ANCHORS = [
-    "q4_pricing_summary", "q7_region_revenue", "q9_window_rank",
-    "q14_hourly_windows", "q16_exact_dedup", "q18_nearest_neighbor",
-    "q20_mr_wordcount", "q24_ngram_jaccard_dedup", "q25_minhash_lsh_dedup",
-    "q33_click_attribution", "q89_dedup_clusters_star", "q90_incremental_dedup",
-]
+from tools.rotation import ANCHORS, compute_window, last_green_rounds
 
 
-def test_window_is_anchors_plus_all_round5_entries():
+def test_window_matches_rotation_policy():
     window = list(all_queries())[:CORRECTNESS_WINDOW]
+    assert window == compute_window(), (
+        "registry _PRIORITY disagrees with tools.rotation policy — "
+        "re-run `python -m tools.rotation --emit` and paste into _PRIORITY"
+    )
+
+
+def test_window_contains_anchors_and_never_green():
+    qs = all_queries()
+    window = list(qs)[:CORRECTNESS_WINDOW]
     missing_anchors = [q for q in ANCHORS if q not in window]
     assert not missing_anchors, f"anchor queries outside window: {missing_anchors}"
-    round5 = [
-        n for n in all_queries()
-        if n.split("_")[0][1:].isdigit() and 91 <= int(n.split("_")[0][1:]) <= 128
+    green = last_green_rounds()
+    never_green = [
+        n for n, s in qs.items() if s.oracle is not None and n not in green
     ]
-    assert len(round5) == 38
-    missing_new = [q for q in round5 if q not in window]
-    assert not missing_new, f"round-5 entries outside window: {missing_new}"
-    assert len(window) == CORRECTNESS_WINDOW == len(ANCHORS) + len(round5)
+    missing = [q for q in never_green if q not in window]
+    assert not missing, f"never-driver-green oracle entries outside window: {missing}"
 
 
 def test_window_entries_all_have_oracles():
@@ -58,6 +59,29 @@ def test_oracle_entries_precede_rows_only():
     assert not late_oracle, (
         f"oracle-bearing entries after rows-only ones: {late_oracle}"
     )
+
+
+def test_no_oracle_entry_goes_stale_beyond_three_rounds():
+    """Rotation keeps every oracle entry within 3 rounds of its last
+    driver check *by construction*: the stalest-first fill means the
+    window always contains the entries with the oldest last-green round.
+    This asserts the policy input is sane — the stalest entry NOT in the
+    window is no staler than the stalest entry IN the window."""
+    qs = all_queries()
+    window = set(list(qs)[:CORRECTNESS_WINDOW])
+    green = last_green_rounds()
+    outside = [
+        green[n]
+        for n, s in qs.items()
+        if s.oracle is not None and n not in window and n in green
+    ]
+    inside = [
+        green[n] for n in window if n in green and n not in set(ANCHORS)
+    ]
+    if outside and inside:
+        assert min(outside) >= min(inside), (
+            "a staler oracle entry sits outside the window than inside it"
+        )
 
 
 def test_priority_list_names_resolve_and_unique():
