@@ -266,15 +266,29 @@ def default_pair_store_table(sf_dir: str) -> str:
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
-    """Cheap freshness token for the documents corpus (size + mtime of
-    the parquet file — a driver-side stat, no Spark job). The test
+    """Cheap freshness token for the documents corpus — a driver-side
+    stat()-only pass, no Spark job and no data read (a content hash of
+    a 100 TB corpus is not a freshness check, it's a job). The test
     corpus is REGENERATED between rounds; a persisted store that
     outlives its corpus must fall back to inline recompute, not serve
-    stale pairs into a hash-checked query."""
+    stale pairs into a hash-checked query.
+
+    Token = size + NANOSECOND mtime of every file under the dataset
+    path (whole-second mtime let a same-size regeneration within one
+    second collide — ADVICE r7); multi-file parquet directories include
+    every part file, so a partial rewrite changes the token too."""
     import os
 
-    st = os.stat(os.path.join(sf_dir.rstrip("/"), "documents.parquet"))
-    return f"{st.st_size}:{int(st.st_mtime)}"
+    root = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
+    st = os.stat(root)
+    if not os.path.isdir(root):
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    parts = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+        for name in sorted(filenames):
+            fst = os.stat(os.path.join(dirpath, name))
+            parts.append(f"{name}:{fst.st_size}:{fst.st_mtime_ns}")
+    return ";".join(parts) or f"{st.st_size}:{st.st_mtime_ns}"
 
 
 _FP_SIDECAR = "_corpus_fp"
@@ -351,6 +365,21 @@ def write_pair_store(
     if tloc and os.path.isdir(tloc):
         with open(os.path.join(tloc, _FP_SIDECAR), "w") as f:
             f.write(_corpus_fingerprint(sf_dir))
+    else:
+        # Without the sidecar a fresh session can never trust the store,
+        # so the default read path would silently recompute forever
+        # (ADVICE r7) — make the degradation loud, not an error: a
+        # non-local table location (object store via a real metastore)
+        # is a legitimate deployment that simply doesn't need the
+        # local-catalog-amnesia workaround the sidecar exists for.
+        import warnings
+
+        warnings.warn(
+            f"pair store {table}: no local directory location "
+            f"({tloc!r}) — freshness sidecar not written; cross-session "
+            "readers will fall back to inline recompute",
+            stacklevel=2,
+        )
     return table
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import QuerySpec
+from ..sources import load_table
 
 CC_MAX_ITER = 20
 
@@ -578,6 +579,133 @@ def _q118_oracle() -> str:
     )
 
 
+# --- q169: cluster-size histogram ---------------------------------------------
+
+def q169_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Distribution of near-dup cluster sizes: for each size, how many
+    clusters and how many documents sit in them — the one-page answer
+    to "is duplication a few giant template families or many small
+    pairs?", which decides whether exact-keeper dedup or per-cluster
+    sampling is the right removal policy. Runs on the star-CC clusters
+    (the 100 TB algorithm); the oracle closes the same pairs with a
+    recursive CTE, so the histogram double-checks cluster STRUCTURE,
+    not just membership. ``pairs=`` accepts the persisted store."""
+    from .dedup import resolve_pairs
+
+    pairs = resolve_pairs(spark, sf_dir, pairs)
+    cc = connected_components_star(pairs, "ad", "bd")
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _q169_oracle() -> str:
+    from .dedup import Q24_ORACLE_BODY
+
+    return f"""
+WITH RECURSIVE pairs AS ({Q24_ORACLE_BODY}),
+sym AS (
+  SELECT ad AS a, bd AS b FROM pairs
+  UNION
+  SELECT bd, ad FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+),
+cc AS (SELECT n AS doc_id, MIN(m) AS keeper FROM reach GROUP BY n),
+sizes AS (SELECT keeper, COUNT(*) AS cluster_size FROM cc GROUP BY keeper)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+# --- q170: canonical (post-dedup) corpus --------------------------------------
+
+def q170_canonical_corpus(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    """The corpus AFTER near-dup dedup, reported per source: total
+    docs, docs removed (clustered non-keepers), docs kept, and the
+    surviving character mass — the yield report every dedup run ends
+    with, and the number that actually matters to a training-data
+    budget ("how many tokens survive?"). Keeper policy = min doc_id
+    per cluster (q38's contract).
+
+    Scale shape: the removed set is the clustered non-keepers — a tiny
+    fraction of any real corpus — so it joins in as a BROADCAST against
+    the full documents scan; the rollup is one map-side-combinable
+    per-source aggregate. ``pairs=`` accepts the persisted store."""
+    from .dedup import resolve_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    pairs = resolve_pairs(spark, sf_dir, pairs)
+    cc = connected_components_star(pairs, "ad", "bd")
+    removed = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("rm")
+    )
+    flagged = docs.join(F.broadcast(removed), "doc_id", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("rm"), F.lit(0))).alias("n_removed"),
+            F.sum(F.when(F.col("rm").isNull(), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(
+                F.when(F.col("rm").isNull(), F.col("n_chars")).otherwise(0)
+            ).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q170_oracle() -> str:
+    from .dedup import Q24_ORACLE_BODY
+
+    return f"""
+WITH RECURSIVE pairs AS ({Q24_ORACLE_BODY}),
+sym AS (
+  SELECT ad AS a, bd AS b FROM pairs
+  UNION
+  SELECT bd, ad FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+),
+cc AS (SELECT n AS doc_id, MIN(m) AS keeper FROM reach GROUP BY n),
+removed AS (SELECT doc_id FROM cc WHERE doc_id <> keeper)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN r.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 QUERIES = [
     QuerySpec("q38_dedup_clusters", q38_dedup_clusters, _q38_oracle(),
               "connected components over near-dup pairs: cluster + keeper per doc",
@@ -597,4 +725,14 @@ QUERIES = [
               "triangle/wedge census + clustering coefficient of the "
               "near-dup graph (ordered 3-way self-join)",
               ("graph", "dedup", "audit")),
+    QuerySpec("q169_cluster_size_histogram", q169_cluster_size_histogram,
+              _q169_oracle(),
+              "near-dup cluster-size distribution (clusters + docs per "
+              "size) off the star-CC clusters",
+              ("graph", "dedup", "audit")),
+    QuerySpec("q170_canonical_corpus", q170_canonical_corpus,
+              _q170_oracle(),
+              "post-dedup per-source yield: kept/removed docs and "
+              "surviving char mass (broadcast removed-set join)",
+              ("graph", "dedup", "curation")),
 ]

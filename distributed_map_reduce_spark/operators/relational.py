@@ -2796,6 +2796,99 @@ ORDER BY abc
 """
 
 
+# --- q166: ABC / Pareto, two-pass range-partitioned cumulative sum ------------
+
+def q166_abc_pareto_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q164's scale-path twin: identical ABC/Pareto output, but the
+    global cumulative revenue sum is computed WITHOUT an
+    `Exchange SinglePartition` feeding the Window — the classic
+    two-pass distributed prefix-sum:
+
+      pass 1: range-partition the part rollup on the global sort key
+              (revenue desc, partkey) so partition i holds a contiguous
+              slice of the global order, then take per-partition
+              within-slice cumulative sums (Window partitioned by slice
+              id — parallel, no global serialization);
+      pass 2: the per-slice totals (one row per partition — hundreds,
+              not millions) get their own tiny cumulative sum, and each
+              slice's preceding-total offset is broadcast back and
+              added.
+
+    Equal rows to q164 by construction: range partitioning preserves
+    the total order across slices and l_partkey makes the sort key
+    unique, so offset + within-slice cum == the single-frame cum for
+    every part. Oracle: same SQL as q164.
+
+    Scale note: this is the shape that survives a catalog too large
+    for one partition (SCALE.md global-sort note); the per-slice
+    offset frame is bounded by the partition count, never the data.
+    tests/test_plans.py pins the no-SinglePartition-window property.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("cents").alias("pc"))
+
+    sliced = per_part.repartitionByRange(
+        16, F.col("pc").desc(), F.col("l_partkey").asc()
+    ).withColumn("slice", F.spark_partition_id())
+
+    within = Window.partitionBy("slice").orderBy(
+        F.desc("pc"), "l_partkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_within = sliced.withColumn("cum_w", F.sum("pc").over(within))
+
+    # pass 2: per-slice totals -> preceding-slice offsets. A triangular
+    # broadcast self-join over the slice-totals frame (one row per
+    # partition) rather than an ordered window, so NO node anywhere in
+    # the plan needs an Exchange SinglePartition — windows over "just a
+    # few rows" still plan one, and the gate is cleaner as "zero".
+    totals = sliced.groupBy("slice").agg(F.sum("pc").alias("slice_total"))
+    offsets = (
+        totals.alias("a")
+        .join(
+            F.broadcast(totals.alias("b")),
+            F.col("b.slice") < F.col("a.slice"),
+            "left",
+        )
+        .groupBy(F.col("a.slice").alias("slice"))
+        .agg(F.coalesce(F.sum("b.slice_total"), F.lit(0)).alias("offset"))
+    )
+    total = per_part.agg(F.sum("pc").alias("tot"))
+    classed = (
+        cum_within.join(F.broadcast(offsets), "slice")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pc",
+            F.when(
+                (F.col("cum_w") + F.col("offset")) * 100 <= F.col("tot") * 80,
+                "A",
+            )
+            .when(
+                (F.col("cum_w") + F.col("offset")) * 100 <= F.col("tot") * 95,
+                "B",
+            )
+            .otherwise("C")
+            .alias("abc"),
+            "tot",
+        )
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("pc").alias("class_cents"),
+            F.round(
+                F.sum("pc").cast("double") / F.max("tot").cast("double"), 4
+            ).alias("rev_share"),
+        )
+        .orderBy("abc")
+    )
+
+
 # --- q165: order-total reconciliation audit -----------------------------------
 
 def q165_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3050,6 +3143,10 @@ QUERIES = [
               "ABC/Pareto revenue classification of parts (integer "
               "cumulative-share boundaries over the catalog rollup)",
               ("relational", "window", "stats")),
+    QuerySpec("q166_abc_pareto_twopass", q166_abc_pareto_twopass, Q164_ORACLE,
+              "q164's scale-path twin: two-pass range-partitioned "
+              "distributed prefix sum, no single-partition window",
+              ("relational", "window", "stats", "scale")),
     QuerySpec("q165_order_reconciliation", q165_order_reconciliation,
               Q165_ORACLE,
               "lineitem-sum vs order-total reconciliation deciles in "

@@ -943,6 +943,7 @@ ORDER BY source_a, source_b
 # --- q158: character-level Shannon entropy ------------------------------------
 
 ENTROPY_MAX_ID = 200  # docs audited (bounds the hashed output)
+ENTROPY_SCALE = 10**6  # fixed-point units for the c*ln(c) terms
 
 
 def q158_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,9 +955,12 @@ def q158_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     H = ln(T) - (sum c*ln c)/T from exact integer char counts — one
     log per distinct character (<= 27 terms), not per char occurrence.
-    Cross-engine fp note: ln is the only non-exact op; both engines'
-    libm agree well inside the 4dp rounding everywhere except exact
-    rounding-boundary landings (same accepted risk as q68/q92/q147).
+    Cross-engine fp note: each c*ln(c) term is quantized to integer
+    1e-6 units BEFORE summation (the q162 fixed-point pattern), so the
+    accumulated sum is exact BIGINT arithmetic in both engines and
+    partition/accumulation order cannot move it; the residual risk is
+    per-term only — libm ln() disagreement at a .5-unit quantization
+    boundary (1e-6 of one term), far inside the 4dp output rounding.
 
     Scale shape: explode to (doc, char) then two nested
     map-side-combinable groupBys; fan-out is bounded by document
@@ -982,8 +986,13 @@ def q158_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").alias("t"),
             F.count(F.lit(1)).alias("n_distinct"),
-            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
-            .alias("clnc"),
+            F.sum(
+                F.round(
+                    F.col("c").cast("double")
+                    * F.log(F.col("c").cast("double"))
+                    * ENTROPY_SCALE
+                ).cast("bigint")
+            ).alias("clnc_u"),
         )
         .select(
             "doc_id",
@@ -991,7 +1000,8 @@ def q158_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct",
             F.round(
                 F.log(F.col("t").cast("double"))
-                - F.col("clnc") / F.col("t").cast("double"),
+                - (F.col("clnc_u").cast("double") / ENTROPY_SCALE)
+                / F.col("t").cast("double"),
                 4,
             ).alias("entropy"),
         )
@@ -1017,7 +1027,9 @@ SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_chars_used,
        COUNT(*) AS n_distinct,
        ROUND(ln(CAST(SUM(c) AS DOUBLE))
-             - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+             - (CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                                    * {ENTROPY_SCALE}) AS BIGINT))
+                     AS DOUBLE) / {ENTROPY_SCALE})
                / CAST(SUM(c) AS DOUBLE), 4) AS entropy
 FROM counts
 GROUP BY doc_id
@@ -1025,7 +1037,186 @@ ORDER BY doc_id
 """
 
 
+# --- q168: per-source Zipf exponent -------------------------------------------
+
+ZIPF_TOP = 100  # rank depth for the log-log fit
+ZIPF_SCALE = 10**6  # fixed-point units for the ln terms
+
+
+def q168_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf exponent: the OLS slope of ln(freq) on ln(rank)
+    over each source's top-{ZIPF_TOP} tokens — the classic heavy-tail
+    health check for a text corpus (natural language sits near -1;
+    boilerplate/template-heavy sources flatten, spam steepens). The
+    corpus-curation sibling of q162's per-brand elasticity fit.
+
+    Determinism: token frequencies are exact integers; rank is a
+    deterministic ROW_NUMBER (freq desc, token asc). Each ln term is
+    quantized to integer 1e-6 units BEFORE the OLS sums (the q162/q158
+    fixed-point pattern), so all four regression sums are exact BIGINT
+    arithmetic; the slope is one identical double expression both
+    engines. Magnitudes: |ln| terms <= ln(T)*1e6 ~ 2e7; squared-sum
+    over 100 ranks ~ 4e16 — 200x inside int64.
+
+    Scale shape: explode -> map-side-combinable (source, token) count;
+    the rank window is PARTITIONED by source (never global), and its
+    input is each source's vocabulary, not its token stream. The OLS
+    reduce is a per-source integer groupBy — one tiny row per source."""
+    from pyspark.sql.window import Window
+
+    freq = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.expr(_TOKS)).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("token"))
+    ranked = freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ZIPF_TOP
+    )
+    pts = ranked.select(
+        "source",
+        F.round(F.log(F.col("rank").cast("double")) * ZIPF_SCALE)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * ZIPF_SCALE)
+        .cast("bigint")
+        .alias("y"),
+    )
+    agg = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return (
+        agg.select(
+            "source",
+            "n_tokens",
+            F.round(
+                (n * F.col("sxy").cast("double")
+                 - F.col("sx").cast("double") * F.col("sy").cast("double"))
+                / (n * F.col("sxx").cast("double")
+                   - F.col("sx").cast("double") * F.col("sx").cast("double")),
+                4,
+            ).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )
+
+
+Q168_ORACLE = f"""
+WITH freq AS (
+  SELECT source, token, COUNT(*) AS c
+  FROM (SELECT source, unnest({DUCK_TOKS_EXPR}) AS token FROM documents)
+  GROUP BY source, token
+),
+ranked AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, token ASC) AS rank
+  FROM freq
+),
+pts AS (
+  SELECT source,
+         CAST(ROUND(ln(CAST(rank AS DOUBLE)) * {ZIPF_SCALE}) AS BIGINT) AS x,
+         CAST(ROUND(ln(CAST(c AS DOUBLE)) * {ZIPF_SCALE}) AS BIGINT) AS y
+  FROM ranked WHERE rank <= {ZIPF_TOP}
+),
+agg AS (
+  SELECT source, COUNT(*) AS n_tokens, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts GROUP BY source
+)
+SELECT source, n_tokens,
+       ROUND((CAST(n_tokens AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+         AS zipf_slope
+FROM agg
+ORDER BY source
+"""
+
+
+# --- q172: per-source vocabulary richness -------------------------------------
+
+def q172_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary richness: token mass, type count, hapax
+    legomena (types seen exactly once), type-token ratio, and hapax
+    share — the cheap lexical-diversity profile that separates natural
+    prose (high hapax share) from templated/boilerplate text (low),
+    complementing q168's distributional (Zipf) view of the same
+    frequency table.
+
+    Determinism: counts and ratios of exact integers only; the two
+    ratios are single double divisions rounded to 4dp.
+
+    Scale shape: the same map-side-combinable (source, token) count as
+    q168, then one tiny per-source rollup — no windows, no joins."""
+    freq = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.expr(_TOKS)).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        freq.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("ttr"),
+            F.round(
+                F.col("n_hapax").cast("double")
+                / F.col("n_types").cast("double"),
+                4,
+            ).alias("hapax_share"),
+        )
+        .orderBy("source")
+    )
+
+
+Q172_ORACLE = f"""
+WITH freq AS (
+  SELECT source, token, COUNT(*) AS c
+  FROM (SELECT source, unnest({DUCK_TOKS_EXPR}) AS token FROM documents)
+  GROUP BY source, token
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4) AS ttr,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_share
+FROM freq
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = [
+    QuerySpec("q168_zipf_exponent", q168_zipf_exponent, Q168_ORACLE,
+              "per-source Zipf slope from integer-quantized log-log OLS "
+              "over the top-100 tokens (heavy-tail corpus health check)",
+              ("textanalysis", "stats", "quality")),
+    QuerySpec("q172_vocab_richness", q172_vocab_richness, Q172_ORACLE,
+              "per-source token/type/hapax profile with TTR and hapax "
+              "share (lexical-diversity quality signal)",
+              ("textanalysis", "quality")),
     QuerySpec("q158_char_entropy", q158_char_entropy, Q158_ORACLE,
               "per-doc character Shannon entropy over the a-z+space "
               "alphabet (gibberish screen; logs only per distinct char)",

@@ -955,7 +955,126 @@ ORDER BY doc_id
 """
 
 
+# --- q167: per-source quality caps --------------------------------------------
+
+CAP_K = 30  # max docs kept per source
+CAP_SCALE = 10**6  # fixed-point units for the distinct-token quality score
+
+
+def q167_source_quality_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps by quality rank — the CCNet/C4 "domain
+    cap" pass: no source may contribute more than {CAP_K} documents,
+    and when one over-contributes, the LOWEST-quality docs are dropped
+    first. Quality = distinct-token ratio (the q37 repetition signal,
+    inverted: templated/repetitive docs rank last), quantized to an
+    integer so the rank ordering is exact. Reports each source's total
+    docs, kept docs, surviving char mass and the drop rate.
+
+    Determinism: quality_u is an exact integer (round of D/T in 1e-6
+    units); rank is ROW_NUMBER over (quality_u DESC, doc_id ASC) — a
+    total order, no fp ties.
+
+    Scale shape: one explode -> two map-side-combinable groupBys for
+    the per-doc quality, then a window PARTITIONED by source (never
+    global — each source ranks independently; skew is bounded by the
+    largest single source, the same per-domain sharding every CC
+    pipeline accepts), then one tiny per-source rollup."""
+    from pyspark.sql.window import Window
+
+    per_doc = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.explode(F.expr(_TOKS)).alias("token"),
+        )
+        .groupBy("doc_id", "source", "n_chars")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.count_distinct(F.col("token")).alias("d"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(
+                F.col("d").cast("double")
+                / F.col("t").cast("double")
+                * CAP_SCALE
+            )
+            .cast("bigint")
+            .alias("quality_u"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_u"), F.asc("doc_id")
+    )
+    ranked = per_doc.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rank") <= CAP_K, 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(
+                F.when(F.col("rank") <= CAP_K, F.col("n_chars")).otherwise(0)
+            ).alias("kept_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "kept_chars",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_kept").cast("double")
+                / F.col("n_docs").cast("double"),
+                4,
+            ).alias("drop_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+Q167_ORACLE = f"""
+WITH per_doc AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ROUND(CAST(COUNT(DISTINCT token) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) * {CAP_SCALE}) AS BIGINT)
+           AS quality_u
+  FROM (SELECT doc_id, source, n_chars, unnest({DUCK_TOKS_EXPR}) AS token
+        FROM documents)
+  GROUP BY doc_id, source, n_chars
+),
+ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality_u DESC, doc_id ASC) AS rank
+  FROM per_doc
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rank <= {CAP_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rank <= {CAP_K} THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       ROUND(1.0 - CAST(SUM(CASE WHEN rank <= {CAP_K} THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+         AS drop_rate
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = [
+    QuerySpec("q167_source_quality_caps", q167_source_quality_caps,
+              Q167_ORACLE,
+              "per-source doc caps dropping lowest distinct-token-ratio "
+              "docs first (CCNet/C4 domain-cap pass)",
+              ("training", "curation", "quality")),
     QuerySpec("q137_importance_sampling", q137_importance_sampling,
               _q137_oracle(),
               "deterministic quality-weighted sampling audit (md5-as-RNG "

@@ -200,6 +200,41 @@ def test_q58_window_nav_partition_bounded(spark, sf_dir):
     assert "SinglePartition" not in window_input, plan
 
 
+def test_q166_twopass_pareto_has_no_single_partition_window(spark, sf_dir):
+    """q164's declared form computes the global cumulative revenue sum
+    with one unpartitioned window (fine on a catalog-sized rollup, the
+    flagged shape at a too-large catalog). Its scale twin q166 must not
+    plan the global-window shape Exchange SinglePartition -> Sort (->
+    Window) anywhere — the within-slice windows are partitioned by
+    slice id and the cross-slice offsets come from a broadcast
+    triangular self-join, not an ordered window. The one
+    SinglePartition exchange that IS allowed is the scalar grand-total
+    aggregate (one partial-agg row per input partition — scale-safe,
+    and present in q164's declared form too)."""
+    plan = formatted_plan(_q("q166_abc_pareto_twopass", spark, sf_dir))
+    assert "Window" in plan
+    single = [
+        int(m.group(1))
+        for m in _re.finditer(
+            r"\((\d+)\) Exchange\b(?:(?!\(\d+\) ).)*?SinglePartition",
+            plan,
+            _re.S,
+        )
+    ]
+    sorts = {int(m.group(1)) for m in _re.finditer(r"\((\d+)\) Sort\b", plan)}
+    fed_sorts = [n for n in single if n + 1 in sorts]
+    assert not fed_sorts, (fed_sorts, plan)
+
+
+def test_q166_equals_q164(spark, sf_dir):
+    """The two-pass prefix sum must reproduce the single-frame ABC
+    classification exactly (range partitioning preserves the global
+    order; l_partkey makes the sort key unique)."""
+    a = _q("q164_abc_pareto", spark, sf_dir).collect()
+    b = _q("q166_abc_pareto_twopass", spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_q112_subqueries_decorrelate_to_semi_anti_joins(spark, sf_dir):
     """The correlated EXISTS / NOT EXISTS pair must be rewritten by
     Catalyst into semi/anti hash-family joins on the orderkey equi-key —
