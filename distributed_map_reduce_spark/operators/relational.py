@@ -2962,6 +2962,112 @@ ORDER BY bucket
 """
 
 
+
+
+# --- q173: sole-late-supplier audit (TPC-H Q21 shape) -------------------------
+
+LATE_DAYS = 90  # shipment lateness threshold vs the order date
+
+
+def q173_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper on multi-supplier
+    orders — the TPC-H Q21 "suppliers who kept orders waiting" audit
+    reshaped to this schema (late = shipped > {LATE_DAYS} days after
+    the order date; TPC-H uses receipt-vs-commit, cf. reference-free
+    spec Q21). Classic blame attribution: a supplier only counts when
+    the delay is unambiguously theirs.
+
+    Q21 is usually written as EXISTS + NOT-EXISTS correlated
+    subqueries; Catalyst decorrelates those into two extra self-joins
+    of lineitem (the q112 pattern). This implementation uses the
+    aggregation reformulation instead — per-(order, supplier) lateness,
+    then one per-order rollup; a supplier qualifies iff it was late,
+    the order had >= 2 suppliers, and exactly 1 late supplier — so
+    lineitem is scanned ONCE and both aggregates are
+    map-side-combinable. At 100 TB that is the difference between one
+    shuffle of the order-supplier rollup and three full lineitem
+    self-join shuffles.
+
+    Determinism: counts only; top-10 ordered by (n_orders DESC, s_name
+    ASC, suppkey ASC) — a total order.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        )
+        .cast("int")
+        .alias("late"),
+    )
+    # per_os feeds two consumers (the per-order rollup and the late
+    # filter); lazy-checkpoint so lineitem⨝orders is scanned once, not
+    # re-derived per consumer (the q92 bi_all lesson).
+    per_os = (
+        j.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("supp_late"))
+        .localCheckpoint(eager=False)
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late"),
+    )
+    qual = (
+        per_os.filter(F.col("supp_late") == 1)
+        .join(
+            per_o.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.join(F.broadcast(sup), qual.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"), "s_name", "n_orders"
+        )
+        .orderBy(F.desc("n_orders"), F.asc("s_name"), F.asc("suppkey"))
+        .limit(10)
+    )
+
+
+Q173_ORACLE = f"""
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_os AS (
+  SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+  FROM j GROUP BY l_orderkey, l_suppkey
+),
+per_o AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(supp_late) AS n_late
+  FROM per_os GROUP BY l_orderkey
+),
+qual AS (
+  SELECT p.l_suppkey, COUNT(*) AS n_orders
+  FROM per_os p JOIN per_o USING (l_orderkey)
+  WHERE p.supp_late = 1 AND n_supp >= 2 AND n_late = 1
+  GROUP BY p.l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name, n_orders
+FROM qual JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY n_orders DESC, s_name ASC, suppkey ASC
+LIMIT 10
+"""
+
+
+
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -3147,6 +3253,11 @@ QUERIES = [
               "q164's scale-path twin: two-pass range-partitioned "
               "distributed prefix sum, no single-partition window",
               ("relational", "window", "stats", "scale")),
+    QuerySpec("q173_sole_late_supplier", q173_sole_late_supplier,
+              Q173_ORACLE,
+              "TPC-H Q21-shaped sole-late-supplier blame audit via "
+              "single-scan aggregation reformulation (no self-joins)",
+              ("relational", "join", "audit")),
     QuerySpec("q165_order_reconciliation", q165_order_reconciliation,
               Q165_ORACLE,
               "lineitem-sum vs order-total reconciliation deciles in "

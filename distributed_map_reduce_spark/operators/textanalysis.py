@@ -500,6 +500,9 @@ ORDER BY digits
 
 # --- q68: unigram language-model log-probability -----------------------------
 
+LOGPROB_SCALE = 10**6  # fixed-point units for per-token ln terms (q68/q147)
+
+
 def q68_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram distribution — the KenLM-style perplexity stand-in used to
@@ -511,7 +514,13 @@ def q68_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregate per doc. The vocab frame is the only mid-size
     structure (unique tokens); at 100 TB it is GBs and the join is a
     plain hash join on the token key — AQE broadcasts it while it fits,
-    shuffles when it doesn't. No Python anywhere."""
+    shuffles when it doesn't. No Python anywhere.
+
+    Cross-engine fp note: each ln(c/n) term is quantized to integer
+    1e-6 units before the per-doc sum (the q158/q162 fixed-point
+    pattern — VERDICT r7 item 9), so accumulation order cannot move
+    the 4dp hash; both engines round the identical IEEE double, so
+    even .5-unit landings agree."""
     tok = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
@@ -523,10 +532,21 @@ def q68_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias(
-                "logprob"
-            ),
+            F.sum(
+                F.round(F.log(F.col("c") / F.col("n")) * LOGPROB_SCALE)
+                .cast("bigint")
+            ).alias("lp_u"),
             F.count(F.lit(1)).alias("n_tok"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("lp_u").cast("double")
+                / LOGPROB_SCALE
+                / F.col("n_tok").cast("double"),
+                4,
+            ).alias("logprob"),
+            "n_tok",
         )
         .orderBy("doc_id")
     )
@@ -536,7 +556,11 @@ Q68_ORACLE = f"""
 WITH tok AS (SELECT doc_id, unnest({DUCK_TOKS_EXPR}) AS token FROM documents),
 freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
 tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq)
-SELECT doc_id, ROUND(AVG(LN(c / n)), 4) AS logprob, COUNT(*) AS n_tok
+SELECT doc_id,
+       ROUND(CAST(SUM(CAST(ROUND(LN(c / n) * {LOGPROB_SCALE}) AS BIGINT))
+                  AS DOUBLE) / {LOGPROB_SCALE} / CAST(COUNT(*) AS DOUBLE), 4)
+         AS logprob,
+       COUNT(*) AS n_tok
 FROM tok JOIN freq USING (token) CROSS JOIN tot
 GROUP BY doc_id
 ORDER BY doc_id
@@ -692,7 +716,13 @@ def q92_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReuseExchange. The unigram frame joins back twice (vocab-sized —
     broadcast while it fits, plain hash join when it doesn't). The
     final top-K is a sort over the *filtered* bigram frame (support
-    >= {PMI_MIN_COUNT}), which is tiny by construction."""
+    >= {PMI_MIN_COUNT}), which is tiny by construction.
+
+    Cross-engine fp decision (VERDICT r7 item 9): PMI is a SINGLE ln()
+    per output row — there is no fp accumulation to quantize, so the
+    fixed-point treatment q68/q147/q158 received does not apply; the
+    only residual risk is one libm call on an identical IEEE double
+    landing exactly on a 4dp rounding boundary, accepted as-is."""
     d = _docs(spark, sf_dir).select(F.expr(_TOKS).alias("t"))
     pairs = d.select(
         F.explode(
@@ -798,9 +828,12 @@ def q147_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     then bigrams join both count frames and re-aggregate per doc.
     The bigram-count frame is the largest mid-structure; the join is a
     plain hash join on the (w1,w2) key — AQE broadcasts it while it
-    fits, shuffles when it doesn't. Smoothing keeps every term finite,
-    and ln() of an integer ratio is bit-identical across engines (the
-    q68 precedent, green since round 1).
+    fits, shuffles when it doesn't. Smoothing keeps every term finite.
+
+    Cross-engine fp note: each ln term is quantized to integer 1e-6
+    units before the per-doc sum (q158/q162 fixed-point pattern —
+    VERDICT r7 item 9), so accumulation order cannot move the 4dp
+    hash; both engines round the identical IEEE double.
     """
     d = (
         _docs(spark, sf_dir)
@@ -836,10 +869,25 @@ def q147_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.avg(F.log((F.col("c_xy") + 1.0) / (F.col("c_x") + F.col("v")))), 4
-            ).alias("logprob"),
+            F.sum(
+                F.round(
+                    F.log(
+                        (F.col("c_xy") + 1.0) / (F.col("c_x") + F.col("v"))
+                    )
+                    * LOGPROB_SCALE
+                ).cast("bigint")
+            ).alias("lp_u"),
             F.count(F.lit(1)).alias("n_bigram"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("lp_u").cast("double")
+                / LOGPROB_SCALE
+                / F.col("n_bigram").cast("double"),
+                4,
+            ).alias("logprob"),
+            "n_bigram",
         )
         .orderBy("doc_id")
     )
@@ -861,7 +909,9 @@ vocab AS (
   FROM (SELECT unnest({DUCK_TOKS_EXPR}) AS token FROM documents)
 )
 SELECT doc_id,
-       ROUND(AVG(LN((c_xy + 1.0) / (c_x + v))), 4) AS logprob,
+       ROUND(CAST(SUM(CAST(ROUND(LN((c_xy + 1.0) / (c_x + v))
+                                 * {LOGPROB_SCALE}) AS BIGINT)) AS DOUBLE)
+             / {LOGPROB_SCALE} / CAST(COUNT(*) AS DOUBLE), 4) AS logprob,
        COUNT(*) AS n_bigram
 FROM big JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN vocab
 GROUP BY doc_id

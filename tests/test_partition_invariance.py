@@ -19,7 +19,13 @@ SWEEP = ["q1_wordcount", "q4_pricing_summary", "q7_region_revenue",
          "q53_winnowing_fingerprints", "q54_tfidf",
          "q57_fuzzy_blocked", "q61_sequence_packing",
          "q62_split_assignment", "q65_decontamination",
-         "q66_corpus_mix"]
+         "q66_corpus_mix",
+         # round-8: the fixed-point-quantized transcendental queries
+         # (order-free by construction — this sweep is the proof) and
+         # the new window/rollup shapes
+         "q68_unigram_logprob", "q147_bigram_logprob", "q158_char_entropy",
+         "q166_abc_pareto_twopass", "q167_source_quality_caps",
+         "q168_zipf_exponent", "q173_sole_late_supplier"]
 
 
 def _canon(df):
