@@ -349,6 +349,24 @@ def write_pair_store(
     db = table.split(".", 1)[0]
     loc = f" LOCATION '{location}'" if location else ""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")
+    if location is None and not spark.catalog.tableExists(table):
+        # Local-catalog amnesia, write side: a fresh JVM's in-memory
+        # catalog has no entry for the table, but the MANAGED location
+        # under the warehouse may survive from an earlier session —
+        # saveAsTable then fails with LOCATION_ALREADY_EXISTS. The
+        # store is a derived cache (reproducible from the corpus by
+        # construction), so an orphaned managed location is safe to
+        # clear before the overwrite.
+        import os
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        if wh.startswith("file:"):
+            wh = wh[5:]
+        dbname, tname = table.split(".", 1)
+        orphan = os.path.join(wh, f"{dbname}.db", tname)
+        if os.path.isdir(orphan):
+            shutil.rmtree(orphan)
     (
         q24_ngram_jaccard_dedup(spark, sf_dir)
         .write.mode("overwrite")

@@ -3068,6 +3068,106 @@ LIMIT 10
 
 
 
+# --- q174: time-weighted average price (TWAP) ---------------------------------
+
+TWAP_MIN_EVENTS = 5  # parts with fewer ship events are skipped
+
+
+def q174_twap_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average unit price per part over its shipment
+    history: each observed price holds from its ship date until the
+    part's next shipment, and the average weights each price by how
+    long it held — the standard TWAP/metrics-rollup aggregation
+    (billing meters, market data) that a plain AVG gets wrong whenever
+    observations are unevenly spaced. Only parts with >=
+    {TWAP_MIN_EVENTS} shipment events are reported (shorter histories
+    make the last-interval convention dominate).
+
+    Determinism: prices are exact integer cents, weights exact integer
+    days (datediff to the lead event; the final event weighs 1 day by
+    convention), so sum(price*days) and sum(days) are exact BIGINT and
+    the TWAP is one double division rounded to 2dp. Ties inside a day
+    are ordered by linenumber's natural (orderkey, linenumber) key.
+
+    Scale shape: one window PARTITIONED by part (never global) over
+    the part's own shipment list, then a map-side-combinable
+    per-part rollup. Skew bound = max shipments per part."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("d"),
+        F.floor(
+            F.col("l_extendedprice") / F.col("l_quantity") * 100 + 0.5
+        )
+        .cast("bigint")
+        .alias("unit_cents"),
+    ).filter(F.col("l_quantity") > 0)
+    w = Window.partitionBy("l_partkey").orderBy(
+        "d", "l_orderkey", "l_linenumber"
+    )
+    weighted = li.select(
+        "l_partkey",
+        "unit_cents",
+        F.coalesce(
+            F.datediff(F.lead("d", 1).over(w), F.col("d")) + 1, F.lit(1)
+        )
+        .cast("bigint")
+        .alias("days"),
+    )
+    return (
+        weighted.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("days").alias("span_days"),
+            F.sum(F.col("unit_cents") * F.col("days")).alias("pd"),
+        )
+        .filter(F.col("n_events") >= TWAP_MIN_EVENTS)
+        .select(
+            "l_partkey",
+            "n_events",
+            "span_days",
+            F.round(
+                F.col("pd").cast("double")
+                / F.col("span_days").cast("double")
+                / 100.0,
+                2,
+            ).alias("twap"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+Q174_ORACLE = f"""
+WITH li AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS d,
+         CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)
+           AS unit_cents
+  FROM lineitem WHERE l_quantity > 0
+),
+weighted AS (
+  SELECT l_partkey, unit_cents,
+         CAST(COALESCE(
+           date_diff('day', d,
+                     LEAD(d, 1) OVER (PARTITION BY l_partkey
+                                      ORDER BY d, l_orderkey, l_linenumber))
+           + 1, 1) AS BIGINT) AS days
+  FROM li
+)
+SELECT l_partkey,
+       COUNT(*) AS n_events,
+       CAST(SUM(days) AS BIGINT) AS span_days,
+       ROUND(CAST(SUM(unit_cents * days) AS DOUBLE)
+             / CAST(SUM(days) AS DOUBLE) / 100.0, 2) AS twap
+FROM weighted
+GROUP BY l_partkey
+HAVING COUNT(*) >= {TWAP_MIN_EVENTS}
+ORDER BY l_partkey
+"""
+
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -3258,6 +3358,10 @@ QUERIES = [
               "TPC-H Q21-shaped sole-late-supplier blame audit via "
               "single-scan aggregation reformulation (no self-joins)",
               ("relational", "join", "audit")),
+    QuerySpec("q174_twap_per_part", q174_twap_per_part, Q174_ORACLE,
+              "time-weighted average unit price per part (exact "
+              "cents x days interval weighting, partitioned window)",
+              ("relational", "temporal", "stats")),
     QuerySpec("q165_order_reconciliation", q165_order_reconciliation,
               Q165_ORACLE,
               "lineitem-sum vs order-total reconciliation deciles in "
