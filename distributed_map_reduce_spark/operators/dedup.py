@@ -360,13 +360,24 @@ def write_pair_store(
         import os
         import shutil
 
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        if wh.startswith("file:"):
-            wh = wh[5:]
         dbname, tname = table.split(".", 1)
-        orphan = os.path.join(wh, f"{dbname}.db", tname)
-        if os.path.isdir(orphan):
-            shutil.rmtree(orphan)
+        # the DATABASE may carry a custom location (CREATE DATABASE ...
+        # LOCATION), so resolve the managed path from the catalog, not
+        # from the warehouse conf
+        db_loc = next(
+            (
+                r["info_value"]
+                for r in spark.sql(f"DESCRIBE DATABASE {dbname}").collect()
+                if r["info_name"] == "Location"
+            ),
+            None,
+        )
+        if db_loc:
+            if db_loc.startswith("file:"):
+                db_loc = db_loc[5:]
+            orphan = os.path.join(db_loc, tname)
+            if os.path.isdir(orphan):
+                shutil.rmtree(orphan)
     (
         q24_ngram_jaccard_dedup(spark, sf_dir)
         .write.mode("overwrite")

@@ -3168,6 +3168,107 @@ ORDER BY l_partkey
 
 
 
+# --- q177: RFM customer segmentation ------------------------------------------
+
+def q177_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation: each
+    customer scored 1-4 on days-since-last-order, order count, and
+    lifetime spend via equi-depth quartiles, concatenated into the
+    classic "444 = champion" segment code, reported as segment sizes
+    with total spend — the standard CRM cohort cut.
+
+    Determinism: recency is exact integer days against the corpus max
+    order date (data-derived, so the query is self-contained); spend is
+    exact cents; each NTILE orders by (metric, o_custkey) — the unique
+    key makes quartile boundaries identical on both engines.
+
+    Scale shape: one map-side-combinable groupBy(custkey) over orders,
+    then three GLOBAL quartile windows over the customer-level rollup —
+    at catalog scale (customers, not orders) that is the documented
+    single-partition window tradeoff q164 makes; the q166 two-pass
+    shape applies verbatim if the customer dimension ever outgrows a
+    partition. Final rollup is segment-count-sized (<= 64 rows)."""
+    from pyspark.sql.window import Window as W
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    maxd = o.agg(F.max("d").alias("maxd"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "last_d").cast("bigint").alias("recency"),
+            "freq",
+            "monetary",
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        # low recency (recent) should score HIGH: order desc
+        F.ntile(4)
+        .over(W.orderBy(F.desc("recency"), F.asc("o_custkey")))
+        .alias("r"),
+        F.ntile(4).over(W.orderBy(F.asc("freq"), F.asc("o_custkey"))).alias("f"),
+        F.ntile(4)
+        .over(W.orderBy(F.asc("monetary"), F.asc("o_custkey")))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws("", F.col("r"), F.col("f"), F.col("m")).alias("rfm")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").alias("segment_cents"),
+        )
+        .orderBy("rfm")
+    )
+
+
+Q177_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+maxd AS (SELECT MAX(d) AS maxd FROM o),
+cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(d), (SELECT maxd FROM maxd)) AS BIGINT)
+           AS recency,
+         COUNT(*) AS freq,
+         SUM(cents) AS monetary
+  FROM o GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, monetary,
+         NTILE(4) OVER (ORDER BY recency DESC, o_custkey ASC) AS r,
+         NTILE(4) OVER (ORDER BY freq ASC, o_custkey ASC) AS f,
+         NTILE(4) OVER (ORDER BY monetary ASC, o_custkey ASC) AS m
+  FROM cust
+)
+SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS rfm,
+       COUNT(*) AS n_customers,
+       CAST(SUM(monetary) AS BIGINT) AS segment_cents
+FROM scored
+GROUP BY 1
+ORDER BY rfm
+"""
+
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -3358,6 +3459,10 @@ QUERIES = [
               "TPC-H Q21-shaped sole-late-supplier blame audit via "
               "single-scan aggregation reformulation (no self-joins)",
               ("relational", "join", "audit")),
+    QuerySpec("q177_rfm_segments", q177_rfm_segments, Q177_ORACLE,
+              "RFM quartile customer segmentation with segment sizes "
+              "and exact-cents spend",
+              ("relational", "window", "crm")),
     QuerySpec("q174_twap_per_part", q174_twap_per_part, Q174_ORACLE,
               "time-weighted average unit price per part (exact "
               "cents x days interval weighting, partitioned window)",

@@ -1258,11 +1258,228 @@ ORDER BY source
 """
 
 
+# --- q175: BPE first-merge pair table -----------------------------------------
+
+BPE_TOP_PAIRS = 50  # merge-table depth reported
+
+
+def q175_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: corpus-wide frequency
+    of adjacent character pairs inside words, weighted by word
+    frequency — the table whose argmax becomes merge #1, reported to
+    depth {BPE_TOP_PAIRS}. The suite's q28 counts tokens under a fixed
+    BPE-ish regex; this is the other direction — the statistics a
+    pipeline computes to BUILD the tokenizer.
+
+    Scale shape: pairs explode from the DISTINCT-word frame (vocab ~
+    sqrt-ish of token mass) and multiply by word counts, never from the
+    raw token stream — the standard word-counts-first BPE formulation
+    (Sennrich et al. 2016). Two map-side-combinable groupBys; the
+    top-{BPE_TOP_PAIRS} is a TakeOrdered over the pair vocabulary.
+
+    Determinism: integer counts; ordering (n DESC, pair ASC) is total.
+    """
+    wc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(_TOKS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    pairs = wc.select(
+        "wn",
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(w, ''), 1, greatest(length(w) - 1, 0)),"
+                " slice(split(w, ''), 2, greatest(length(w) - 1, 0)),"
+                " (a, b) -> concat(a, b))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+Q175_ORACLE = f"""
+WITH wc AS (
+  SELECT w, COUNT(*) AS wn
+  FROM (SELECT unnest({DUCK_TOKS_EXPR}) AS w FROM documents)
+  GROUP BY w
+),
+pairs AS (
+  SELECT wn, chars[i] || chars[i + 1] AS pair
+  FROM (SELECT wn, string_split_regex(w, '') AS chars FROM wc),
+       UNNEST(range(1, len(chars))) AS u(i)
+)
+SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+
+# --- q176: held-out bigram perplexity -----------------------------------------
+
+def q176_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model evaluation done RIGHT: an add-one-
+    smoothed bigram model fitted on the q62 md5 TRAIN split scores the
+    VAL split's documents — the no-leakage twin of q147, whose
+    in-sample score flatters every document that contributed its own
+    counts. Per val-doc mean log-prob plus perplexity; the gap between
+    this and q147 is the generalization signal a curation pipeline
+    actually wants (memorizable boilerplate scores far better in-sample
+    than held-out).
+
+    Determinism: the split is md5-deterministic (q62's rule verbatim);
+    counts are exact integers; each ln term quantizes to 1e-6
+    fixed-point before the per-doc sum (q158 pattern), and perplexity
+    exponentiates the ROUNDED mean — one libm exp of an identical
+    4dp double both engines.
+
+    Scale shape: identical to q147 (bigram explode, two
+    map-side-combinable count aggregates, hash join on the bigram key)
+    with a pushdown-able split filter on each side; unseen val bigrams
+    hit the smoothing floor via a LEFT join + coalesce, not a lookup
+    miss."""
+    split_h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(_TOKS).alias("t"),
+            F.when(split_h < "cc", "train")
+            .when(split_h < "e6", "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .filter(F.size("t") >= 2)
+    )
+    big = d.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (a, b) -> struct(a AS x, b AS y))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "split", F.col("p.x").alias("w1"), F.col("p.y").alias("w2"))
+    cb = (
+        big.filter(F.col("split") == "train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=False)
+    )
+    cp = cb.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    vocab = (
+        d.filter(F.col("split") == "train")
+        .select(F.explode("t").alias("token"))
+        .agg(F.count_distinct("token").cast("double").alias("v"))
+    )
+    val = big.filter(F.col("split") == "val")
+    term = F.log(
+        (F.coalesce(F.col("c_xy"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("c_x"), F.lit(0)) + F.col("v"))
+    )
+    return (
+        val.join(cb, ["w1", "w2"], "left")
+        .join(cp, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(term * LOGPROB_SCALE).cast("bigint")
+            ).alias("lp_u"),
+            F.count(F.lit(1)).alias("n_bigram"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("lp_u").cast("double")
+                / LOGPROB_SCALE
+                / F.col("n_bigram").cast("double"),
+                4,
+            ).alias("logprob"),
+            "n_bigram",
+        )
+        .select(
+            "doc_id",
+            "logprob",
+            F.round(F.exp(-F.col("logprob")), 2).alias("perplexity"),
+            "n_bigram",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q176_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {DUCK_TOKS_EXPR} AS t,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+dd AS (SELECT * FROM d WHERE len(t) >= 2),
+big AS (
+  SELECT doc_id, split, t[i] AS w1, t[i + 1] AS w2
+  FROM dd, UNNEST(range(1, len(t))) AS u(i)
+),
+cb AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM big WHERE split = 'train'
+  GROUP BY w1, w2
+),
+cp AS (SELECT w1, SUM(c_xy) AS c_x FROM cb GROUP BY w1),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v
+  FROM (SELECT unnest(t) AS token FROM dd WHERE split = 'train')
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(LN((COALESCE(cb.c_xy, 0) + 1.0)
+                       / (COALESCE(cp.c_x, 0) + vocab.v))
+                    * {LOGPROB_SCALE}) AS BIGINT) AS term_u
+  FROM big b
+  LEFT JOIN cb USING (w1, w2)
+  LEFT JOIN cp USING (w1)
+  CROSS JOIN vocab
+  WHERE b.split = 'val'
+)
+SELECT doc_id,
+       ROUND(CAST(SUM(term_u) AS DOUBLE) / {LOGPROB_SCALE}
+             / CAST(COUNT(*) AS DOUBLE), 4) AS logprob,
+       ROUND(EXP(-(ROUND(CAST(SUM(term_u) AS DOUBLE) / {LOGPROB_SCALE}
+                         / CAST(COUNT(*) AS DOUBLE), 4))), 2) AS perplexity,
+       COUNT(*) AS n_bigram
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+
 QUERIES = [
     QuerySpec("q168_zipf_exponent", q168_zipf_exponent, Q168_ORACLE,
               "per-source Zipf slope from integer-quantized log-log OLS "
               "over the top-100 tokens (heavy-tail corpus health check)",
               ("textanalysis", "stats", "quality")),
+    QuerySpec("q176_heldout_perplexity", q176_heldout_perplexity,
+              Q176_ORACLE,
+              "held-out bigram perplexity: train-split LM scores the "
+              "val split, no leakage (q147's in-sample twin)",
+              ("textanalysis", "quality", "training")),
+    QuerySpec("q175_bpe_merge_pairs", q175_bpe_merge_pairs, Q175_ORACLE,
+              "BPE training step 1: word-frequency-weighted adjacent "
+              "char-pair merge table (top-50)",
+              ("textanalysis", "tokenizer")),
     QuerySpec("q172_vocab_richness", q172_vocab_richness, Q172_ORACLE,
               "per-source token/type/hapax profile with TTR and hapax "
               "share (lexical-diversity quality signal)",

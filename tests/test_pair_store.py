@@ -180,3 +180,35 @@ def test_probe_join_shuffles_only_probe_side(spark, sf_dir, pair_table):
         assert tree.count("Exchange") == 1, tree
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+
+
+def test_write_recovers_from_orphaned_managed_location(spark, sf_dir):
+    """Local-catalog amnesia, write side (round-8 regression): a fresh
+    JVM's in-memory catalog forgets managed tables but their warehouse
+    directories survive, and saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS. write_pair_store must treat such an
+    orphaned managed location as the derived cache it is — clear it and
+    write. Simulated by dropping the catalog entry while leaving the
+    directory in place."""
+    import os
+
+    from distributed_map_reduce_spark.operators.dedup import (
+        default_pair_store_table,
+    )
+
+    table = default_pair_store_table(sf_dir)
+    write_pair_store(spark, sf_dir)  # ensure table + location exist
+    loc = dedup._table_location(spark, table)
+    assert loc and os.path.isdir(loc)
+    # DROP TABLE on a managed table also deletes its directory, so
+    # recreate the path by hand afterwards — exactly the on-disk state
+    # a dead session leaves behind (dir present, catalog empty).
+    spark.sql(f"DROP TABLE {table}")
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "stale-part"), "w") as f:
+        f.write("leftover")
+    write_pair_store(spark, sf_dir)  # must not raise
+    assert not os.path.exists(os.path.join(loc, "stale-part"))
+    assert _rows(read_pair_store(spark, table)) == _rows(
+        q24_ngram_jaccard_dedup(spark, sf_dir)
+    )
