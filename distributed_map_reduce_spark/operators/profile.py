@@ -211,7 +211,109 @@ Q111_ORACLE = (
 )
 
 
+
+
+# --- q178: declarative expectation suite --------------------------------------
+
+# (rule, SQL predicate describing a VIOLATION). The predicate text is
+# the shared artifact: Spark evaluates each via F.expr and the DuckDB
+# oracle embeds the identical string, so the rules themselves — not a
+# translation of them — are what the differential check verifies. Kept
+# to the SQL subset both engines parse identically.
+EXPECTATION_RULES = [
+    ("orderkey_complete", "l_orderkey IS NULL"),
+    ("shipdate_complete", "l_shipdate IS NULL"),
+    ("quantity_in_1_50", "l_quantity < 1 OR l_quantity > 50"),
+    ("price_positive", "l_extendedprice <= 0"),
+    ("discount_in_0_0p1", "l_discount < 0 OR l_discount > 0.1"),
+    ("returnflag_in_set", "l_returnflag NOT IN ('A', 'N', 'R')"),
+    ("linestatus_in_set", "l_linestatus NOT IN ('O', 'F')"),
+]
+
+
+def q178_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/Great-Expectations-style declarative data-quality suite:
+    a rule table of named violation predicates (completeness, range,
+    set membership) plus a primary-key uniqueness check, evaluated in
+    ONE aggregate pass over lineitem and reported long-format as
+    (rule, n_violations, n_rows, passed). The contract-check sibling
+    of q150 (cross-table FKs) and q101 (per-column profile): this one
+    asserts EXPECTATIONS, the others describe state.
+
+    Scale shape: every row-level rule is a conditional-sum arm of a
+    single map-side-combinable aggregate — adding a rule adds a column
+    to the partial, not a pass over the data; the uniqueness check
+    rides the same aggregate as COUNT minus COUNT(DISTINCT pk). The
+    unpivot to long format happens on the one-row result.
+
+    Determinism: pure integer counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(name)
+        for name, pred in EXPECTATION_RULES
+    ]
+    row = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("pk_unique"),
+        *aggs,
+    )
+    names = [name for name, _ in EXPECTATION_RULES] + ["pk_unique"]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return (
+        row.select(
+            F.expr(f"stack({len(names)}, {stack}) AS (rule, n_violations)"),
+            "n_rows",
+        )
+        .select(
+            "rule",
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            "n_rows",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("rule")
+    )
+
+
+def _q178_oracle() -> str:
+    arms = ",\n".join(
+        f"       CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {name}"
+        for name, pred in EXPECTATION_RULES
+    )
+    names = [name for name, _ in EXPECTATION_RULES] + ["pk_unique"]
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS rule, {n} AS n_violations, n_rows FROM agg"
+        for n in names
+    )
+    return f"""
+WITH agg AS (
+  SELECT COUNT(*) AS n_rows,
+       CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+         AS pk_unique,
+{arms}
+  FROM lineitem
+)
+SELECT rule, n_violations, n_rows, n_violations = 0 AS passed
+FROM ({selects})
+ORDER BY rule
+"""
+
+
+
+
+
 QUERIES = [
+    QuerySpec(
+        "q178_expectation_checks",
+        q178_expectation_checks,
+        _q178_oracle(),
+        "Deequ-style declarative expectation suite: named violation "
+        "predicates + pk uniqueness in one aggregate pass",
+        ("profile", "contract", "quality"),
+    ),
     QuerySpec(
         "q101_table_profile",
         q101_table_profile,
