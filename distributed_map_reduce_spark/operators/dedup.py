@@ -349,10 +349,12 @@ def write_pair_store(
     db = table.split(".", 1)[0]
     loc = f" LOCATION '{location}'" if location else ""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")
-    if location is None and not spark.catalog.tableExists(table):
+    if not spark.catalog.tableExists(table):
         # Local-catalog amnesia, write side: a fresh JVM's in-memory
         # catalog has no entry for the table, but the MANAGED location
-        # under the warehouse may survive from an earlier session —
+        # under the warehouse (or under a custom database LOCATION —
+        # DESCRIBE DATABASE below resolves either) may survive from an
+        # earlier session —
         # saveAsTable then fails with LOCATION_ALREADY_EXISTS. The
         # store is a derived cache (reproducible from the corpus by
         # construction), so an orphaned managed location is safe to

@@ -395,11 +395,13 @@ def q89_dedup_clusters_star(
 
 # The oracle closes the same pair list transitively with a recursive CTE
 # (min reachable node = component). Reuses q24's oracle as the edge set.
-def _q38_oracle() -> str:
+# ONE copy of the closure: q38 (membership), q169 (size histogram), and
+# q170 (yield report) must all check against the SAME cluster definition,
+# so they share this CTE prefix rather than hand-synced copies.
+def _cc_closure_ctes() -> str:
     from .dedup import Q24_ORACLE_BODY
 
-    return f"""
-WITH RECURSIVE pairs AS ({Q24_ORACLE_BODY}),
+    return f"""pairs AS ({Q24_ORACLE_BODY}),
 sym AS (
   SELECT ad AS a, bd AS b FROM pairs
   UNION
@@ -410,7 +412,12 @@ reach(n, m) AS (
   UNION
   SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
 ),
-cc AS (SELECT n AS doc_id, MIN(m) AS keeper FROM reach GROUP BY n)
+cc AS (SELECT n AS doc_id, MIN(m) AS keeper FROM reach GROUP BY n)"""
+
+
+def _q38_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_cc_closure_ctes()}
 SELECT doc_id, keeper, COUNT(*) OVER (PARTITION BY keeper) AS cluster_size
 FROM cc
 ORDER BY doc_id
@@ -610,21 +617,8 @@ def q169_cluster_size_histogram(
 
 
 def _q169_oracle() -> str:
-    from .dedup import Q24_ORACLE_BODY
-
     return f"""
-WITH RECURSIVE pairs AS ({Q24_ORACLE_BODY}),
-sym AS (
-  SELECT ad AS a, bd AS b FROM pairs
-  UNION
-  SELECT bd, ad FROM pairs
-),
-reach(n, m) AS (
-  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-  UNION
-  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
-),
-cc AS (SELECT n AS doc_id, MIN(m) AS keeper FROM reach GROUP BY n),
+WITH RECURSIVE {_cc_closure_ctes()},
 sizes AS (SELECT keeper, COUNT(*) AS cluster_size FROM cc GROUP BY keeper)
 SELECT cluster_size, COUNT(*) AS n_clusters,
        CAST(SUM(cluster_size) AS BIGINT) AS n_docs
@@ -676,21 +670,8 @@ def q170_canonical_corpus(
 
 
 def _q170_oracle() -> str:
-    from .dedup import Q24_ORACLE_BODY
-
     return f"""
-WITH RECURSIVE pairs AS ({Q24_ORACLE_BODY}),
-sym AS (
-  SELECT ad AS a, bd AS b FROM pairs
-  UNION
-  SELECT bd, ad FROM pairs
-),
-reach(n, m) AS (
-  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-  UNION
-  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
-),
-cc AS (SELECT n AS doc_id, MIN(m) AS keeper FROM reach GROUP BY n),
+WITH RECURSIVE {_cc_closure_ctes()},
 removed AS (SELECT doc_id FROM cc WHERE doc_id <> keeper)
 SELECT d.source,
        COUNT(*) AS n_docs,

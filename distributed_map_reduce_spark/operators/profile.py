@@ -252,10 +252,17 @@ def q178_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(name)
         for name, pred in EXPECTATION_RULES
     ]
+    # pk_unique counts duplicate (orderkey, linenumber) pairs among rows
+    # where BOTH keys are present: count_distinct skips NULL-bearing rows,
+    # so the minuend must too, or engines that count NULL-field structs
+    # as distinct (DuckDB) would disagree the moment a key goes NULL.
+    pk_present = F.col("l_orderkey").isNotNull() & F.col(
+        "l_linenumber"
+    ).isNotNull()
     row = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (
-            F.count(F.lit(1))
+            F.sum(F.when(pk_present, 1).otherwise(0))
             - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
         ).alias("pk_unique"),
         *aggs,
@@ -291,7 +298,11 @@ def _q178_oracle() -> str:
     return f"""
 WITH agg AS (
   SELECT COUNT(*) AS n_rows,
-       CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+       CAST(COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL
+                               AND l_linenumber IS NOT NULL)
+            - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                FILTER (WHERE l_orderkey IS NOT NULL
+                          AND l_linenumber IS NOT NULL) AS BIGINT)
          AS pk_unique,
 {arms}
   FROM lineitem

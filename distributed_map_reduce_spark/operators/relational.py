@@ -2832,9 +2832,18 @@ def q166_abc_pareto_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = li.groupBy("l_partkey").agg(F.sum("cents").alias("pc"))
 
-    sliced = per_part.repartitionByRange(
-        16, F.col("pc").desc(), F.col("l_partkey").asc()
-    ).withColumn("slice", F.spark_partition_id())
+    # localCheckpoint pins ONE materialization of the range shuffle:
+    # both consumers below (within-slice cumsums and slice totals) must
+    # see identical slice boundaries, and RangePartitioner's sampled
+    # boundaries are only guaranteed identical across consumers via
+    # exchange reuse — an optimization, not a contract.
+    sliced = (
+        per_part.repartitionByRange(
+            16, F.col("pc").desc(), F.col("l_partkey").asc()
+        )
+        .withColumn("slice", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
 
     within = Window.partitionBy("slice").orderBy(
         F.desc("pc"), "l_partkey"
