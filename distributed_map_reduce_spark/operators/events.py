@@ -1315,7 +1315,147 @@ LIMIT {SESSION_PATHS_TOP}
 """
 
 
+# --- q185: discrete retention hazard ------------------------------------------
+
+def q185_retention_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time retention hazard (Kaplan-Meier-style life table):
+    for each observed lifetime k (days between a user's first and last
+    event), the number of users whose activity ENDED at day k and the
+    number still at risk (lifetime >= k), with the hazard rate in
+    basis points — the churn curve product teams read off any event
+    log ("when do users actually stop?").
+
+    Scale shape: one per-user min/max aggregate over the raw events
+    (map-side combinable), then everything runs on the lifetime
+    HISTOGRAM — a calendar-bounded frame (days in the observation
+    window), never the data. The suffix-sum at-risk count uses the
+    triangular broadcast self-join over that bounded frame (the q166
+    pattern), so no Exchange SinglePartition window exists anywhere.
+
+    Determinism: pure integer counts; hazard_bp is exact integer
+    division."""
+    life = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.datediff(F.max("d"), F.min("d")).cast("bigint").alias("k"))
+    )
+    hist = life.groupBy("k").agg(F.count(F.lit(1)).alias("n_churned"))
+    return (
+        hist.alias("a")
+        .join(F.broadcast(hist.alias("b")), F.col("b.k") >= F.col("a.k"))
+        .groupBy(F.col("a.k").alias("k"),
+                 F.col("a.n_churned").alias("n_churned"))
+        .agg(F.sum("b.n_churned").alias("n_at_risk"))
+        .select(
+            "k",
+            "n_churned",
+            "n_at_risk",
+            F.expr("n_churned * 10000 div n_at_risk").alias("hazard_bp"),
+        )
+        .orderBy("k")
+    )
+
+
+Q185_ORACLE = """
+WITH life AS (
+  SELECT user_id,
+         CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                        MAX(CAST(ts AS DATE))) AS BIGINT) AS k
+  FROM events GROUP BY user_id
+),
+hist AS (SELECT k, COUNT(*) AS n_churned FROM life GROUP BY k)
+SELECT a.k, a.n_churned,
+       CAST(SUM(b.n_churned) AS BIGINT) AS n_at_risk,
+       CAST(a.n_churned * 10000 // SUM(b.n_churned) AS BIGINT) AS hazard_bp
+FROM hist a JOIN hist b ON b.k >= a.k
+GROUP BY a.k, a.n_churned
+ORDER BY a.k
+"""
+
+
+# --- q186: per-user behavioral entropy ----------------------------------------
+
+ENTROPY_SCALE = 10**6  # fixed-point units per c*ln(c) term (q158 pattern)
+
+
+def q186_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type Shannon entropy (nats): how predictable is
+    each user's behavior? H = ln(n) - (1/n) * sum c*ln(c) over the
+    user's event-type counts — near 0 = a single-action bot shape,
+    near ln(V) = uniform usage. The per-user predictability complement
+    to q142's global transition census and q143's temporal burstiness.
+
+    Scale shape: one (user, type) count aggregate, then one per-user
+    rollup — both map-side combinable; type cardinality bounds the
+    inner frame at |users| x |event types|.
+
+    Determinism: each c*ln(c) term is quantized to integer 1e-6 units
+    before the per-user sum (q158's fixed-point recipe); ln(n) is one
+    IEEE call on an exact integer, identical in both engines."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = F.round(
+        F.col("c").cast("double")
+        * F.log(F.col("c").cast("double"))
+        * ENTROPY_SCALE
+    ).cast("bigint")
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(term).alias("s_u"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.round(
+                F.log(F.col("n_events").cast("double"))
+                - F.col("s_u").cast("double")
+                / ENTROPY_SCALE
+                / F.col("n_events").cast("double"),
+                4,
+            ).alias("h_nats"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q186_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+u AS (
+  SELECT user_id, SUM(c) AS n_events, COUNT(*) AS n_types,
+         SUM(CAST(ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))
+                        * {ENTROPY_SCALE}) AS BIGINT)) AS s_u
+  FROM c GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types,
+       ROUND(LN(CAST(n_events AS DOUBLE))
+             - CAST(s_u AS DOUBLE) / {ENTROPY_SCALE}
+               / CAST(n_events AS DOUBLE), 4) AS h_nats
+FROM u
+ORDER BY user_id
+"""
+
+
 QUERIES = [
+    QuerySpec("q185_retention_hazard", q185_retention_hazard, Q185_ORACLE,
+              "discrete-time retention hazard life table off the "
+              "lifetime histogram (triangular broadcast suffix sum)",
+              ("events", "stats", "retention")),
+    QuerySpec("q186_user_entropy", q186_user_entropy, Q186_ORACLE,
+              "per-user event-type Shannon entropy in quantized nats "
+              "(behavioral predictability score)",
+              ("events", "stats", "quality")),
     QuerySpec("q136_activity_streaks", q136_activity_streaks, Q136_ORACLE,
               "longest consecutive-day streak per user as a histogram "
               "(gaps-and-islands window idiom)",

@@ -687,6 +687,108 @@ ORDER BY d.source
 """
 
 
+# --- q182: degree assortativity of the near-dup graph ------------------------
+
+def q182_degree_assortativity(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Degree assortativity (Newman's r) of the near-dup pair graph:
+    the Pearson correlation of endpoint degrees over the symmetrized
+    edge list. Positive r = hub-connects-to-hub (template families
+    chaining into each other — transitive-collapse risk), negative r =
+    hubs surrounded by leaves (star-shaped families — safe keeper
+    collapse). The one-number structural complement to q107's
+    clustering coefficient and q169's size histogram.
+
+    Scale shape: degree = one count per node; edges pick up endpoint
+    degrees via two hash joins keyed on the node id; the correlation
+    reduces to FIVE integer moments (n, Sx, Sy, Sxy, Sxx, Syy) in one
+    map-side-combinable aggregate. Nothing is ever collected; the
+    output is one row.
+
+    Determinism: all moments are exact BIGINTs; the final r is one
+    IEEE-double expression over identical integers in both engines
+    (sqrt is correctly rounded per IEEE-754), rounded to 6 dp.
+    Degenerate graphs (zero degree variance) yield NULL identically.
+    ``pairs=`` accepts the persisted store."""
+    from .dedup import resolve_pairs
+
+    pairs = resolve_pairs(spark, sf_dir, pairs).select("ad", "bd")
+    # sym feeds three consumers (deg and both endpoint joins) and deg
+    # feeds two — pin ONE materialization of each so the pair pipeline
+    # is not re-derived per consumer when no persisted store resolves
+    # (the q166/q163 shared-frame pattern).
+    sym = pairs.union(
+        pairs.select(F.col("bd").alias("ad"), F.col("ad").alias("bd"))
+    ).localCheckpoint(eager=False)
+    deg = (
+        sym.groupBy("ad")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    e = (
+        sym.join(deg.select(F.col("ad").alias("src_n"),
+                            F.col("deg").alias("x")),
+                 F.col("ad") == F.col("src_n"))
+        .join(deg.select(F.col("ad").alias("dst_n"),
+                         F.col("deg").alias("y")),
+              F.col("bd") == F.col("dst_n"))
+    )
+    m = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.col("sxy").alias("sum_xy"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            ),
+        ).alias("r_assort"),
+    )
+
+
+def _q182_oracle() -> str:
+    from .dedup import Q24_ORACLE_BODY
+
+    return f"""
+WITH pairs AS ({Q24_ORACLE_BODY}),
+sym AS (
+  SELECT ad AS a, bd AS b FROM pairs
+  UNION ALL
+  SELECT bd, ad FROM pairs
+),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+e AS (
+  SELECT dx.deg AS x, dy.deg AS y
+  FROM sym JOIN deg dx ON dx.node = sym.a JOIN deg dy ON dy.node = sym.b
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM e
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges, CAST(sxy AS BIGINT) AS sum_xy,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+            END AS r_assort
+FROM m
+"""
+
+
 QUERIES = [
     QuerySpec("q38_dedup_clusters", q38_dedup_clusters, _q38_oracle(),
               "connected components over near-dup pairs: cluster + keeper per doc",
@@ -716,4 +818,9 @@ QUERIES = [
               "post-dedup per-source yield: kept/removed docs and "
               "surviving char mass (broadcast removed-set join)",
               ("graph", "dedup", "curation")),
+    QuerySpec("q182_degree_assortativity", q182_degree_assortativity,
+              _q182_oracle(),
+              "Newman degree assortativity of the near-dup graph from "
+              "five exact integer moments (hub-chaining risk signal)",
+              ("graph", "dedup", "stats")),
 ]

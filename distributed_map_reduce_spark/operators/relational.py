@@ -3278,6 +3278,231 @@ ORDER BY rfm
 
 
 
+# --- q179: minimum-cost supplier per part (TPC-H Q2 shape) --------------------
+
+def q179_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-minimum shape adapted to this schema (no
+    partsupp table): for every small part (p_size <= 5), the supplier
+    that has shipped it at the lowest observed unit price, with the
+    supplier's nation. Q2's `WHERE cost = (SELECT MIN(cost) ... WHERE
+    same part)` correlation is expressed decorrelated, the way Catalyst
+    should run it: a per-(part, supplier) MIN aggregate, then a
+    row_number window partitioned by part — parallel on the part key,
+    no per-row subquery execution.
+
+    Scale shape: the part filter is applied FIRST and semi-joins the
+    lineitem scan down before any aggregate (at 100 TB the p_size
+    predicate prunes the probe side to a fraction); the window is
+    partitioned by l_partkey so no global sort exists anywhere.
+    Supplier/nation are broadcast dims.
+
+    Determinism: unit price = cents div quantity (exact integer
+    division — quantities are integral by construction); ties on
+    min unit cents break to the smallest suppkey.
+    Ref parity anchor: reference test queries exercise per-key min
+    selection (/root/reference/src/mrapps/indexer.go:24-38 keyed
+    reduce); this is the relational min-per-key form.
+    """
+    small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    unit = li.join(
+        F.broadcast(small), li.l_partkey == small.p_partkey
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        "p_name",
+        F.expr("cents div qty").alias("uc"),
+    )
+    per_ps = unit.groupBy("l_partkey", "l_suppkey", "p_name").agg(
+        F.min("uc").alias("unit_cents")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("unit_cents"), F.asc("l_suppkey")
+    )
+    best = per_ps.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            "n_name",
+            "unit_cents",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+Q179_ORACLE = """
+WITH small AS (SELECT p_partkey, p_name FROM part WHERE p_size <= 5),
+unit AS (
+  SELECT l_partkey, l_suppkey, p_name,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           // CAST(l_quantity AS BIGINT) AS uc
+  FROM lineitem JOIN small ON p_partkey = l_partkey
+),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, p_name, MIN(uc) AS unit_cents
+  FROM unit GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                               ORDER BY unit_cents, l_suppkey) AS rn
+  FROM per_ps
+)
+SELECT b.l_partkey AS p_partkey, b.p_name, s.s_name, n.n_name, b.unit_cents
+FROM best b
+JOIN supplier s ON s.s_suppkey = b.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE b.rn = 1
+ORDER BY p_partkey
+"""
+
+
+# --- q180: idle high-balance customers (TPC-H Q22 shape) ----------------------
+
+def q180_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's "global sales opportunity" shape: customers whose
+    account balance is above the average positive balance but who
+    placed NO order in the trailing 90 days of the data window,
+    rolled up per market segment. Every customer here has SOME order
+    (unlike stock Q22's never-ordered predicate, which is empty on
+    this corpus), so idleness is recency-based.
+
+    Scale shape: both scalar aggregates (positive-balance average,
+    max order date) are 1-row broadcasts that stay in-plan; the
+    recent-actives set is DISTINCT custkeys over a date-pruned orders
+    scan, anti-joined hash-partitioned on the customer key. No window,
+    no global sort.
+
+    Determinism: the above-average test is the integer cross-multiply
+    `bal_cents * n_pos > sum_pos_cents` — no float division anywhere.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5)
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+    pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    maxd = orders.agg(F.max("d").alias("m"))
+    recent = (
+        orders.crossJoin(F.broadcast(maxd))
+        .filter(F.col("d") >= F.date_sub(F.col("m"), 90))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_cents").alias("seg_bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q180_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+),
+pos AS (SELECT SUM(bal_cents) AS s, COUNT(*) AS n FROM c WHERE bal_cents > 0),
+maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS m FROM orders),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders, maxd
+  WHERE CAST(o_orderdate AS DATE) >= m - INTERVAL 90 DAY
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(bal_cents) AS BIGINT) AS seg_bal_cents
+FROM c, pos
+WHERE bal_cents * n > s
+  AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- q181: important parts by revenue share (TPC-H Q11 shape) -----------------
+
+def q181_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's HAVING-versus-global-scalar shape: parts whose
+    lineitem revenue exceeds 1/2000 of ALL revenue, with each part's
+    share in basis points. The canonical "filter a grouped aggregate
+    against an aggregate of itself" pattern.
+
+    Scale shape: ONE revenue rollup per part (map-side combinable);
+    the global total re-aggregates that rollup (partkey-cardinality
+    input, not the fact table) and broadcasts back as a 1-row frame.
+    The fact table is scanned exactly once.
+
+    Determinism: threshold and share are integer arithmetic
+    (cross-multiply compare; share_bp = cents*10000 div total).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    pr = li.groupBy("l_partkey").agg(F.sum("cents").alias("part_cents"))
+    tot = pr.agg(F.sum("part_cents").alias("total"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_cents") * 2000 > F.col("total"))
+        .select(
+            "l_partkey",
+            "part_cents",
+            F.expr("part_cents * 10000 div total").alias("share_bp"),
+        )
+        .orderBy(F.desc("part_cents"), "l_partkey")
+    )
+
+
+Q181_ORACLE = """
+WITH pr AS (
+  SELECT l_partkey,
+         SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS part_cents
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(part_cents) AS total FROM pr)
+SELECT l_partkey, CAST(part_cents AS BIGINT) AS part_cents,
+       CAST(part_cents * 10000 // total AS BIGINT) AS share_bp
+FROM pr, tot
+WHERE part_cents * 2000 > total
+ORDER BY part_cents DESC, l_partkey
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -3472,6 +3697,20 @@ QUERIES = [
               "RFM quartile customer segmentation with segment sizes "
               "and exact-cents spend",
               ("relational", "window", "crm")),
+    QuerySpec("q179_min_cost_supplier", q179_min_cost_supplier,
+              Q179_ORACLE,
+              "TPC-H Q2-shaped min-cost supplier per part (decorrelated "
+              "per-key window min, part filter pushed before the fact scan)",
+              ("relational", "join", "window")),
+    QuerySpec("q180_idle_rich_customers", q180_idle_rich_customers,
+              Q180_ORACLE,
+              "TPC-H Q22-shaped idle high-balance customers per segment "
+              "(scalar broadcast + recency anti join, integer compare)",
+              ("relational", "join", "antijoin")),
+    QuerySpec("q181_important_parts", q181_important_parts, Q181_ORACLE,
+              "TPC-H Q11-shaped revenue-share HAVING vs global scalar "
+              "(single fact scan, rollup re-aggregated for the total)",
+              ("relational", "agg")),
     QuerySpec("q174_twap_per_part", q174_twap_per_part, Q174_ORACLE,
               "time-weighted average unit price per part (exact "
               "cents x days interval weighting, partitioned window)",

@@ -1466,7 +1466,135 @@ ORDER BY doc_id
 
 
 
+# --- q184: train/val token-distribution drift (smoothed KL) -------------------
+
+KL_SCALE = 10**9  # fixed-point units per KL term (terms are << 1)
+
+
+def q184_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence KL(train || val) between the token
+    unigram distributions of the md5-hash train and val splits (q62's
+    split recipe) with add-1 smoothing over the source's joint
+    vocabulary — the split-health check that catches a skewed split or
+    a source whose content drifts between splits (a leakage/shift
+    smell no row-count comparison sees).
+
+    Scale shape: one explode into (source, token, split) counts, a
+    per-source totals frame (tiny — one row per source) broadcast back,
+    then one map-side-combinable per-source sum. The vocab frame is the
+    only mid-size structure, same as q68.
+
+    Determinism: p and the ln ratio are IEEE-double expressions over
+    exact integer counts (identical in both engines); each additive
+    term is quantized to integer 1e-9 units before the sum (the
+    q68/q158 fixed-point pattern), so accumulation order cannot move
+    the 4 dp result."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    from .training import SPLIT_TRAIN_MAX, SPLIT_VAL_MAX
+
+    tok = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.when(h < SPLIT_TRAIN_MAX, "train")
+            .when(h < SPLIT_VAL_MAX, "val")
+            .otherwise("test")
+            .alias("split"),
+            F.explode(F.expr(_TOKS)).alias("token"),
+        )
+        .filter(F.col("split") != "test")
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "c_tr"
+        ),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias(
+            "c_val"
+        ),
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c_tr").alias("n_tr"),
+        F.sum("c_val").alias("n_val"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = (F.col("c_tr") + 1).cast("double") / (
+        F.col("n_tr") + F.col("v")
+    ).cast("double")
+    ratio = (
+        (F.col("c_tr") + 1) * (F.col("n_val") + F.col("v"))
+    ).cast("double") / (
+        (F.col("c_val") + 1) * (F.col("n_tr") + F.col("v"))
+    ).cast("double")
+    term = F.round(p * F.log(ratio) * KL_SCALE).cast("bigint")
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            F.max("v").alias("v_types"),
+            F.max("n_tr").alias("n_train"),
+            F.max("n_val").alias("n_val"),
+            F.sum(term).alias("kl_u"),
+        )
+        .select(
+            "source",
+            "v_types",
+            "n_train",
+            "n_val",
+            F.round(F.col("kl_u").cast("double") / KL_SCALE, 4).alias(
+                "kl_nats"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _q184_oracle() -> str:
+    from .training import SPLIT_TRAIN_MAX, SPLIT_VAL_MAX
+
+    return f"""
+WITH tok AS (
+  SELECT source,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                < '{SPLIT_TRAIN_MAX}' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                < '{SPLIT_VAL_MAX}' THEN 'val'
+              ELSE 'test' END AS split,
+         unnest({DUCK_TOKS_EXPR}) AS token
+  FROM documents
+),
+counts AS (
+  SELECT source, token,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c_tr,
+         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS c_val
+  FROM tok WHERE split <> 'test'
+  GROUP BY source, token
+),
+totals AS (
+  SELECT source, SUM(c_tr) AS n_tr, SUM(c_val) AS n_val,
+         COUNT(*) AS v
+  FROM counts GROUP BY source
+)
+SELECT c.source, CAST(MAX(v) AS BIGINT) AS v_types,
+       CAST(MAX(n_tr) AS BIGINT) AS n_train,
+       CAST(MAX(n_val) AS BIGINT) AS n_val,
+       ROUND(CAST(SUM(CAST(ROUND(
+           (CAST(c_tr + 1 AS DOUBLE) / CAST(n_tr + v AS DOUBLE))
+           * LN(CAST((c_tr + 1) * (n_val + v) AS DOUBLE)
+                / CAST((c_val + 1) * (n_tr + v) AS DOUBLE))
+           * {KL_SCALE}) AS BIGINT)) AS DOUBLE) / {KL_SCALE}, 4)
+         AS kl_nats
+FROM counts c JOIN totals t ON t.source = c.source
+GROUP BY c.source
+ORDER BY c.source
+"""
+
+
 QUERIES = [
+    QuerySpec("q184_kl_source_drift", q184_kl_source_drift,
+              _q184_oracle(),
+              "per-source smoothed KL(train||val) token-distribution "
+              "drift over the md5 split (integer-quantized ln terms)",
+              ("textanalysis", "training", "stats")),
     QuerySpec("q168_zipf_exponent", q168_zipf_exponent, Q168_ORACLE,
               "per-source Zipf slope from integer-quantized log-log OLS "
               "over the top-100 tokens (heavy-tail corpus health check)",

@@ -1069,7 +1069,91 @@ ORDER BY source
 """
 
 
+# --- q183: soft-dedup sampling weights ----------------------------------------
+
+def q183_soft_dedup_weights(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Duplicate-aware SOFT dedup: instead of deleting near-duplicates
+    (q170's hard keeper policy), every document gets sampling weight
+    1/cluster_size, so each near-dup family contributes ONE document's
+    worth of expected training mass while retaining intra-family
+    variation — the downweighting alternative to removal used when
+    near-dups carry distinct formatting/noise worth learning. Reports
+    per source: docs, clustered docs, and the effective (weighted)
+    doc and char mass in exact parts-per-million integers.
+
+    Scale shape: cluster sizes come from the star-CC frame (clustered
+    docs ONLY — a small fraction of any real corpus), broadcast-joined
+    against the documents scan; the rollup is one map-side-combinable
+    aggregate. Weights are integer micro-units (1e6 div size) — no
+    float anywhere, so the per-source sums are exact BIGINTs in both
+    engines. ``pairs=`` accepts the persisted bucketed store."""
+    from .dedup import resolve_pairs
+    from .graph import connected_components_star
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    pairs = resolve_pairs(spark, sf_dir, pairs)
+    cc = connected_components_star(pairs, "ad", "bd")
+    sizes = (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("csize"))
+        .join(cc, "component")
+        .select(F.col("node").alias("doc_id"), "csize")
+    )
+    weighted = docs.join(F.broadcast(sizes), "doc_id", "left").select(
+        "source",
+        "n_chars",
+        F.coalesce(F.col("csize"), F.lit(1)).alias("sz"),
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).alias(
+                "n_clustered"
+            ),
+            F.sum(F.expr("1000000 div sz")).alias("eff_docs_ppm"),
+            F.sum(F.expr("n_chars * 1000000 div sz")).alias(
+                "eff_chars_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _q183_oracle() -> str:
+    from .graph import _cc_closure_ctes
+
+    return f"""
+WITH RECURSIVE {_cc_closure_ctes()},
+sizes AS (
+  SELECT c1.doc_id, c2.csize
+  FROM cc c1 JOIN (SELECT keeper, COUNT(*) AS csize
+                   FROM cc GROUP BY keeper) c2
+    ON c2.keeper = c1.keeper
+),
+weighted AS (
+  SELECT d.source, d.n_chars, COALESCE(s.csize, 1) AS sz
+  FROM documents d LEFT JOIN sizes s ON s.doc_id = d.doc_id
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clustered,
+       CAST(SUM(1000000 // sz) AS BIGINT) AS eff_docs_ppm,
+       CAST(SUM(n_chars * 1000000 // sz) AS BIGINT) AS eff_chars_ppm
+FROM weighted
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = [
+    QuerySpec("q183_soft_dedup_weights", q183_soft_dedup_weights,
+              _q183_oracle(),
+              "duplicate-aware soft-dedup sampling weights (1/cluster "
+              "size, exact ppm integers) rolled up per source",
+              ("training", "dedup", "curation")),
     QuerySpec("q167_source_quality_caps", q167_source_quality_caps,
               Q167_ORACLE,
               "per-source doc caps dropping lowest distinct-token-ratio "

@@ -128,6 +128,14 @@ DEFAULT_AUDIT = [
     "q176_heldout_perplexity",
     "q177_rfm_segments",
     "q178_expectation_checks",
+    "q179_min_cost_supplier",
+    "q180_idle_rich_customers",
+    "q181_important_parts",
+    "q182_degree_assortativity",
+    "q183_soft_dedup_weights",
+    "q184_kl_source_drift",
+    "q185_retention_hazard",
+    "q186_user_entropy",
 ]
 
 
