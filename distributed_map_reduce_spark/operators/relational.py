@@ -3503,6 +3503,229 @@ ORDER BY part_cents DESC, l_partkey
 """
 
 
+# --- q187: percentile bands via fixed-resolution histogram (q156 scale twin) --
+
+PBH_BINS = 1024  # fixed histogram resolution (q129's approx pattern)
+
+
+def q187_percentile_bands_histo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q156's scale-path twin: identical quartile-band rollup, but the
+    quartile cutoffs come from a fixed-resolution HISTOGRAM instead of
+    the exact `percentile` holistic aggregate (which buffers per-group
+    values — the one shape in q156 that does not survive 100 TB). Three
+    passes, all map-side combinable: (1) global min/max/count, (2) a
+    <=1024-bin histogram, (3) the band rollup. The cumulative crossing
+    runs on the BIN frame via the triangular broadcast self-join (q166
+    pattern), so no Exchange SinglePartition window and no holistic
+    aggregate exist anywhere in the plan.
+
+    Cutoff rule: band p's cutoff is the lowest observed value in the
+    first bin whose cumulative count crosses p*n — checked by integer
+    cross-multiply (cum*4 >= n etc.), so the only doubles are the
+    bit-identical bin arithmetic both engines replay (q129's
+    determinism argument).
+
+    Approximation note: cutoffs differ from q156's interpolated exact
+    quartiles by at most one bin width; band POPULATIONS therefore
+    differ near the cut — this is the documented accuracy trade, and
+    the oracle replays the same histogram, so the check is exact."""
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    s = li.agg(
+        F.min("l_extendedprice").alias("vmin"),
+        F.max("l_extendedprice").alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "vmin",
+        "n",
+        ((F.col("vmax") - F.col("vmin")) / PBH_BINS).alias("width"),
+    )
+    b = (
+        li.crossJoin(F.broadcast(s))
+        .select(
+            F.when(
+                F.col("width") > 0,
+                F.least(
+                    F.floor(
+                        (F.col("l_extendedprice") - F.col("vmin"))
+                        / F.col("width")
+                    ).cast("bigint"),
+                    F.lit(PBH_BINS - 1),
+                ),
+            )
+            .otherwise(0)
+            .alias("bin"),
+            "l_extendedprice",
+            "n",
+        )
+        .groupBy("bin", "n")
+        .agg(
+            F.count(F.lit(1)).alias("w"),
+            F.min("l_extendedprice").alias("vlo"),
+        )
+    )
+    cum = (
+        b.alias("a")
+        .join(F.broadcast(b.alias("c")), F.col("c.bin") <= F.col("a.bin"))
+        .groupBy(
+            F.col("a.bin").alias("bin"),
+            F.col("a.vlo").alias("vlo"),
+            F.col("a.n").alias("n"),
+        )
+        .agg(F.sum("c.w").alias("cum"))
+    )
+    cuts = cum.agg(
+        F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("vlo"))).alias(
+            "q1"
+        ),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("vlo"))).alias(
+            "q2"
+        ),
+        F.min(
+            F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("vlo"))
+        ).alias("q3"),
+    )
+    banded = li.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("l_extendedprice") <= F.col("q1"), "Q1")
+        .when(F.col("l_extendedprice") <= F.col("q2"), "Q2")
+        .when(F.col("l_extendedprice") <= F.col("q3"), "Q3")
+        .otherwise("Q4")
+        .alias("band"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("band_cents"),
+            F.round(
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1)) / 100.0,
+                4,
+            ).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+Q187_ORACLE = f"""
+WITH s AS (
+  SELECT MIN(l_extendedprice) AS vmin, COUNT(*) AS n,
+         (MAX(l_extendedprice) - MIN(l_extendedprice)) / {float(PBH_BINS)}
+           AS width
+  FROM lineitem
+),
+b AS (
+  SELECT CASE WHEN s.width > 0
+              THEN LEAST(CAST(FLOOR((l.l_extendedprice - s.vmin) / s.width)
+                              AS BIGINT), {PBH_BINS - 1})
+              ELSE 0 END AS bin,
+         MAX(s.n) AS n, COUNT(*) AS w, MIN(l.l_extendedprice) AS vlo
+  FROM lineitem l, s
+  GROUP BY 1
+),
+cum AS (
+  SELECT bin, vlo, n, SUM(w) OVER (ORDER BY bin) AS cum FROM b
+),
+cuts AS (
+  SELECT MIN(CASE WHEN cum * 4 >= n THEN vlo END) AS q1,
+         MIN(CASE WHEN cum * 2 >= n THEN vlo END) AS q2,
+         MIN(CASE WHEN cum * 4 >= n * 3 THEN vlo END) AS q3
+  FROM cum
+)
+SELECT CASE WHEN l_extendedprice <= q1 THEN 'Q1'
+            WHEN l_extendedprice <= q2 THEN 'Q2'
+            WHEN l_extendedprice <= q3 THEN 'Q3'
+            ELSE 'Q4' END AS band,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS band_cents,
+       ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) / 100.0, 4) AS avg_price
+FROM lineitem, cuts
+GROUP BY 1
+ORDER BY band
+"""
+
+
+# --- q190: supplier market concentration (Herfindahl) --------------------------
+
+def q190_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue
+    within each part type: HHI = sum over suppliers of (share)^2,
+    reported on the standard 0-10000 points scale — the "is this
+    category single-sourced?" supply-chain risk audit.
+
+    Scale shape: one (type, supplier) revenue rollup off a fact scan
+    joined to the broadcast part dim, then one per-type aggregate of
+    sum(cents^2) and sum(cents) — both map-side combinable; no window,
+    no self-join.
+
+    Determinism: revenue is exact integer cents; the concentration
+    moments use whole DOLLARS (cents div 100) so the squared sums fit
+    BIGINT far past this corpus (dollar^2 sums overflow only past ~$3B
+    per supplier-type cell; shares are unit-invariant, and the oracle
+    replays the same truncation); HHI is one IEEE expression over the
+    exact sums, rounded to 4 dp."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum("cents").alias("sc"))
+    )
+    psd = ps.withColumn("sd", F.expr("sc div 100"))
+    return (
+        psd.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("sc").alias("type_cents"),
+            F.sum("sd").alias("td"),
+            F.sum(F.col("sd") * F.col("sd")).alias("sq"),
+        )
+        .select(
+            "p_type",
+            "n_suppliers",
+            "type_cents",
+            F.round(
+                10000.0
+                * F.col("sq").cast("double")
+                / (F.col("td").cast("double") * F.col("td").cast("double")),
+                4,
+            ).alias("hhi"),
+        )
+        .orderBy("p_type")
+    )
+
+
+Q190_ORACLE = """
+WITH ps AS (
+  SELECT p.p_type, l.l_suppkey,
+         SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS sc
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_type, l.l_suppkey
+)
+SELECT p_type, COUNT(*) AS n_suppliers,
+       CAST(SUM(sc) AS BIGINT) AS type_cents,
+       ROUND(10000.0 * CAST(SUM((sc // 100) * (sc // 100)) AS DOUBLE)
+             / (CAST(SUM(sc // 100) AS DOUBLE)
+                * CAST(SUM(sc // 100) AS DOUBLE)), 4)
+         AS hhi
+FROM ps
+GROUP BY p_type
+ORDER BY p_type
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -3711,6 +3934,15 @@ QUERIES = [
               "TPC-H Q11-shaped revenue-share HAVING vs global scalar "
               "(single fact scan, rollup re-aggregated for the total)",
               ("relational", "agg")),
+    QuerySpec("q187_percentile_bands_histo", q187_percentile_bands_histo,
+              Q187_ORACLE,
+              "q156's scale twin: quartile bands from a fixed-resolution "
+              "histogram (no holistic percentile, no global window)",
+              ("relational", "approx", "scale")),
+    QuerySpec("q190_supplier_hhi", q190_supplier_hhi, Q190_ORACLE,
+              "Herfindahl supplier-concentration index per part type "
+              "(exact integer share moments)",
+              ("relational", "agg", "audit")),
     QuerySpec("q174_twap_per_part", q174_twap_per_part, Q174_ORACLE,
               "time-weighted average unit price per part (exact "
               "cents x days interval weighting, partitioned window)",

@@ -1589,7 +1589,227 @@ ORDER BY c.source
 """
 
 
+# --- q188: LIX readability per source ------------------------------------------
+
+def q188_lix_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus readability per source via the LIX index (Björnsson):
+    LIX = words/sentences + 100 * longwords/words, computed over
+    per-source integer totals — the classic "is this source legalese
+    or chat?" difficulty signal used to stratify pretraining mixes
+    (the readability complement to q29's surface-quality score).
+
+    Sentences = runs of [.!?] (floored at 1 per doc so terminator-free
+    fragments count as one sentence); long words = tokens longer than
+    6 characters (LIX's syllable-free proxy).
+
+    Scale shape: one projection computes all three counts per doc
+    inside codegen (regexp + array filter, no explode), then one
+    map-side-combinable rollup per source.
+
+    Determinism: all totals are exact integers; LIX is two IEEE
+    divisions and an add over them, identical in both engines."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.expr(f"size({_TOKS})").alias("w"),
+        F.greatest(
+            F.lit(1),
+            F.expr("size(regexp_extract_all(text, '[.!?]+', 0))"),
+        ).alias("s"),
+        F.expr(f"size(filter({_TOKS}, x -> length(x) > 6))").alias("lw"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("s").alias("n_sentences"),
+            F.sum("lw").alias("n_long"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_sentences",
+            "n_long",
+            F.round(
+                F.col("n_words").cast("double")
+                / F.col("n_sentences").cast("double")
+                + 100.0
+                * F.col("n_long").cast("double")
+                / F.col("n_words").cast("double"),
+                4,
+            ).alias("lix"),
+        )
+        .orderBy("source")
+    )
+
+
+Q188_ORACLE = f"""
+WITH d AS (
+  SELECT source,
+         len({_DUCK_TOKS}) AS w,
+         GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+         len(list_filter({_DUCK_TOKS}, x -> length(x) > 6)) AS lw
+  FROM documents
+),
+r AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(w) AS n_words,
+         SUM(s) AS n_sentences, SUM(lw) AS n_long
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_long AS BIGINT) AS n_long,
+       ROUND(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+             + 100.0 * CAST(n_long AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+         AS lix
+FROM r
+ORDER BY source
+"""
+
+
+# --- q189: pairwise source similarity (Jensen-Shannon) -------------------------
+
+def q189_js_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of sources' token
+    unigram distributions — the full source-by-source content-drift
+    matrix (q184 compares splits WITHIN a source; this compares
+    sources to each other, the "which domains are near-duplicates of
+    each other" signal used to diversify a pretraining mix).
+
+    Closed-form tail: tokens present in only one of the pair
+    contribute exactly (ln 2)/2 times their probability mass, so the
+    whole JSD reduces to an aggregate over the INNER join of the two
+    count frames — no outer join, no zero-fill:
+      JSD = 1/2 sum_common [p ln(2p/(p+q)) + q ln(2q/(p+q))]
+            + (ln2/2) * ((1 - sum_common p) + (1 - sum_common q)).
+
+    Scale shape: one (source, token) count frame, self-joined on the
+    token key with source< ordering — each token fans out to at most
+    |sources|^2/2 pairs, and the join distributes on the token key.
+    Per-source totals are a tiny broadcast.
+
+    Determinism: common-token terms are quantized to integer 1e-9
+    units before summing (q68 pattern); the tail masses are ratios of
+    exact integer sums, combined in one final IEEE expression."""
+    tok = _docs(spark, sf_dir).select(
+        "source", F.explode(F.expr(_TOKS)).alias("token")
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    # cw feeds both self-join sides — pin one materialization (the
+    # q163 shared-frame pattern) instead of re-deriving the explode +
+    # count pipeline per side.
+    cw = counts.join(F.broadcast(totals), "source").localCheckpoint(
+        eager=False
+    )
+    a = cw.select(
+        F.col("source").alias("s1"),
+        "token",
+        F.col("c").alias("ca"),
+        F.col("n").alias("na"),
+    )
+    bside = cw.select(
+        F.col("source").alias("s2"),
+        "token",
+        F.col("c").alias("cb"),
+        F.col("n").alias("nb"),
+    )
+    j = a.join(bside, "token").filter(F.col("s1") < F.col("s2"))
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    term = F.round(
+        (
+            p * F.log(2.0 * p / (p + q))
+            + q * F.log(2.0 * q / (p + q))
+        )
+        * KL_SCALE
+    ).cast("bigint")
+    pairs = j.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(term).alias("core_u"),
+        F.sum("ca").alias("ca_common"),
+        F.max("na").alias("na"),
+        F.sum("cb").alias("cb_common"),
+        F.max("nb").alias("nb"),
+    )
+    ln2 = 0.6931471805599453
+    return pairs.select(
+        "s1",
+        "s2",
+        "n_common",
+        F.round(
+            0.5 * F.col("core_u").cast("double") / KL_SCALE
+            + (ln2 / 2.0)
+            * (
+                (
+                    1.0
+                    - F.col("ca_common").cast("double")
+                    / F.col("na").cast("double")
+                )
+                + (
+                    1.0
+                    - F.col("cb_common").cast("double")
+                    / F.col("nb").cast("double")
+                )
+            ),
+            4,
+        ).alias("jsd_nats"),
+    ).orderBy("s1", "s2")
+
+
+Q189_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({DUCK_TOKS_EXPR}) AS token FROM documents
+),
+counts AS (
+  SELECT source, token, COUNT(*) AS c FROM tok GROUP BY source, token
+),
+totals AS (SELECT source, SUM(c) AS n FROM counts GROUP BY source),
+cw AS (SELECT c.source, c.token, c.c, t.n
+       FROM counts c JOIN totals t ON t.source = c.source),
+j AS (
+  SELECT a.source AS s1, b.source AS s2, a.token,
+         a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
+  FROM cw a JOIN cw b ON a.token = b.token AND a.source < b.source
+),
+pairs AS (
+  SELECT s1, s2, COUNT(*) AS n_common,
+         SUM(CAST(ROUND(
+             (CAST(ca AS DOUBLE) / na
+                * LN(2.0 * (CAST(ca AS DOUBLE) / na)
+                     / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))
+              + CAST(cb AS DOUBLE) / nb
+                * LN(2.0 * (CAST(cb AS DOUBLE) / nb)
+                     / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb)))
+             * {KL_SCALE}) AS BIGINT)) AS core_u,
+         SUM(ca) AS ca_common, MAX(na) AS na,
+         SUM(cb) AS cb_common, MAX(nb) AS nb
+  FROM j GROUP BY s1, s2
+)
+SELECT s1, s2, n_common,
+       ROUND(0.5 * CAST(core_u AS DOUBLE) / {KL_SCALE}
+             + (0.6931471805599453 / 2.0)
+               * ((1.0 - CAST(ca_common AS DOUBLE) / CAST(na AS DOUBLE))
+                  + (1.0 - CAST(cb_common AS DOUBLE) / CAST(nb AS DOUBLE))),
+             4) AS jsd_nats
+FROM pairs
+ORDER BY s1, s2
+"""
+
+
 QUERIES = [
+    QuerySpec("q188_lix_readability", q188_lix_readability, Q188_ORACLE,
+              "per-source LIX readability index over exact integer "
+              "word/sentence/long-word totals",
+              ("textanalysis", "quality")),
+    QuerySpec("q189_js_source_similarity", q189_js_source_similarity,
+              Q189_ORACLE,
+              "pairwise Jensen-Shannon divergence between source token "
+              "distributions (closed-form tail, inner join only)",
+              ("textanalysis", "stats", "curation")),
     QuerySpec("q184_kl_source_drift", q184_kl_source_drift,
               _q184_oracle(),
               "per-source smoothed KL(train||val) token-distribution "

@@ -136,6 +136,10 @@ DEFAULT_AUDIT = [
     "q184_kl_source_drift",
     "q185_retention_hazard",
     "q186_user_entropy",
+    "q187_percentile_bands_histo",
+    "q188_lix_readability",
+    "q189_js_source_similarity",
+    "q190_supplier_hhi",
 ]
 
 
