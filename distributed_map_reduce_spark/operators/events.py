@@ -1447,7 +1447,90 @@ ORDER BY user_id
 """
 
 
+# --- q191: trailing-hour range-frame average ------------------------------------
+
+def q191_trailing_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event, the average event value over the user's trailing ONE
+    HOUR — a RANGE (time-interval) window frame, the idiom the suite's
+    other windows (rows-based lag/lead/moving averages) don't cover:
+    the frame is defined by a timestamp distance, not a row count, so
+    bursty minutes widen the frame and quiet hours shrink it.
+
+    Scale shape: window partitioned by user_id (parallel, no global
+    sort); the range key is epoch MICROseconds, so Spark's numeric
+    rangeBetween and the oracle's RANGE INTERVAL frame see identical
+    boundaries.
+
+    Determinism: values are summed as exact integer cents inside the
+    frame (fp accumulation order within a frame is engine-internal —
+    integers make it irrelevant); the average is one rounded division."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        # ts is TIMESTAMP_NTZ; the cast interprets it in the session TZ
+        # — a CONSTANT offset, and a range frame depends only on
+        # timestamp DIFFERENCES, so the frame set matches the oracle's
+        # naive-timestamp INTERVAL frame exactly.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.sum("cents").over(w).alias("win_cents"),
+            F.count(F.lit(1)).over(w).alias("n_win"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "n_win",
+            F.round(
+                F.col("win_cents").cast("double")
+                / 100.0
+                / F.col("n_win").cast("double"),
+                4,
+            ).alias("avg_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q191_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+win AS (
+  SELECT event_id, user_id,
+         SUM(cents) OVER w AS win_cents,
+         COUNT(*) OVER w AS n_win
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, n_win,
+       ROUND(CAST(win_cents AS DOUBLE) / 100.0 / CAST(n_win AS DOUBLE), 4)
+         AS avg_val
+FROM win
+ORDER BY event_id
+"""
+
+
 QUERIES = [
+    QuerySpec("q191_trailing_hour_avg", q191_trailing_hour_avg,
+              Q191_ORACLE,
+              "trailing 1-hour RANGE-interval window average per user "
+              "(exact integer cents inside the frame)",
+              ("events", "window", "temporal")),
     QuerySpec("q185_retention_hazard", q185_retention_hazard, Q185_ORACLE,
               "discrete-time retention hazard life table off the "
               "lifetime histogram (triangular broadcast suffix sum)",

@@ -3726,6 +3726,155 @@ ORDER BY p_type
 """
 
 
+# --- q192: late-shipment rate by order priority (TPC-H Q4 shape) ---------------
+
+def q192_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's EXISTS shape: per order priority, how many orders
+    have at least one lineitem that shipped more than 30 days after
+    the order date — the SLA-breach audit. The correlated EXISTS is
+    expressed as a LEFT SEMI join (what Catalyst decorrelates Q4 to),
+    keyed on the order key.
+
+    Scale shape: the breach probe projects only (l_orderkey,
+    l_shipdate) off the fact scan; the semi join and the final rollup
+    are both hash-partitioned on bounded keys; breach rate is exact
+    integer basis points.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    late = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.datediff(F.col("sd"), F.col("od")) > 30)
+        .select("o_orderkey")
+        .distinct()
+    )
+    flagged = o.join(
+        late.withColumnRenamed("o_orderkey", "lk"),
+        o.o_orderkey == F.col("lk"),
+        "left",
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("lk").isNotNull(), 1).otherwise(0)
+            ).alias("n_late"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_late",
+            F.expr("n_late * 10000 div n_orders").alias("late_bp"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q192_ORACLE = """
+WITH late AS (
+  SELECT DISTINCT o.o_orderkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) > 30
+)
+SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN late.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN late.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+            * 10000 // COUNT(*) AS BIGINT) AS late_bp
+FROM orders o LEFT JOIN late ON late.o_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+# --- q193: supplier variety per brand/size (TPC-H Q16 shape) -------------------
+
+def q193_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16's distinct-count-with-exclusion shape: per (brand,
+    size band), how many DISTINCT suppliers have shipped that
+    combination — excluding suppliers with a negative account balance
+    (Q16's complaint-supplier NOT IN, re-keyed to this schema).
+
+    Scale shape: the exclusion list is a tiny broadcast anti join
+    BEFORE the distinct aggregation (prune early); the distinct count
+    hash-partitions on the (brand, band) group key. The part dim
+    joins broadcast.
+    """
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        (F.floor((F.col("p_size") - 1) / 10) * 10 + 1).alias("size_band"),
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("bad_k"))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("bad_k"),
+                "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "size_band")
+        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
+        .orderBy("p_brand", "size_band")
+    )
+
+
+Q193_ORACLE = """
+SELECT p.p_brand,
+       CAST(FLOOR((p.p_size - 1) / 10) * 10 + 1 AS BIGINT) AS size_band,
+       COUNT(DISTINCT l.l_suppkey) AS n_suppliers
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY p.p_brand, size_band
+ORDER BY p.p_brand, size_band
+"""
+
+
+# --- q194: orders-per-customer distribution (TPC-H Q13 shape) ------------------
+
+def q194_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13's double-aggregation shape: the distribution of
+    orders-per-customer — LEFT join customers to orders (zero-order
+    customers land in bucket 0), count per customer, then histogram
+    the counts. The classic "how concentrated is demand?" rollup.
+
+    Scale shape: the outer join hash-partitions on the customer key;
+    both aggregates are map-side combinable; the histogram frame is
+    bounded by the max order count."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q194_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -3943,6 +4092,19 @@ QUERIES = [
               "Herfindahl supplier-concentration index per part type "
               "(exact integer share moments)",
               ("relational", "agg", "audit")),
+    QuerySpec("q192_priority_sla", q192_priority_sla, Q192_ORACLE,
+              "TPC-H Q4-shaped late-shipment rate per order priority "
+              "(EXISTS as a decorrelated semi probe, integer bp rate)",
+              ("relational", "join", "audit")),
+    QuerySpec("q193_supplier_variety", q193_supplier_variety,
+              Q193_ORACLE,
+              "TPC-H Q16-shaped distinct suppliers per brand/size band "
+              "with a broadcast anti-join exclusion list",
+              ("relational", "join", "distinct")),
+    QuerySpec("q194_custdist", q194_custdist, Q194_ORACLE,
+              "TPC-H Q13-shaped orders-per-customer distribution "
+              "(left join + double aggregation)",
+              ("relational", "join", "agg")),
     QuerySpec("q174_twap_per_part", q174_twap_per_part, Q174_ORACLE,
               "time-weighted average unit price per part (exact "
               "cents x days interval weighting, partitioned window)",

@@ -140,6 +140,10 @@ DEFAULT_AUDIT = [
     "q188_lix_readability",
     "q189_js_source_similarity",
     "q190_supplier_hhi",
+    "q191_trailing_hour_avg",
+    "q192_priority_sla",
+    "q193_supplier_variety",
+    "q194_custdist",
 ]
 
 
