@@ -3875,6 +3875,124 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+# --- q196: month-over-month population stability (PSI) -------------------------
+
+PSI_BANDS = 10
+PSI_BAND_WIDTH = 50_000.0  # fixed $50k order-value bands (no stats pass)
+PSI_SCALE = 10**9
+
+
+def q196_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month Population Stability Index of the order-value
+    distribution — the standard ML-monitoring drift statistic
+    (PSI = sum over bands of (p - q) ln(p / q)), add-1 smoothed so a
+    band emptying out stays finite. PSI > 0.1 = investigate,
+    > 0.25 = distribution shifted; here it audits demand-mix drift,
+    the relational sibling of q184's token-distribution KL.
+
+    Scale shape: bands are FIXED $50k widths (no percentile/stats
+    pass), so the (month, band) histogram is one map-side-combinable
+    aggregate off the orders scan; everything after runs on that
+    calendar-bounded frame — consecutive months pair by an add-month
+    equijoin, never a window.
+
+    Determinism: counts are exact integers; each smoothed PSI term is
+    one IEEE expression over them, quantized to integer 1e-9 units
+    before the per-pair sum (the q68/q184 fixed-point recipe)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("m"),
+        F.least(
+            F.floor(F.col("o_totalprice") / PSI_BAND_WIDTH).cast("bigint"),
+            F.lit(PSI_BANDS - 1),
+        ).alias("band"),
+    )
+    hist = o.groupBy("m", "band").agg(F.count(F.lit(1)).alias("c"))
+    tot = hist.groupBy("m").agg(F.sum("c").alias("n"))
+    hw = hist.join(tot, "m")
+    cur = hw.select(
+        F.col("m"), "band", F.col("c").alias("cp"), F.col("n").alias("np")
+    )
+    nxt = hw.select(
+        F.add_months(F.col("m"), -1).alias("m"),
+        "band",
+        F.col("c").alias("cq"),
+        F.col("n").alias("nq"),
+    )
+    j = cur.join(nxt, ["m", "band"], "full").select(
+        "m",
+        "band",
+        F.coalesce("cp", F.lit(0)).alias("cp"),
+        F.coalesce("cq", F.lit(0)).alias("cq"),
+        F.max(F.col("np")).over(Window.partitionBy("m")).alias("np"),
+        F.max(F.col("nq")).over(Window.partitionBy("m")).alias("nq"),
+    ).filter(F.col("np").isNotNull() & F.col("nq").isNotNull())
+    p = (F.col("cp") + 1).cast("double") / (
+        F.col("np") + PSI_BANDS
+    ).cast("double")
+    q = (F.col("cq") + 1).cast("double") / (
+        F.col("nq") + PSI_BANDS
+    ).cast("double")
+    term = F.round((p - q) * F.log(p / q) * PSI_SCALE).cast("bigint")
+    return (
+        j.groupBy("m")
+        .agg(
+            F.max("np").alias("n_from"),
+            F.max("nq").alias("n_to"),
+            F.sum(term).alias("psi_u"),
+        )
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "n_from",
+            "n_to",
+            F.round(F.col("psi_u").cast("double") / PSI_SCALE, 4).alias(
+                "psi"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+Q196_ORACLE = f"""
+WITH o AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         LEAST(CAST(FLOOR(o_totalprice / {PSI_BAND_WIDTH}) AS BIGINT),
+               {PSI_BANDS - 1}) AS band
+  FROM orders
+),
+hist AS (SELECT m, band, COUNT(*) AS c FROM o GROUP BY m, band),
+tot AS (SELECT m, SUM(c) AS n FROM hist GROUP BY m),
+hw AS (SELECT h.m, h.band, h.c, t.n FROM hist h JOIN tot t ON t.m = h.m),
+j AS (
+  SELECT COALESCE(a.m, b.m - INTERVAL 1 MONTH) AS m,
+         COALESCE(a.band, b.band) AS band,
+         COALESCE(a.c, 0) AS cp, COALESCE(b.c, 0) AS cq,
+         MAX(a.n) OVER (PARTITION BY COALESCE(a.m,
+                                              b.m - INTERVAL 1 MONTH))
+           AS np,
+         MAX(b.n) OVER (PARTITION BY COALESCE(a.m,
+                                              b.m - INTERVAL 1 MONTH))
+           AS nq
+  FROM hw a FULL JOIN hw b
+    ON b.m = a.m + INTERVAL 1 MONTH AND b.band = a.band
+)
+SELECT strftime(m, '%Y-%m') AS month,
+       CAST(MAX(np) AS BIGINT) AS n_from, CAST(MAX(nq) AS BIGINT) AS n_to,
+       ROUND(CAST(SUM(CAST(ROUND(
+           (CAST(cp + 1 AS DOUBLE) / CAST(np + {PSI_BANDS} AS DOUBLE)
+            - CAST(cq + 1 AS DOUBLE) / CAST(nq + {PSI_BANDS} AS DOUBLE))
+           * LN((CAST(cp + 1 AS DOUBLE) / CAST(np + {PSI_BANDS} AS DOUBLE))
+                / (CAST(cq + 1 AS DOUBLE)
+                   / CAST(nq + {PSI_BANDS} AS DOUBLE)))
+           * {PSI_SCALE}) AS BIGINT)) AS DOUBLE) / {PSI_SCALE}, 4) AS psi
+FROM j
+WHERE np IS NOT NULL AND nq IS NOT NULL
+GROUP BY m
+ORDER BY month
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -4105,6 +4223,10 @@ QUERIES = [
               "TPC-H Q13-shaped orders-per-customer distribution "
               "(left join + double aggregation)",
               ("relational", "join", "agg")),
+    QuerySpec("q196_psi_value_drift", q196_psi_value_drift, Q196_ORACLE,
+              "month-over-month PSI drift of the order-value "
+              "distribution (fixed bands, quantized smoothed terms)",
+              ("relational", "stats", "monitoring")),
     QuerySpec("q174_twap_per_part", q174_twap_per_part, Q174_ORACLE,
               "time-weighted average unit price per part (exact "
               "cents x days interval weighting, partitioned window)",

@@ -1800,7 +1800,119 @@ ORDER BY s1, s2
 """
 
 
+# --- q195: held-out n-gram novelty -------------------------------------------
+
+def q195_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram novelty per source: what fraction of the val
+    split's bigram OCCURRENCES were never seen in the same source's
+    train split — the coverage/memorization probe behind "is the val
+    split actually held out, and does train cover val's phrase space?"
+    (q176 scores val under a train LM; this counts raw unseen mass,
+    the model-free version).
+
+    Scale shape: one bigram explode (q92's zip_with idiom, row-local),
+    a DISTINCT train-bigram frame per source, and one hash left join
+    of val bigrams against it keyed on (source, w1, w2) — vocab^2
+    bounded, distributed on the join key. Final rollup is map-side
+    combinable. All-integer output (rate in basis points).
+    """
+    from .training import SPLIT_TRAIN_MAX, SPLIT_VAL_MAX
+
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.when(h < SPLIT_TRAIN_MAX, "train")
+            .when(h < SPLIT_VAL_MAX, "val")
+            .otherwise("test")
+            .alias("split"),
+            F.expr(_TOKS).alias("t"),
+        )
+        .filter(F.col("split") != "test")
+    )
+    big = d.select(
+        "source",
+        "split",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (a, b) -> struct(a AS x, b AS y))"
+            )
+        ).alias("p"),
+    ).select(
+        "source", "split",
+        F.col("p.x").alias("w1"), F.col("p.y").alias("w2"),
+    )
+    train_set = (
+        big.filter(F.col("split") == "train")
+        .select("source", "w1", "w2")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    val = big.filter(F.col("split") == "val").select(
+        "source", "w1", "w2"
+    )
+    return (
+        val.join(train_set, ["source", "w1", "w2"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_val_bigrams"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "source",
+            "n_val_bigrams",
+            "n_novel",
+            F.expr("n_novel * 10000 div n_val_bigrams").alias("novel_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q195_oracle() -> str:
+    from .training import SPLIT_TRAIN_MAX, SPLIT_VAL_MAX
+
+    return f"""
+WITH d AS (
+  SELECT source,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                < '{SPLIT_TRAIN_MAX}' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                < '{SPLIT_VAL_MAX}' THEN 'val'
+              ELSE 'test' END AS split,
+         {DUCK_TOKS_EXPR} AS t
+  FROM documents
+),
+big AS (
+  SELECT source, split, t[i] AS w1, t[i + 1] AS w2
+  FROM d, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2 AND split <> 'test'
+),
+train_set AS (
+  SELECT DISTINCT source, w1, w2 FROM big WHERE split = 'train'
+),
+val AS (SELECT source, w1, w2 FROM big WHERE split = 'val')
+SELECT v.source, COUNT(*) AS n_val_bigrams,
+       CAST(SUM(CASE WHEN ts.w1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN ts.w1 IS NULL THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS novel_bp
+FROM val v LEFT JOIN train_set ts
+  ON ts.source = v.source AND ts.w1 = v.w1 AND ts.w2 = v.w2
+GROUP BY v.source
+ORDER BY v.source
+"""
+
+
 QUERIES = [
+    QuerySpec("q195_ngram_novelty", q195_ngram_novelty, _q195_oracle(),
+              "held-out bigram novelty rate per source (val occurrences "
+              "unseen in same-source train, exact integer bp)",
+              ("textanalysis", "training", "quality")),
     QuerySpec("q188_lix_readability", q188_lix_readability, Q188_ORACLE,
               "per-source LIX readability index over exact integer "
               "word/sentence/long-word totals",

@@ -144,6 +144,8 @@ DEFAULT_AUDIT = [
     "q192_priority_sla",
     "q193_supplier_variety",
     "q194_custdist",
+    "q195_ngram_novelty",
+    "q196_psi_value_drift",
 ]
 
 
