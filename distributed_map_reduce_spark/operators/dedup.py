@@ -1608,10 +1608,103 @@ ORDER BY ad, bd
 """
 
 
+# --- q198: mutual best match --------------------------------------------------
+
+def q198_mutual_best_match(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Reciprocal-best-match pairs: (a, b) where b is a's
+    highest-Jaccard neighbour AND a is b's — the record-linkage
+    decision rule (and bioinformatics' reciprocal-best-hit) that
+    accepts a merge only when BOTH sides agree, the conservative
+    alternative to q72's one-sided keep-the-better policy. Chains
+    (a->b->c) produce no false merges here by construction.
+
+    Scale shape: symmetrize the pair list, one row_number window
+    PARTITIONED BY NODE (parallel), then an equi-self-join of the
+    per-node best rows on the reversed key — best-frame sized, tiny.
+    ``pairs=`` accepts the persisted bucketed store.
+
+    Determinism: ties on the 2 dp Jaccard break to the smallest
+    neighbour id in both engines."""
+    from pyspark.sql.window import Window
+
+    # p feeds both orientations of sym, and best feeds both sides of
+    # the reciprocity join — pin one materialization of each (the
+    # q163/q182 shared-frame pattern) so the pair pipeline is never
+    # re-derived per consumer when no persisted store resolves.
+    p = (
+        resolve_pairs(spark, sf_dir, pairs)
+        .select("ad", "bd", "jacc")
+        .localCheckpoint(eager=False)
+    )
+    sym = p.unionByName(
+        p.select(
+            F.col("bd").alias("ad"),
+            F.col("ad").alias("bd"),
+            "jacc",
+        )
+    )
+    w = Window.partitionBy("ad").orderBy(F.desc("jacc"), F.asc("bd"))
+    best = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ad").alias("node"),
+            F.col("bd").alias("best"),
+            "jacc",
+        )
+        .localCheckpoint(eager=False)
+    )
+    other = best.select(
+        F.col("node").alias("o_node"), F.col("best").alias("o_best")
+    )
+    return (
+        best.join(
+            other,
+            (best.best == F.col("o_node")) & (best.node == F.col("o_best")),
+        )
+        .filter(F.col("node") < F.col("best"))
+        .select(
+            F.col("node").alias("doc_a"),
+            F.col("best").alias("doc_b"),
+            "jacc",
+        )
+        .orderBy("doc_a")
+    )
+
+
+def _q198_oracle() -> str:
+    return f"""
+WITH pairs AS ({Q24_ORACLE_BODY}),
+sym AS (
+  SELECT ad, bd, jacc FROM pairs
+  UNION ALL
+  SELECT bd, ad, jacc FROM pairs
+),
+best AS (
+  SELECT ad AS node, bd AS best, jacc,
+         ROW_NUMBER() OVER (PARTITION BY ad
+                            ORDER BY jacc DESC, bd ASC) AS rn
+  FROM sym
+)
+SELECT a.node AS doc_a, a.best AS doc_b, a.jacc
+FROM best a JOIN best b
+  ON a.best = b.node AND b.best = a.node
+WHERE a.rn = 1 AND b.rn = 1 AND a.node < a.best
+ORDER BY doc_a
+"""
+
+
 QUERIES = [
     QuerySpec("q24_ngram_jaccard_dedup", q24_ngram_jaccard_dedup, Q24_ORACLE,
               "exact 3-gram shingle Jaccard near-dup pairs (J >= 0.5)",
               ("dedup",)),
+    QuerySpec("q198_mutual_best_match", q198_mutual_best_match,
+              _q198_oracle(),
+              "reciprocal-best-match near-dup pairs (both sides agree; "
+              "conservative merge rule off the pair store)",
+              ("dedup", "policy")),
     QuerySpec("q25_minhash_lsh_dedup", q25_minhash_lsh_dedup, Q25_ORACLE,
               "MinHash(8) + LSH(4x2) candidates, exact-Jaccard verified",
               ("dedup", "lsh")),

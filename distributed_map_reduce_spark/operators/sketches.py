@@ -168,7 +168,129 @@ def hll_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q197: KMV distinct-count sketch, oracle-replayable ------------------------
+
+KMV_SKETCH_K = 256
+_POW60 = 1152921504606846976.0  # 2^60 == 16^15, the md5-prefix hash space
+
+
+def q197_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct-SHINGLE estimate per source, next to the
+    exact count and the signed error — the suite's one sketch whose
+    whole computation REPLAYS in SQL, so the driver hash-checks it
+    end-to-end (the other sketches are rows-only: Spark's HLL++ binary
+    registers have no cross-engine twin). KMV with a deterministic
+    md5-prefix hash is engine-agnostic by construction: both engines
+    sort the same 60-bit integers and read the same K-th minimum.
+
+    Estimator: E = (K-1) * 2^60 / h_(K) (Bar-Yossef et al. 2002); when
+    a source has <= K distinct tokens the K-th minimum doesn't exist
+    and the sketch IS the exact set, so E = n_exact.
+
+    Scale shape: one distinct (source, token) frame; the top-K scan is
+    a row_number window PARTITIONED BY SOURCE over the 60-bit hash
+    (parallel); everything else is tiny per-source aggregates. At
+    100 TB the distinct frame is the same vocab structure q68 carries.
+
+    Determinism: the estimate is one IEEE expression over exact
+    integers, identical in both engines; error is reported in rounded
+    basis points (double), not integer div, to avoid negative-division
+    truncation differences."""
+    from pyspark.sql.window import Window
+
+    from .dedup import _SPARK_SHINGLES, _SPARK_TOKS
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.expr(_SPARK_TOKS).alias("toks"))
+        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("token"))
+        .distinct()
+    )
+    h = tok.select(
+        "source",
+        F.conv(
+            F.substring(F.md5(F.col("token").cast("binary")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    exact = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.partitionBy("source").orderBy("h")
+    topk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_SKETCH_K)
+        .groupBy("source")
+        .agg(F.max("h").alias("kth"))
+    )
+    est = F.when(
+        F.col("n_exact") <= KMV_SKETCH_K, F.col("n_exact")
+    ).otherwise(
+        F.round(
+            (KMV_SKETCH_K - 1)
+            * _POW60
+            / F.col("kth").cast("double")
+        ).cast("bigint")
+    )
+    return (
+        exact.join(topk, "source")
+        .select(
+            "source",
+            "n_exact",
+            est.alias("n_kmv"),
+            F.round(
+                10000.0
+                * (est - F.col("n_exact")).cast("double")
+                / F.col("n_exact").cast("double"),
+                1,
+            ).alias("err_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q197_oracle() -> str:
+    from .dedup import _DUCK_SHINGLES
+
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT source, unnest({_DUCK_SHINGLES}) AS token FROM documents
+),
+h AS (
+  SELECT source, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok
+),
+exact AS (SELECT source, COUNT(*) AS n_exact FROM tok GROUP BY source),
+r AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+),
+topk AS (
+  SELECT source, MAX(h) AS kth FROM r WHERE rn <= {KMV_SKETCH_K}
+  GROUP BY source
+),
+j AS (
+  SELECT e.source, e.n_exact,
+         CASE WHEN e.n_exact <= {KMV_SKETCH_K} THEN e.n_exact
+              ELSE CAST(ROUND({KMV_SKETCH_K - 1} * {_POW60}
+                              / CAST(t.kth AS DOUBLE)) AS BIGINT)
+         END AS n_kmv
+  FROM exact e JOIN topk t ON t.source = e.source
+)
+SELECT source, n_exact, n_kmv,
+       ROUND(10000.0 * CAST(n_kmv - n_exact AS DOUBLE)
+             / CAST(n_exact AS DOUBLE), 1) AS err_bp
+FROM j
+ORDER BY source
+"""
+
+
 QUERIES = [
+    QuerySpec("q197_kmv_distinct", q197_kmv_distinct, _q197_oracle(),
+              "KMV distinct-shingle sketch per source with exact twin and "
+              "signed error (the oracle-replayable sketch)",
+              ("sketch", "approx", "textanalysis")),
     QuerySpec("sketch_active_users", hll_active_users, None,
               "trailing 7/30-day DAU/WAU/MAU from per-day mergeable HLL "
               "sketches (approximate sibling of exact q149; rows-only, "

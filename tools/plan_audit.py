@@ -146,6 +146,8 @@ DEFAULT_AUDIT = [
     "q194_custdist",
     "q195_ngram_novelty",
     "q196_psi_value_drift",
+    "q197_kmv_distinct",
+    "q198_mutual_best_match",
 ]
 
 
