@@ -3993,6 +3993,203 @@ ORDER BY month
 """
 
 
+# --- q199: Gini coefficient of customer spend (two-pass global ranks) ----------
+
+GINI_SLICES = 16
+
+
+def q199_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality number next
+    to q190's HHI concentration: G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
+    over spend sorted ascending. The global rank i is computed WITHOUT
+    a single-partition window via the q166 two-pass pattern:
+    range-partition customers on the (spend, custkey) sort key, take
+    within-slice row_numbers (parallel), add each slice's broadcast
+    row-count offset. sum(i*x_i) is then one map-side-combinable
+    aggregate.
+
+    Determinism: ranks are unique (custkey tiebreak); all moments are
+    exact BIGINTs (rank x cents stays under 2^63 past 10^7 customers;
+    beyond that switch cents to dollars — G is unit-invariant); the
+    final G is one IEEE expression, rounded to 6 dp."""
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("x"))
+    )
+    sliced = (
+        spend.repartitionByRange(
+            GINI_SLICES, F.col("x").asc(), F.col("o_custkey").asc()
+        )
+        .withColumn("slice", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # both consumers see one slicing
+    )
+    win = Window.partitionBy("slice").orderBy(
+        F.asc("x"), F.asc("o_custkey")
+    )
+    ranked = sliced.withColumn("rn", F.row_number().over(win))
+    counts = sliced.groupBy("slice").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.alias("b")),
+            F.col("b.slice") < F.col("a.slice"),
+            "left",
+        )
+        .groupBy(F.col("a.slice").alias("slice"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("off"))
+    )
+    g = (
+        ranked.join(F.broadcast(offsets), "slice")
+        .select((F.col("rn") + F.col("off")).alias("i"), "x")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("i") * F.col("x")).alias("six"),
+        )
+    )
+    return g.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_cents"),
+        F.round(
+            2.0
+            * F.col("six").cast("double")
+            / (F.col("n").cast("double") * F.col("sx").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+Q199_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM spend
+),
+m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(i * x) AS six FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_customers, CAST(sx AS BIGINT) AS total_cents,
+       ROUND(2.0 * CAST(six AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+FROM m
+"""
+
+
+# --- q200: Welch's t-test between customer segments -----------------------------
+
+def q200_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-statistic comparing order values
+    between the BUILDING and MACHINERY segments — the A/B-test
+    statistic every experimentation pipeline computes, expressed as
+    pure integer moments: t = (m1-m2)/sqrt(s1^2/n1 + s2^2/n2) with
+    mean and variance derived from per-segment (n, sum, sum-of-
+    squares) in ONE map-side-combinable aggregate over the joined
+    fact scan. Degrees of freedom via Welch-Satterthwaite, same
+    moments.
+
+    Determinism: moments use whole DOLLARS so the squared sums stay
+    exact BIGINTs far past this corpus (the q190 trade); the t and df
+    are single IEEE expressions over them, rounded to 4 dp."""
+    seg = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("d"),
+    )
+    j = o.join(F.broadcast(seg), o.o_custkey == seg.c_custkey).filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    m = j.groupBy().agg(
+        *[
+            agg
+            for s, tag in (("BUILDING", "1"), ("MACHINERY", "2"))
+            for agg in (
+                F.sum(
+                    F.when(F.col("c_mktsegment") == s, 1).otherwise(0)
+                ).alias(f"n{tag}"),
+                F.sum(
+                    F.when(F.col("c_mktsegment") == s, F.col("d")).otherwise(
+                        0
+                    )
+                ).alias(f"s{tag}"),
+                F.sum(
+                    F.when(
+                        F.col("c_mktsegment") == s, F.col("d") * F.col("d")
+                    ).otherwise(0)
+                ).alias(f"q{tag}"),
+            )
+        ]
+    )
+    n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
+    n2, s2, q2 = F.col("n2"), F.col("s2"), F.col("q2")
+    v1 = (q1.cast("double") - s1.cast("double") * s1 / n1) / (n1 - 1)
+    v2 = (q2.cast("double") - s2.cast("double") * s2 / n2) / (n2 - 1)
+    a = v1 / n1.cast("double")
+    b = v2 / n2.cast("double")
+    t = (s1.cast("double") / n1 - s2.cast("double") / n2) / F.sqrt(a + b)
+    df = (a + b) * (a + b) / (
+        a * a / (n1 - 1).cast("double") + b * b / (n2 - 1).cast("double")
+    )
+    return m.select(
+        "n1",
+        "n2",
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("df"),
+    )
+
+
+Q200_ORACLE = """
+WITH j AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(floor(o.o_totalprice) AS BIGINT) AS d
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+m AS (
+  SELECT SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN seg = 'BUILDING' THEN d ELSE 0 END) AS s1,
+         SUM(CASE WHEN seg = 'BUILDING' THEN d * d ELSE 0 END) AS q1,
+         SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN seg = 'MACHINERY' THEN d ELSE 0 END) AS s2,
+         SUM(CASE WHEN seg = 'MACHINERY' THEN d * d ELSE 0 END) AS q2
+  FROM j
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                      / (n1 - 1) / n1
+                    + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                      / (n2 - 1) / n2), 4) AS t_stat,
+       ROUND(
+         ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+            / (n1 - 1) / n1
+          + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+            / (n2 - 1) / n2)
+         * ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+              / (n1 - 1) / n1
+            + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+              / (n2 - 1) / n2)
+         / (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+               / (n1 - 1) / n1)
+            * ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                 / (n1 - 1) / n1) / (n1 - 1)
+            + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                 / (n2 - 1) / n2)
+              * ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                   / (n2 - 1) / n2) / (n2 - 1)), 2) AS df
+FROM m
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -4227,6 +4424,15 @@ QUERIES = [
               "month-over-month PSI drift of the order-value "
               "distribution (fixed bands, quantized smoothed terms)",
               ("relational", "stats", "monitoring")),
+    QuerySpec("q199_spend_gini", q199_spend_gini, Q199_ORACLE,
+              "Gini coefficient of customer spend via two-pass "
+              "range-partitioned global ranks (no single-partition "
+              "window)",
+              ("relational", "stats", "scale")),
+    QuerySpec("q200_welch_ttest", q200_welch_ttest, Q200_ORACLE,
+              "Welch's t between customer segments from exact integer "
+              "moments (one aggregate pass)",
+              ("relational", "stats", "abtest")),
     QuerySpec("q174_twap_per_part", q174_twap_per_part, Q174_ORACLE,
               "time-weighted average unit price per part (exact "
               "cents x days interval weighting, partitioned window)",

@@ -148,6 +148,8 @@ DEFAULT_AUDIT = [
     "q196_psi_value_drift",
     "q197_kmv_distinct",
     "q198_mutual_best_match",
+    "q199_spend_gini",
+    "q200_welch_ttest",
 ]
 
 
