@@ -3290,11 +3290,13 @@ def q179_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number window partitioned by part — parallel on the part key,
     no per-row subquery execution.
 
-    Scale shape: the part filter is applied FIRST and semi-joins the
-    lineitem scan down before any aggregate (at 100 TB the p_size
-    predicate prunes the probe side to a fraction); the window is
-    partitioned by l_partkey so no global sort exists anywhere.
-    Supplier/nation are broadcast dims.
+    Scale shape: the part filter is applied FIRST so the lineitem scan
+    is joined down before any aggregate (at 100 TB the p_size
+    predicate prunes the probe side to a fraction); that join carries
+    no broadcast hint — the filtered subset outgrows the 8 GB
+    broadcast cap at scale, and AQE picks broadcast vs hash at
+    runtime. The window is partitioned by l_partkey so no global sort
+    exists anywhere. Supplier/nation are true broadcast dims.
 
     Determinism: unit price = cents div quantity (exact integer
     division — quantities are integral by construction); ties on
@@ -3316,8 +3318,12 @@ def q179_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.col("l_quantity").cast("bigint").alias("qty"),
     )
+    # no broadcast hint: the filtered part subset is ~10% of the part
+    # dim — beyond the 8 GB broadcast cap long before 100 TB. AQE
+    # broadcasts it while it fits and falls back to a hash join keyed
+    # on partkey when it doesn't.
     unit = li.join(
-        F.broadcast(small), li.l_partkey == small.p_partkey
+        small, li.l_partkey == small.p_partkey
     ).select(
         "l_partkey",
         "l_suppkey",
@@ -3890,10 +3896,17 @@ def q196_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     > 0.25 = distribution shifted; here it audits demand-mix drift,
     the relational sibling of q184's token-distribution KL.
 
+    Every month in the observed [min, max] range gets a row — the
+    computation runs on a complete MONTH x BAND grid (a calendar spine
+    crossed with the 10 fixed bands, zero-filled from the histogram),
+    so a month with zero orders produces an EXTREME PSI against its
+    neighbours instead of silently missing rows, and empty-empty bands
+    contribute their exact smoothed terms.
+
     Scale shape: bands are FIXED $50k widths (no percentile/stats
     pass), so the (month, band) histogram is one map-side-combinable
-    aggregate off the orders scan; everything after runs on that
-    calendar-bounded frame — consecutive months pair by an add-month
+    aggregate off the orders scan; the spine/grid/pairing all run on
+    calendar-bounded frames — consecutive months pair by an add-month
     equijoin, never a window.
 
     Determinism: counts are exact integers; each smoothed PSI term is
@@ -3909,25 +3922,33 @@ def q196_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     )
     hist = o.groupBy("m", "band").agg(F.count(F.lit(1)).alias("c"))
-    tot = hist.groupBy("m").agg(F.sum("c").alias("n"))
-    hw = hist.join(tot, "m")
-    cur = hw.select(
-        F.col("m"), "band", F.col("c").alias("cp"), F.col("n").alias("np")
+    spine = (
+        o.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+        .select(
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 month)")
+            ).alias("m")
+        )
     )
-    nxt = hw.select(
+    grid = (
+        spine.crossJoin(
+            spark.range(PSI_BANDS).select(F.col("id").alias("band"))
+        )
+        .join(hist, ["m", "band"], "left")
+        .select("m", "band", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    tot = grid.groupBy("m").agg(F.sum("c").alias("n"))
+    gw = grid.join(tot, "m").localCheckpoint(eager=False)  # feeds both sides
+    cur = gw.select(
+        "m", "band", F.col("c").alias("cp"), F.col("n").alias("np")
+    )
+    nxt = gw.select(
         F.add_months(F.col("m"), -1).alias("m"),
         "band",
         F.col("c").alias("cq"),
         F.col("n").alias("nq"),
     )
-    j = cur.join(nxt, ["m", "band"], "full").select(
-        "m",
-        "band",
-        F.coalesce("cp", F.lit(0)).alias("cp"),
-        F.coalesce("cq", F.lit(0)).alias("cq"),
-        F.max(F.col("np")).over(Window.partitionBy("m")).alias("np"),
-        F.max(F.col("nq")).over(Window.partitionBy("m")).alias("nq"),
-    ).filter(F.col("np").isNotNull() & F.col("nq").isNotNull())
+    j = cur.join(nxt, ["m", "band"])
     p = (F.col("cp") + 1).cast("double") / (
         F.col("np") + PSI_BANDS
     ).cast("double")
@@ -3962,19 +3983,22 @@ WITH o AS (
   FROM orders
 ),
 hist AS (SELECT m, band, COUNT(*) AS c FROM o GROUP BY m, band),
-tot AS (SELECT m, SUM(c) AS n FROM hist GROUP BY m),
-hw AS (SELECT h.m, h.band, h.c, t.n FROM hist h JOIN tot t ON t.m = h.m),
+spine AS (
+  SELECT CAST(unnest(generate_series(MIN(m), MAX(m),
+                                     INTERVAL 1 MONTH)) AS DATE) AS m
+  FROM o
+),
+grid AS (
+  SELECT s.m, b.band, COALESCE(h.c, 0) AS c
+  FROM spine s
+  CROSS JOIN (SELECT unnest(range({PSI_BANDS})) AS band) b
+  LEFT JOIN hist h ON h.m = s.m AND h.band = b.band
+),
+tot AS (SELECT m, SUM(c) AS n FROM grid GROUP BY m),
+gw AS (SELECT g.m, g.band, g.c, t.n FROM grid g JOIN tot t ON t.m = g.m),
 j AS (
-  SELECT COALESCE(a.m, b.m - INTERVAL 1 MONTH) AS m,
-         COALESCE(a.band, b.band) AS band,
-         COALESCE(a.c, 0) AS cp, COALESCE(b.c, 0) AS cq,
-         MAX(a.n) OVER (PARTITION BY COALESCE(a.m,
-                                              b.m - INTERVAL 1 MONTH))
-           AS np,
-         MAX(b.n) OVER (PARTITION BY COALESCE(a.m,
-                                              b.m - INTERVAL 1 MONTH))
-           AS nq
-  FROM hw a FULL JOIN hw b
+  SELECT a.m, a.band, a.c AS cp, a.n AS np, b.c AS cq, b.n AS nq
+  FROM gw a JOIN gw b
     ON b.m = a.m + INTERVAL 1 MONTH AND b.band = a.band
 )
 SELECT strftime(m, '%Y-%m') AS month,
@@ -3987,7 +4011,6 @@ SELECT strftime(m, '%Y-%m') AS month,
                    / CAST(nq + {PSI_BANDS} AS DOUBLE)))
            * {PSI_SCALE}) AS BIGINT)) AS DOUBLE) / {PSI_SCALE}, 4) AS psi
 FROM j
-WHERE np IS NOT NULL AND nq IS NOT NULL
 GROUP BY m
 ORDER BY month
 """

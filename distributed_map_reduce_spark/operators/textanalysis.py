@@ -1680,9 +1680,13 @@ def q189_js_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Closed-form tail: tokens present in only one of the pair
     contribute exactly (ln 2)/2 times their probability mass, so the
     whole JSD reduces to an aggregate over the INNER join of the two
-    count frames — no outer join, no zero-fill:
+    count frames — no token-level outer join or zero-fill:
       JSD = 1/2 sum_common [p ln(2p/(p+q)) + q ln(2q/(p+q))]
             + (ln2/2) * ((1 - sum_common p) + (1 - sum_common q)).
+    Vocab-DISJOINT pairs (no common token) are still emitted, with
+    their exact JSD = ln 2: the full s1<s2 matrix comes from the
+    |sources|^2-bounded totals frame, zero-filled where the inner
+    join had nothing.
 
     Scale shape: one (source, token) count frame, self-joined on the
     token key with source< ordering — each token fans out to at most
@@ -1727,13 +1731,30 @@ def q189_js_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * KL_SCALE
     ).cast("bigint")
-    pairs = j.groupBy("s1", "s2").agg(
+    common = j.groupBy("s1", "s2").agg(
         F.count(F.lit(1)).alias("n_common"),
         F.sum(term).alias("core_u"),
         F.sum("ca").alias("ca_common"),
-        F.max("na").alias("na"),
         F.sum("cb").alias("cb_common"),
-        F.max("nb").alias("nb"),
+    )
+    # Every pair gets a row, even vocab-DISJOINT ones (no common token
+    # -> the inner join emits nothing, but their JSD is exactly ln 2,
+    # not no-data): build the full s1<s2 matrix off the tiny totals
+    # frame and zero-fill the common-token aggregates.
+    tt = totals.select(
+        F.col("source").alias("s1"), F.col("n").alias("na")
+    ).crossJoin(
+        totals.select(F.col("source").alias("s2"), F.col("n").alias("nb"))
+    ).filter(F.col("s1") < F.col("s2"))
+    pairs = tt.join(common, ["s1", "s2"], "left").select(
+        "s1",
+        "s2",
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        F.coalesce("core_u", F.lit(0)).alias("core_u"),
+        F.coalesce("ca_common", F.lit(0)).alias("ca_common"),
+        "na",
+        F.coalesce("cb_common", F.lit(0)).alias("cb_common"),
+        "nb",
     )
     ln2 = 0.6931471805599453
     return pairs.select(
@@ -1775,7 +1796,7 @@ j AS (
          a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
   FROM cw a JOIN cw b ON a.token = b.token AND a.source < b.source
 ),
-pairs AS (
+common AS (
   SELECT s1, s2, COUNT(*) AS n_common,
          SUM(CAST(ROUND(
              (CAST(ca AS DOUBLE) / na
@@ -1785,9 +1806,18 @@ pairs AS (
                 * LN(2.0 * (CAST(cb AS DOUBLE) / nb)
                      / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb)))
              * {KL_SCALE}) AS BIGINT)) AS core_u,
-         SUM(ca) AS ca_common, MAX(na) AS na,
-         SUM(cb) AS cb_common, MAX(nb) AS nb
+         SUM(ca) AS ca_common, SUM(cb) AS cb_common
   FROM j GROUP BY s1, s2
+),
+pairs AS (
+  SELECT ta.source AS s1, tb.source AS s2,
+         COALESCE(c.n_common, 0) AS n_common,
+         COALESCE(c.core_u, 0) AS core_u,
+         COALESCE(c.ca_common, 0) AS ca_common, ta.n AS na,
+         COALESCE(c.cb_common, 0) AS cb_common, tb.n AS nb
+  FROM totals ta
+  JOIN totals tb ON ta.source < tb.source
+  LEFT JOIN common c ON c.s1 = ta.source AND c.s2 = tb.source
 )
 SELECT s1, s2, n_common,
        ROUND(0.5 * CAST(core_u AS DOUBLE) / {KL_SCALE}
