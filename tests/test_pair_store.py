@@ -212,3 +212,33 @@ def test_write_recovers_from_orphaned_managed_location(spark, sf_dir):
     assert _rows(read_pair_store(spark, table)) == _rows(
         q24_ngram_jaccard_dedup(spark, sf_dir)
     )
+
+
+def test_write_recovers_orphan_under_custom_location(
+    spark, sf_dir, tmp_path_factory
+):
+    """Same catalog-amnesia recovery, but for a database created with a
+    custom LOCATION (round-8 review finding: the cleanup was gated on
+    location=None, so the exact failure it fixes still reproduced when
+    a caller pinned the store directory). The DESCRIBE DATABASE lookup
+    resolves the custom path, so the orphaned table directory must be
+    cleared and rewritten the same way."""
+    import os
+
+    loc = str(tmp_path_factory.mktemp("pair_store_custom_wh"))
+    table = "pair_store_custom.neardup_pairs"
+    write_pair_store(spark, sf_dir, table=table, location=loc)
+    tloc = dedup._table_location(spark, table)
+    assert tloc and os.path.isdir(tloc) and tloc.startswith(loc)
+    spark.sql(f"DROP TABLE {table}")
+    os.makedirs(tloc, exist_ok=True)
+    with open(os.path.join(tloc, "stale-part"), "w") as f:
+        f.write("leftover")
+    try:
+        write_pair_store(spark, sf_dir, table=table, location=loc)
+        assert not os.path.exists(os.path.join(tloc, "stale-part"))
+        assert _rows(read_pair_store(spark, table)) == _rows(
+            q24_ngram_jaccard_dedup(spark, sf_dir)
+        )
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS pair_store_custom CASCADE")
