@@ -4,26 +4,58 @@ Round-1 lesson: the driver records CORRECTNESS rows for the first 50
 registry entries only, and module discovery order left declared
 contract queries (q18, q20–q23) with no row at all. Rounds 6 and 7
 lesson: hardcoding a round's window composition here leaves the tree
-red the moment the next rotation lands, so the expected window is now
+red the moment the next rotation lands, so the expected window is
 DERIVED from the same artifact-driven policy the registry was generated
-from (``tools.rotation.compute_window``) — the registry and this test
-can only disagree if ``_PRIORITY`` was edited without re-running the
-tool, which is exactly the mistake this gate exists to catch.
+from (``tools.rotation.compute_window``). Round-8 lesson: deriving it
+from ALL artifacts on disk turns the suite red the moment the driver
+writes a POST-snapshot CORRECTNESS file the builder never had — so the
+policy is now recomputed from the artifact set STAMPED into
+``registry._WINDOW_ARTIFACTS`` by ``--emit``; a newer artifact on disk
+raises a pytest warning (advisory), not a failure (the
+``test_coverage_ledger_fresh`` pattern, VERDICT r8 item 1).
 """
+
+import os
+import warnings
 
 from distributed_map_reduce_spark.registry import (
     CORRECTNESS_WINDOW,
     _PRIORITY,
+    _WINDOW_ARTIFACTS,
     all_queries,
 )
-from tools.rotation import ANCHORS, compute_window, last_green_rounds
+from tools.rotation import (
+    ANCHORS,
+    REPO_ROOT,
+    artifacts_on_disk,
+    compute_window,
+    last_green_rounds,
+)
+
+STAMPED = list(_WINDOW_ARTIFACTS)
+
+
+def test_stamped_artifacts_exist_and_advise_on_newer():
+    missing = [
+        b for b in STAMPED if not os.path.exists(os.path.join(REPO_ROOT, b))
+    ]
+    assert not missing, f"stamped artifacts missing from disk: {missing}"
+    newer = sorted(set(artifacts_on_disk()) - set(STAMPED))
+    if newer:
+        warnings.warn(
+            "newer driver artifacts present that the stamped window "
+            f"predates: {newer} — re-run `python -m tools.rotation --emit` "
+            "and paste into registry.py",
+            stacklevel=1,
+        )
 
 
 def test_window_matches_rotation_policy():
     window = list(all_queries())[:CORRECTNESS_WINDOW]
-    assert window == compute_window(), (
-        "registry _PRIORITY disagrees with tools.rotation policy — "
-        "re-run `python -m tools.rotation --emit` and paste into _PRIORITY"
+    assert window == compute_window(artifacts=STAMPED), (
+        "registry _PRIORITY disagrees with tools.rotation policy computed "
+        "from the STAMPED artifact set — _PRIORITY or _WINDOW_ARTIFACTS was "
+        "edited without re-running `python -m tools.rotation --emit`"
     )
 
 
@@ -32,7 +64,7 @@ def test_window_contains_anchors_and_never_green():
     window = list(qs)[:CORRECTNESS_WINDOW]
     missing_anchors = [q for q in ANCHORS if q not in window]
     assert not missing_anchors, f"anchor queries outside window: {missing_anchors}"
-    green = last_green_rounds()
+    green = last_green_rounds(artifacts=STAMPED)
     never_green = [
         n for n, s in qs.items() if s.oracle is not None and n not in green
     ]
@@ -61,15 +93,18 @@ def test_oracle_entries_precede_rows_only():
     )
 
 
-def test_no_oracle_entry_goes_stale_beyond_three_rounds():
-    """Rotation keeps every oracle entry within 3 rounds of its last
-    driver check *by construction*: the stalest-first fill means the
-    window always contains the entries with the oldest last-green round.
-    This asserts the policy input is sane — the stalest entry NOT in the
-    window is no staler than the stalest entry IN the window."""
+def test_window_fill_is_stalest_first():
+    """The non-anchor window slots must service the STALEST green entries
+    first (after never-green): no oracle entry outside the window may have
+    an older last-green round than any non-anchor entry inside it.
+    (Renamed from the r8 'three rounds' test, whose name promised a
+    max-staleness bound the assert never enforced and which is
+    arithmetically unsatisfiable at 201 entries x 38 slots/round — see
+    README capacity math; ADVICE r8.) Computed on the stamped artifact
+    set so a post-snapshot driver artifact cannot redden it."""
     qs = all_queries()
     window = set(list(qs)[:CORRECTNESS_WINDOW])
-    green = last_green_rounds()
+    green = last_green_rounds(artifacts=STAMPED)
     outside = [
         green[n]
         for n, s in qs.items()

@@ -19,13 +19,30 @@ weaker rows-only driver check wherever they sit, so placing one inside
 the window wastes a hash-checkable slot (the r7 ``sketch_active_users``
 mistake).
 
+Artifact stamping (VERDICT r8 "What's wrong" item 1): ``--emit`` writes
+the list of CORRECTNESS artifacts it consumed into
+``registry._WINDOW_ARTIFACTS`` alongside ``_PRIORITY``. The gates
+(``--check`` and tests/test_registry_order.py) recompute the window from
+exactly the STAMPED set, so a driver artifact that lands AFTER the
+snapshot — which the builder could not have had — prints an advisory to
+regenerate instead of failing the suite (the ``test_coverage_ledger_fresh``
+pattern, tests/test_docs_inventory.py).
+
+Capacity: the window holds ``size - len(ANCHORS)`` non-anchor slots
+(50 - 12 = 38). Every never-green entry MUST fit
+(tests/test_registry_order.py), so adding more than 38 new oracle
+queries in one round makes the policy unsatisfiable — ``compute_window``
+raises instead of silently truncating (ADVICE r8).
+
 Usage:
     python -m tools.rotation          # print the recommended window
     python -m tools.rotation --check  # exit 1 if registry disagrees
+                                      # with the STAMPED artifact set
+    python -m tools.rotation --emit   # print _WINDOW_ARTIFACTS + _PRIORITY
+                                      # literals for registry.py
 
-After the driver lands a new CORRECTNESS_r{N}.json, re-run and paste the
-output into ``registry._PRIORITY`` (the ``--emit`` form prints it as a
-Python list literal).
+After the driver lands a new CORRECTNESS_r{N}.json, re-run ``--emit``
+and paste BOTH blocks into ``registry.py``.
 """
 
 from __future__ import annotations
@@ -57,12 +74,25 @@ ANCHORS = [
 ]
 
 
-def last_green_rounds(repo_root: str = REPO_ROOT) -> dict[str, int]:
-    """Map query name -> latest round with a hash_match=true driver row."""
+def artifacts_on_disk(repo_root: str = REPO_ROOT) -> list[str]:
+    """Basenames of every CORRECTNESS_r*.json present, sorted by round."""
+    paths = glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+    return sorted(os.path.basename(p) for p in paths)
+
+
+def last_green_rounds(
+    repo_root: str = REPO_ROOT, artifacts: list[str] | None = None
+) -> dict[str, int]:
+    """Map query name -> latest round with a hash_match=true driver row.
+
+    ``artifacts`` restricts the scan to the given basenames (the stamped
+    set); default is everything on disk."""
+    if artifacts is None:
+        artifacts = artifacts_on_disk(repo_root)
     out: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
-        with open(path) as f:
+    for base in sorted(artifacts):
+        rnd = int(re.search(r"r(\d+)", base).group(1))
+        with open(os.path.join(repo_root, base)) as f:
             rows = json.load(f)
         for name, row in rows.items():
             if row.get("hash_match"):
@@ -76,7 +106,11 @@ def _qid(name: str) -> tuple[int, str]:
     return (int(m.group(1)) if m else 10**9, name)
 
 
-def compute_window(repo_root: str = REPO_ROOT, size: int | None = None) -> list[str]:
+def compute_window(
+    repo_root: str = REPO_ROOT,
+    size: int | None = None,
+    artifacts: list[str] | None = None,
+) -> list[str]:
     from distributed_map_reduce_spark.registry import (
         CORRECTNESS_WINDOW,
         all_queries,
@@ -85,10 +119,17 @@ def compute_window(repo_root: str = REPO_ROOT, size: int | None = None) -> list[
     size = size or CORRECTNESS_WINDOW
     qs = all_queries()
     oracle = [n for n, s in qs.items() if s.oracle is not None]
-    green = last_green_rounds(repo_root)
+    green = last_green_rounds(repo_root, artifacts)
 
     window = list(ANCHORS)
     never = sorted((n for n in oracle if n not in green and n not in window), key=_qid)
+    if len(window) + len(never) > size:
+        raise RuntimeError(
+            f"window over capacity: {len(ANCHORS)} anchors + {len(never)} "
+            f"never-green entries > {size} slots — too many new oracle "
+            f"queries added this round (max {size - len(ANCHORS)}); remove "
+            "some or wait a round"
+        )
     window += never
     stale = sorted(
         (n for n in oracle if n in green and n not in window),
@@ -98,24 +139,59 @@ def compute_window(repo_root: str = REPO_ROOT, size: int | None = None) -> list[
     return window[:size]
 
 
+def stamped_artifacts() -> list[str]:
+    from distributed_map_reduce_spark.registry import _WINDOW_ARTIFACTS
+
+    return list(_WINDOW_ARTIFACTS)
+
+
+def advise_if_newer(stamped: list[str], repo_root: str = REPO_ROOT) -> list[str]:
+    """Return (and print) any artifacts on disk that the stamp predates."""
+    newer = sorted(set(artifacts_on_disk(repo_root)) - set(stamped))
+    if newer:
+        print(
+            "ADVISORY: newer driver artifacts present that the stamped "
+            f"window predates: {', '.join(newer)} — re-run "
+            "`python -m tools.rotation --emit` and paste into registry.py"
+        )
+    return newer
+
+
 def main(argv: list[str]) -> int:
-    window = compute_window()
     if "--check" in argv:
         from distributed_map_reduce_spark.registry import (
             CORRECTNESS_WINDOW,
             all_queries,
         )
 
+        stamped = stamped_artifacts()
+        missing = [
+            b for b in stamped if not os.path.exists(os.path.join(REPO_ROOT, b))
+        ]
+        if missing:
+            print(f"stamped artifacts missing from disk: {missing}")
+            return 1
+        window = compute_window(artifacts=stamped)
         actual = list(all_queries())[:CORRECTNESS_WINDOW]
         if actual != window:
-            print("registry window disagrees with rotation policy:")
+            print("registry window disagrees with rotation policy "
+                  "(recomputed from the stamped artifact set):")
             for i, (a, w) in enumerate(zip(actual, window)):
                 if a != w:
                     print(f"  slot {i}: registry={a} policy={w}")
             return 1
-        print(f"registry window matches policy ({len(window)} entries)")
+        print(f"registry window matches policy ({len(window)} entries, "
+              f"stamped on {len(stamped)} artifacts)")
+        advise_if_newer(stamped)
         return 0
+    window = compute_window()
     if "--emit" in argv:
+        consumed = artifacts_on_disk()
+        print("_WINDOW_ARTIFACTS = [")
+        for base in consumed:
+            print(f'    "{base}",')
+        print("]")
+        print()
         for name in window:
             print(f'    "{name}",')
         return 0
