@@ -1340,7 +1340,14 @@ def q185_retention_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.datediff(F.max("d"), F.min("d")).cast("bigint").alias("k"))
     )
-    hist = life.groupBy("k").agg(F.count(F.lit(1)).alias("n_churned"))
+    # Both sides of the triangular suffix-sum join consume this frame —
+    # pin it so the events scan + per-user aggregate runs once (the
+    # q166/q182 shared-frame rule; ADVICE r8).
+    hist = (
+        life.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+        .localCheckpoint(eager=False)
+    )
     return (
         hist.alias("a")
         .join(F.broadcast(hist.alias("b")), F.col("b.k") >= F.col("a.k"))

@@ -3570,6 +3570,10 @@ def q187_percentile_bands_histo(
             F.count(F.lit(1)).alias("w"),
             F.min("l_extendedprice").alias("vlo"),
         )
+        # Both sides of the triangular self-join below consume this frame —
+        # pin it so the lineitem scan + histogram pipeline is derived once
+        # (the q166/q182 shared-frame rule; ADVICE r8).
+        .localCheckpoint(eager=False)
     )
     cum = (
         b.alias("a")

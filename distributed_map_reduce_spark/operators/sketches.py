@@ -205,6 +205,10 @@ def q197_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.expr(_SPARK_TOKS).alias("toks"))
         .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("token"))
         .distinct()
+        # Consumed by both the exact count and the top-K hash scan — pin
+        # so the shingle explode + distinct runs once (the q166/q182
+        # shared-frame rule; ADVICE r8).
+        .localCheckpoint(eager=False)
     )
     h = tok.select(
         "source",
@@ -286,11 +290,281 @@ ORDER BY source
 """
 
 
+# --- q201: theta-style KMV set operations, oracle-replayable -------------------
+
+
+def q201_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch SET OPERATIONS: for every unordered source pair,
+    the estimated distinct-shingle UNION and INTERSECTION cardinalities
+    next to their exact twins and the signed union error — the
+    DataSketches-theta workflow (sketch each stream once, answer
+    set-algebra questions later) on q197's deterministic md5-prefix KMV,
+    so the whole computation replays in SQL and the driver hash-checks
+    it end-to-end.
+
+    Estimators (Beyer et al. 2007 / theta-sketch composition): the
+    union sketch is the K smallest hashes of the two per-source
+    sketches' merged hash set (a valid KMV of A∪B because each side's
+    sketch contains its K smallest); E_union = (K-1)*2^60 / h_(K);
+    the intersection rides the Jaccard ratio estimator j/K over the
+    union sketch, E_inter = round(j * E_union / K), where j counts
+    union-sketch members present in BOTH per-source sketches. When the
+    exact union fits inside K the merged sketch IS the union and both
+    estimates collapse to the exact values (q197's small-set rule —
+    |A∪B| <= K implies both sides' sketches are complete).
+
+    Scale shape: sketching is one distinct (source, hash) frame + a
+    per-source top-K window (parallel, the q197 scan); everything
+    after runs on SKETCHES — K*|sources| rows — so the pair stage is
+    bounded by |sources|^2 * K regardless of corpus size (the q151/q189
+    boundedness argument). The exact twins are audit columns that exist
+    only because the oracle needs them; a production run keeps just the
+    sketch path. The exact-intersection self-join is token-keyed and
+    |sources|^2-bounded per hash, q151's shape.
+
+    Determinism: the only doubles are the two estimator expressions —
+    each one IEEE expression over exact integers, written identically
+    in both engines (q197's argument); err is rounded basis points.
+    Reference lineage: sketch family head (SURVEY §2 LLM-pipeline
+    additions); no reference analog — the reference has no approximate
+    operators (/root/reference/src/mr/worker.go:280-301 is its whole
+    extension surface)."""
+    from pyspark.sql.window import Window
+
+    from .dedup import _SPARK_SHINGLES, _SPARK_TOKS
+
+    h = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.expr(_SPARK_TOKS).alias("toks"))
+        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("token"))
+        .select(
+            "source",
+            F.conv(
+                F.substring(F.md5(F.col("token").cast("binary")), 1, 15),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+        # Consumed by the per-source counts, the sketch window, the
+        # exact-intersection self-join AND the pair frame — pin so the
+        # shingle explode + distinct runs once (the q166/q182 rule).
+        .localCheckpoint(eager=False)
+    )
+    n = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    sk = (
+        h.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("source").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_SKETCH_K)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # feeds both sides of the pair merge
+    )
+    srcs = h.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(
+            F.broadcast(srcs.alias("b")),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .localCheckpoint(eager=False)  # reused by merge, exact-inter, output
+    )
+    inter = (
+        h.alias("x")
+        .join(
+            h.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter_exact0"))
+    )
+    m_a = sk.join(F.broadcast(pairs), F.col("source") == F.col("src_a")).select(
+        "src_a", "src_b", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    )
+    m_b = sk.join(F.broadcast(pairs), F.col("source") == F.col("src_b")).select(
+        "src_a", "src_b", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+    )
+    merged = (
+        m_a.unionByName(m_b)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("ia").alias("in_a"), F.max("ib").alias("in_b"))
+    )
+    usk = (
+        merged.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src_a", "src_b").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= KMV_SKETCH_K)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.max("h").alias("kth"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("j"),
+        )
+    )
+    est = (
+        pairs.join(n.alias("na"), F.col("na.source") == F.col("src_a"))
+        .join(n.alias("nb"), F.col("nb.source") == F.col("src_b"))
+        .join(inter, ["src_a", "src_b"], "left")
+        .join(usk, ["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            F.col("na.n_exact").alias("n_a"),
+            F.col("nb.n_exact").alias("n_b"),
+            (
+                F.col("na.n_exact")
+                + F.col("nb.n_exact")
+                - F.coalesce(F.col("n_inter_exact0"), F.lit(0))
+            ).alias("n_union_exact"),
+            F.coalesce(F.col("n_inter_exact0"), F.lit(0)).alias(
+                "n_inter_exact"
+            ),
+            "kth",
+            "j",
+        )
+    )
+    e_union = F.round(
+        (KMV_SKETCH_K - 1) * _POW60 / F.col("kth").cast("double")
+    ).cast("bigint")
+    e_inter = F.round(
+        F.col("j").cast("double")
+        * ((KMV_SKETCH_K - 1) * _POW60 / F.col("kth").cast("double"))
+        / KMV_SKETCH_K
+    ).cast("bigint")
+    small = F.col("n_union_exact") <= KMV_SKETCH_K
+    return (
+        est.select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_union_exact",
+            "n_inter_exact",
+            F.when(small, F.col("n_union_exact"))
+            .otherwise(e_union)
+            .alias("n_union_kmv"),
+            F.when(small, F.col("n_inter_exact"))
+            .otherwise(e_inter)
+            .alias("n_inter_kmv"),
+        )
+        .select(
+            "*",
+            F.round(
+                10000.0
+                * (F.col("n_union_kmv") - F.col("n_union_exact")).cast(
+                    "double"
+                )
+                / F.col("n_union_exact").cast("double"),
+                1,
+            ).alias("err_union_bp"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _q201_oracle() -> str:
+    from .dedup import _DUCK_SHINGLES
+
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT source, unnest({_DUCK_SHINGLES}) AS token FROM documents
+),
+h AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+  FROM tok
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {KMV_SKETCH_K}
+),
+n AS (SELECT source, COUNT(*) AS n_exact FROM h GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM (SELECT DISTINCT source FROM h) a
+  JOIN (SELECT DISTINCT source FROM h) b ON a.source < b.source
+),
+inter AS (
+  SELECT x.source AS src_a, y.source AS src_b,
+         COUNT(*) AS n_inter_exact0
+  FROM h x JOIN h y ON y.h = x.h AND x.source < y.source
+  GROUP BY 1, 2
+),
+merged AS (
+  SELECT p.src_a, p.src_b, s.h,
+         MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p
+  JOIN sk s ON s.source IN (p.src_a, p.src_b)
+  GROUP BY 1, 2, 3
+),
+usk AS (
+  SELECT src_a, src_b, MAX(h) AS kth, SUM(in_a * in_b) AS j
+  FROM (
+    SELECT src_a, src_b, h, in_a, in_b,
+           ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+    FROM merged
+  ) WHERE rn <= {KMV_SKETCH_K}
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT p.src_a, p.src_b,
+         na.n_exact AS n_a, nb.n_exact AS n_b,
+         na.n_exact + nb.n_exact
+           - COALESCE(i.n_inter_exact0, 0) AS n_union_exact,
+         COALESCE(i.n_inter_exact0, 0) AS n_inter_exact,
+         u.kth, u.j
+  FROM pairs p
+  JOIN n na ON na.source = p.src_a
+  JOIN n nb ON nb.source = p.src_b
+  LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+  JOIN usk u ON u.src_a = p.src_a AND u.src_b = p.src_b
+),
+fin AS (
+  SELECT src_a, src_b, n_a, n_b, n_union_exact, n_inter_exact,
+         CASE WHEN n_union_exact <= {KMV_SKETCH_K} THEN n_union_exact
+              ELSE CAST(ROUND({KMV_SKETCH_K - 1} * {_POW60}
+                              / CAST(kth AS DOUBLE)) AS BIGINT)
+         END AS n_union_kmv,
+         CASE WHEN n_union_exact <= {KMV_SKETCH_K} THEN n_inter_exact
+              ELSE CAST(ROUND(CAST(j AS DOUBLE)
+                              * ({KMV_SKETCH_K - 1} * {_POW60}
+                                 / CAST(kth AS DOUBLE))
+                              / {KMV_SKETCH_K}) AS BIGINT)
+         END AS n_inter_kmv
+  FROM est
+)
+SELECT src_a, src_b, n_a, n_b, n_union_exact, n_inter_exact,
+       n_union_kmv, n_inter_kmv,
+       ROUND(10000.0 * CAST(n_union_kmv - n_union_exact AS DOUBLE)
+             / CAST(n_union_exact AS DOUBLE), 1) AS err_union_bp
+FROM fin
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES = [
     QuerySpec("q197_kmv_distinct", q197_kmv_distinct, _q197_oracle(),
               "KMV distinct-shingle sketch per source with exact twin and "
               "signed error (the oracle-replayable sketch)",
               ("sketch", "approx", "textanalysis")),
+    QuerySpec("q201_theta_set_ops", q201_theta_set_ops, _q201_oracle(),
+              "theta/KMV sketch set operations: per-source-pair union and "
+              "intersection estimates with exact twins and signed error",
+              ("sketch", "approx", "textanalysis", "setops")),
     QuerySpec("sketch_active_users", hll_active_users, None,
               "trailing 7/30-day DAU/WAU/MAU from per-day mergeable HLL "
               "sketches (approximate sibling of exact q149; rows-only, "

@@ -1346,14 +1346,16 @@ def q176_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a pushdown-able split filter on each side; unseen val bigrams
     hit the smoothing floor via a LEFT join + coalesce, not a lookup
     miss."""
+    from .training import SPLIT_TRAIN_MAX, SPLIT_VAL_MAX
+
     split_h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     d = (
         _docs(spark, sf_dir)
         .select(
             "doc_id",
             F.expr(_TOKS).alias("t"),
-            F.when(split_h < "cc", "train")
-            .when(split_h < "e6", "val")
+            F.when(split_h < SPLIT_TRAIN_MAX, "train")
+            .when(split_h < SPLIT_VAL_MAX, "val")
             .otherwise("test")
             .alias("split"),
         )
@@ -1418,13 +1420,16 @@ def q176_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q176_ORACLE = f"""
+def _q176_oracle() -> str:
+    from .training import SPLIT_TRAIN_MAX, SPLIT_VAL_MAX
+
+    return f"""
 WITH d AS (
   SELECT doc_id, {DUCK_TOKS_EXPR} AS t,
-         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
-                THEN 'train'
-              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
-                THEN 'val'
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                < '{SPLIT_TRAIN_MAX}' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                < '{SPLIT_VAL_MAX}' THEN 'val'
               ELSE 'test' END AS split
   FROM documents
 ),
@@ -1962,7 +1967,7 @@ QUERIES = [
               "over the top-100 tokens (heavy-tail corpus health check)",
               ("textanalysis", "stats", "quality")),
     QuerySpec("q176_heldout_perplexity", q176_heldout_perplexity,
-              Q176_ORACLE,
+              _q176_oracle(),
               "held-out bigram perplexity: train-split LM scores the "
               "val split, no leakage (q147's in-sample twin)",
               ("textanalysis", "quality", "training")),

@@ -200,10 +200,77 @@ def _q108_oracle() -> str:
     return Q87_ORACLE
 
 
+# --- q202: applyInArrow group processor (Arrow-native, no pandas) -------------
+
+
+def q202_arrow_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q70's geometric mean recomputed through ``groupBy().applyInArrow``
+    — Spark 4's Arrow-NATIVE group processor: each group arrives as one
+    ``pyarrow.Table`` and returns one, with no pandas materialization
+    between the Arrow batch and user code (the pandas layer q70/q108
+    ride adds a columnar->pandas copy per group; for numeric-only
+    aggregates Arrow->numpy is zero-copy). Hash-checked against the
+    same geometric-mean SQL as q70, so the two UDAF surfaces are
+    differentially tested against each other through a common oracle.
+
+    Scale note: like every full-group processor this is holistic —
+    a group's rows materialize in one task (q70's skew caveat applies;
+    ~5 uniform priority groups here). The rounding happens ENGINE-side
+    (F.round on the returned double), so Python only computes the raw
+    exp(mean(log)) both engines replay.
+
+    Reference lineage: worker.go:280-301 (the reference's map/reduce
+    callables are its whole custom-aggregate surface); this is the
+    Arrow-native rung of that ladder."""
+    import pyarrow as pa
+
+    def geo(table: pa.Table) -> pa.Table:
+        v = table.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderpriority": [
+                    table.column("o_orderpriority")[0].as_py()
+                ],
+                "gm_raw": [float(np.exp(np.log(v).mean()))],
+                "n": [len(v)],
+            }
+        )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .applyInArrow(
+            geo, schema="o_orderpriority string, gm_raw double, n long"
+        )
+        .select(
+            "o_orderpriority",
+            F.round("gm_raw", 2).alias("geomean_price"),
+            "n",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q202_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(EXP(AVG(LN(o_totalprice))), 2) AS geomean_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = [
     QuerySpec("q70_udaf_geomean", q70_udaf_geomean, Q70_ORACLE,
               "grouped-agg pandas UDAF (vectorized custom aggregate)",
               ("udaf", "pandas")),
+    QuerySpec("q202_arrow_geomean", q202_arrow_geomean, Q202_ORACLE,
+              "applyInArrow group processor (Arrow-native UDAF surface, "
+              "== q70 through the same oracle)",
+              ("udaf", "arrow")),
     QuerySpec("q71_udtf_tokenize", q71_udtf_tokenize, Q71_ORACLE,
               "Python UDTF lateral fan-out (table-function interface)",
               ("udtf",)),

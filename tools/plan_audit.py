@@ -150,6 +150,8 @@ DEFAULT_AUDIT = [
     "q198_mutual_best_match",
     "q199_spend_gini",
     "q200_welch_ttest",
+    "q201_theta_set_ops",
+    "q202_arrow_geomean",
 ]
 
 
