@@ -654,7 +654,14 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).fit(fit_input)
     finally:
         fit_input.unpersist()
-    assigned = model.transform(feat).select("vec_id", "v", "cell")
+    # Consumed by the residual frame AND the query frame — pin so the
+    # KMeans cell-assignment transform runs once (the q166/q182
+    # shared-frame rule).
+    assigned = (
+        model.transform(feat)
+        .select("vec_id", "v", "cell")
+        .localCheckpoint(eager=False)
+    )
     centers = spark.createDataFrame(
         [
             (i, [float(x) for x in c])
@@ -663,10 +670,16 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell int, center array<double>",
     )
 
-    res = assigned.join(F.broadcast(centers), "cell").select(
-        "vec_id",
-        "cell",
-        F.zip_with("v", "center", lambda x, y: x - y).alias("r"),
+    # Consumed by the bounded codebook-sample collect AND the encoder —
+    # pin so the residual computation runs once.
+    res = (
+        assigned.join(F.broadcast(centers), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("v", "center", lambda x, y: x - y).alias("r"),
+        )
+        .localCheckpoint(eager=False)
     )
     sample = np.array(
         [
