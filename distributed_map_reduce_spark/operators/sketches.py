@@ -173,6 +173,18 @@ def hll_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMV_SKETCH_K = 256
 _POW60 = 1152921504606846976.0  # 2^60 == 16^15, the md5-prefix hash space
 
+# The deterministic 60-bit KMV hash, defined ONCE per engine so q197 and
+# q201 can never drift apart (their sketches must compose bit-for-bit).
+_DUCK_KMV_HASH = "('0x' || substr(md5({col}), 1, 15))::BIGINT"
+
+
+def _kmv_hash(col):
+    """Spark side of _DUCK_KMV_HASH: 60-bit integer from the md5 prefix."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+
 
 def q197_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-Minimum-Values distinct-SHINGLE estimate per source, next to the
@@ -210,16 +222,7 @@ def q197_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shared-frame rule; ADVICE r8).
         .localCheckpoint(eager=False)
     )
-    h = tok.select(
-        "source",
-        F.conv(
-            F.substring(F.md5(F.col("token").cast("binary")), 1, 15),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("h"),
-    )
+    h = tok.select("source", _kmv_hash("token").alias("h"))
     exact = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
     w = Window.partitionBy("source").orderBy("h")
     topk = (
@@ -262,7 +265,7 @@ WITH tok AS (
   SELECT DISTINCT source, unnest({_DUCK_SHINGLES}) AS token FROM documents
 ),
 h AS (
-  SELECT source, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok
+  SELECT source, {_DUCK_KMV_HASH.format(col='token')} AS h FROM tok
 ),
 exact AS (SELECT source, COUNT(*) AS n_exact FROM tok GROUP BY source),
 r AS (
@@ -319,8 +322,12 @@ def q201_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by |sources|^2 * K regardless of corpus size (the q151/q189
     boundedness argument). The exact twins are audit columns that exist
     only because the oracle needs them; a production run keeps just the
-    sketch path. The exact-intersection self-join is token-keyed and
-    |sources|^2-bounded per hash, q151's shape.
+    sketch path. The exact-intersection self-join is keyed on the
+    60-BIT HASH, not the raw shingle, so the "exact" columns are
+    hash-level cardinalities: two shingles colliding in 60 bits count
+    once (expected ~1 collision at 2^30 distinct shingles — immaterial
+    for the sketch-vs-exact error audit, identical in both engines).
+    The join is |sources|^2-bounded per hash, q151's shape.
 
     Determinism: the only doubles are the two estimator expressions —
     each one IEEE expression over exact integers, written identically
@@ -337,16 +344,7 @@ def q201_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("source", F.expr(_SPARK_TOKS).alias("toks"))
         .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("token"))
-        .select(
-            "source",
-            F.conv(
-                F.substring(F.md5(F.col("token").cast("binary")), 1, 15),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias("h"),
-        )
+        .select("source", _kmv_hash("token").alias("h"))
         .distinct()
         # Consumed by the per-source counts, the sketch window, the
         # exact-intersection self-join AND the pair frame — pin so the
@@ -480,8 +478,7 @@ WITH tok AS (
   SELECT DISTINCT source, unnest({_DUCK_SHINGLES}) AS token FROM documents
 ),
 h AS (
-  SELECT DISTINCT source,
-         ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+  SELECT DISTINCT source, {_DUCK_KMV_HASH.format(col='token')} AS h
   FROM tok
 ),
 sk AS (

@@ -27,7 +27,7 @@ from distributed_map_reduce_spark.registry import (
 from tools.rotation import (
     ANCHORS,
     REPO_ROOT,
-    artifacts_on_disk,
+    advise_if_newer,
     compute_window,
     last_green_rounds,
 )
@@ -40,14 +40,10 @@ def test_stamped_artifacts_exist_and_advise_on_newer():
         b for b in STAMPED if not os.path.exists(os.path.join(REPO_ROOT, b))
     ]
     assert not missing, f"stamped artifacts missing from disk: {missing}"
-    newer = sorted(set(artifacts_on_disk()) - set(STAMPED))
+    newer = advise_if_newer(STAMPED)  # one advisory implementation, not two
     if newer:
-        warnings.warn(
-            "newer driver artifacts present that the stamped window "
-            f"predates: {newer} — re-run `python -m tools.rotation --emit` "
-            "and paste into registry.py",
-            stacklevel=1,
-        )
+        warnings.warn(f"stamped window predates driver artifacts: {newer}",
+                      stacklevel=1)
 
 
 def test_window_matches_rotation_policy():
@@ -114,7 +110,7 @@ def test_window_fill_is_stalest_first():
         green[n] for n in window if n in green and n not in set(ANCHORS)
     ]
     if outside and inside:
-        assert min(outside) >= min(inside), (
+        assert min(outside) >= max(inside), (
             "a staler oracle entry sits outside the window than inside it"
         )
 
