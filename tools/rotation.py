@@ -40,9 +40,11 @@ Usage:
                                       # with the STAMPED artifact set
     python -m tools.rotation --emit   # print _WINDOW_ARTIFACTS + _PRIORITY
                                       # literals for registry.py
+    python -m tools.rotation --write  # rewrite both blocks in registry.py
+                                      # in place (then run --check)
 
-After the driver lands a new CORRECTNESS_r{N}.json, re-run ``--emit``
-and paste BOTH blocks into ``registry.py``.
+After the driver lands a new CORRECTNESS_r{N}.json, run ``--write`` (or
+``--emit`` and paste BOTH blocks into ``registry.py`` by hand).
 """
 
 from __future__ import annotations
@@ -157,6 +159,41 @@ def advise_if_newer(stamped: list[str], repo_root: str = REPO_ROOT) -> list[str]
     return newer
 
 
+def write_registry(window: list[str], consumed: list[str]) -> str:
+    """Rewrite the _WINDOW_ARTIFACTS and _PRIORITY list BODIES in
+    registry.py in place, preserving both blocks' leading comment lines.
+    Replaces only the quoted entries between each ``= [`` and its
+    closing ``]`` — the manual-paste step this automates twice sliced
+    away neighboring code in past rounds (round-8 postmortem)."""
+    path = os.path.join(
+        REPO_ROOT, "distributed_map_reduce_spark", "registry.py"
+    )
+    with open(path) as f:
+        src = f.read()
+
+    def replace_block(src: str, marker: str, entries: list[str]) -> str:
+        start = src.index(marker) + len(marker)
+        end = src.index("\n]", start)
+        body = src[start:end]
+        # keep any leading comment lines inside the block
+        kept = []
+        for line in body.splitlines():
+            if line.strip().startswith("#") or not line.strip():
+                kept.append(line)
+            else:
+                break
+        new_body = "\n".join(kept + [f'    "{e}",' for e in entries])
+        if not new_body.startswith("\n"):
+            new_body = "\n" + new_body.lstrip("\n")
+        return src[:start] + new_body + src[end:]
+
+    src = replace_block(src, "_WINDOW_ARTIFACTS = [", consumed)
+    src = replace_block(src, "_PRIORITY = [", window)
+    with open(path, "w") as f:
+        f.write(src)
+    return path
+
+
 def main(argv: list[str]) -> int:
     if "--check" in argv:
         from distributed_map_reduce_spark.registry import (
@@ -185,6 +222,20 @@ def main(argv: list[str]) -> int:
         advise_if_newer(stamped)
         return 0
     window = compute_window()
+    if "--write" in argv:
+        path = write_registry(window, artifacts_on_disk())
+        print(f"rewrote _WINDOW_ARTIFACTS + _PRIORITY in {path}")
+        # self-validate the round trip
+        import importlib
+
+        import distributed_map_reduce_spark.registry as reg
+
+        importlib.reload(reg)
+        assert list(reg._PRIORITY) == window, "write round-trip mismatch"
+        assert list(reg._WINDOW_ARTIFACTS) == artifacts_on_disk()
+        print(f"verified: {len(window)} entries, "
+              f"{len(reg._WINDOW_ARTIFACTS)} artifacts stamped")
+        return 0
     if "--emit" in argv:
         consumed = artifacts_on_disk()
         print("_WINDOW_ARTIFACTS = [")
