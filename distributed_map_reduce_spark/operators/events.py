@@ -69,6 +69,66 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+
+def q203_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4's native type for JSON):
+    ``parse_json`` decodes each props document ONCE into the Variant
+    binary encoding, then every field access is a typed ``variant_get``
+    over the pre-parsed value — the scale path q15's per-call
+    ``get_json_object`` string re-parsing cannot take (N extractions =
+    N full JSON parses there; 1 parse + N binary probes here). The
+    rollup reads the same field four ways (sum/min/max/distinct), plus
+    a ``try_variant_get`` miss-count demonstrating NULL-safe access to
+    an absent path.
+
+    Determinism: everything is integer aggregates over the extracted
+    BIGINT; the oracle replays the accesses with DuckDB's json_extract
+    (both engines implement JSONPath '$.k' identically on these flat
+    one-key documents).
+
+    Reference lineage: none — the reference treats values as opaque
+    strings end-to-end (SURVEY §2.3 "no JSON functions"); this is the
+    engine-surface gap item, same rationale as q15/q52."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "bigint")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count_distinct(k).alias("n_distinct_k"),
+            F.count(
+                F.when(
+                    F.try_variant_get("v", "$.absent", "bigint").isNull(),
+                    1,
+                )
+            ).alias("n_absent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q203_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+         AS n_distinct_k,
+       COUNT(CASE WHEN CAST(json_extract(props, '$.absent') AS BIGINT)
+                       IS NULL THEN 1 END) AS n_absent
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 def q52_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: parse props into a MapType
     (`from_json` -> map<string,bigint>), then element_at lookup and
@@ -1576,6 +1636,10 @@ QUERIES = [
     QuerySpec("q52_props_map", q52_props_map, Q52_ORACLE,
               "typed-map path: from_json map + element_at + map_keys",
               ("events", "json", "map")),
+    QuerySpec("q203_variant_json", q203_variant_json, Q203_ORACLE,
+              "VARIANT semi-structured path: parse_json once, typed "
+              "variant_get multi-extraction rollup (q15's scale twin)",
+              ("events", "json", "variant")),
     QuerySpec("q59_hourly_gapfill", q59_hourly_gapfill, Q59_ORACLE,
               "sparse-to-dense hourly grid with zero-filled empty buckets",
               ("events", "timeseries")),

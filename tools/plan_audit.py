@@ -152,6 +152,7 @@ DEFAULT_AUDIT = [
     "q200_welch_ttest",
     "q201_theta_set_ops",
     "q202_arrow_geomean",
+    "q203_variant_json",
 ]
 
 
