@@ -263,6 +263,79 @@ ORDER BY o_orderpriority
 """
 
 
+# --- q204: declarative SQL UDF (CREATE FUNCTION ... RETURN expr) ---------------
+
+
+def q204_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top rung of the extension-point ladder: Spark 4 SQL scalar
+    UDFs (``CREATE FUNCTION ... RETURNS ... RETURN <expr>``). Unlike
+    every Python surface below it (row UDF, pandas UDAF, applyInArrow,
+    UDTF), a SQL UDF is INLINED by Catalyst at plan time — the plan for
+    this query shows ``partial_sum((p * (1.0 - d)))`` inside
+    WholeStageCodegen with full column pruning, exactly as if the
+    expression were written in place. At 100 TB that makes it the only
+    UDF kind with literally zero invocation cost: reusable business
+    logic (pricing, banding) with built-in-function performance.
+
+    Three UDFs exercised: two arithmetic (TPC-H Q1's derived revenue
+    and charge expressions, factored out as functions) and one
+    control-flow (a CASE discount band), composed in one rollup per
+    ship-year x band.
+
+    Determinism: double sums ROUND(...,2) (the q4 recipe, green since
+    round 1); band edges are exact double literals compared against
+    parquet values — identical in both engines.
+
+    Reference lineage: worker.go:280-301 — the reference's map/reduce
+    callables are its whole extension surface; SURVEY §2.3 "no
+    UDAF/UDTF interfaces"."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q204_disc_price(p DOUBLE,"
+        " d DOUBLE) RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q204_charge(p DOUBLE,"
+        " d DOUBLE, t DOUBLE) RETURNS DOUBLE"
+        " RETURN p * (1.0 - d) * (1.0 + t)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q204_disc_band(d DOUBLE)"
+        " RETURNS STRING RETURN CASE WHEN d < 0.03 THEN 'LOW'"
+        " WHEN d < 0.07 THEN 'MID' ELSE 'HIGH' END"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__q204_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+               q204_disc_band(l_discount) AS disc_band,
+               COUNT(*) AS n_items,
+               ROUND(SUM(q204_disc_price(l_extendedprice, l_discount)), 2)
+                 AS revenue,
+               ROUND(SUM(q204_charge(l_extendedprice, l_discount, l_tax)), 2)
+                 AS charge
+        FROM __q204_lineitem
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )
+
+
+Q204_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+       CASE WHEN l_discount < 0.03 THEN 'LOW'
+            WHEN l_discount < 0.07 THEN 'MID' ELSE 'HIGH' END AS disc_band,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+         AS charge
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = [
     QuerySpec("q70_udaf_geomean", q70_udaf_geomean, Q70_ORACLE,
               "grouped-agg pandas UDAF (vectorized custom aggregate)",
@@ -271,6 +344,10 @@ QUERIES = [
               "applyInArrow group processor (Arrow-native UDAF surface, "
               "== q70 through the same oracle)",
               ("udaf", "arrow")),
+    QuerySpec("q204_sql_udf", q204_sql_udf, Q204_ORACLE,
+              "declarative SQL scalar UDFs (CREATE FUNCTION), inlined by "
+              "Catalyst into whole-stage codegen",
+              ("udf", "sql")),
     QuerySpec("q71_udtf_tokenize", q71_udtf_tokenize, Q71_ORACLE,
               "Python UDTF lateral fan-out (table-function interface)",
               ("udtf",)),

@@ -18,6 +18,7 @@ from distributed_map_reduce_spark.operators.sketches import (
 from distributed_map_reduce_spark.operators.udaf import (
     q70_udaf_geomean,
     q202_arrow_geomean,
+    q204_sql_udf,
 )
 
 
@@ -76,3 +77,16 @@ def test_arrow_geomean_plans_arrow_native(spark, sf_dir):
     one — the no-pandas-copy claim is the query's reason to exist."""
     plan = q202_arrow_geomean(spark, sf_dir)._jdf.queryExecution().toString()
     assert "FlatMapGroupsInArrow" in plan, plan
+
+
+def test_sql_udf_inlines_into_codegen(spark, sf_dir):
+    """q204's SQL UDFs must be INLINED by Catalyst — no function-call
+    node, no Python eval; the physical plan carries the raw arithmetic
+    inside the partial aggregate (the zero-invocation-cost claim)."""
+    plan = q204_sql_udf(spark, sf_dir)._jdf.queryExecution().toString()
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "q204_disc_price" not in physical, physical
+    assert "q204_charge" not in physical, physical
+    assert "partial_sum" in physical, physical
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in physical, physical

@@ -153,6 +153,7 @@ DEFAULT_AUDIT = [
     "q201_theta_set_ops",
     "q202_arrow_geomean",
     "q203_variant_json",
+    "q204_sql_udf",
 ]
 
 
