@@ -457,6 +457,10 @@ def q201_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "*",
+            # n_union_exact >= 1 always: every source in `pairs` derives
+            # from `h`, so each side contributes at least one hash and the
+            # union is non-empty — the division cannot see a zero (ADVICE
+            # r9; the oracle relies on the same invariant).
             F.round(
                 10000.0
                 * (F.col("n_union_kmv") - F.col("n_union_exact")).cast(
@@ -546,6 +550,8 @@ fin AS (
 )
 SELECT src_a, src_b, n_a, n_b, n_union_exact, n_inter_exact,
        n_union_kmv, n_inter_kmv,
+       -- n_union_exact >= 1: every source in `pairs` comes from `h`, so
+       -- both sides hold >= 1 hash (same invariant as the Spark side).
        ROUND(10000.0 * CAST(n_union_kmv - n_union_exact AS DOUBLE)
              / CAST(n_union_exact AS DOUBLE), 1) AS err_union_bp
 FROM fin

@@ -60,6 +60,14 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Contract anchors: the SURVEY §2.4 flagship queries plus the LLM-pipeline
 # family heads. Green in every round they have appeared; re-checked every
 # round so a regression in the core surface is caught immediately.
+# Edited-query re-entry (ADVICE r9): an oracle-bearing query whose CODE
+# changed after its last driver-green row carries a stale green — the
+# driver never saw the new plan. Listing it here makes compute_window
+# treat it as never-green so it re-enters the very next window. Entries
+# are pruned once the next CORRECTNESS artifact records a green row for
+# them (a stamped round newer than when they were added).
+FORCE_RECHECK: list[str] = []
+
 ANCHORS = [
     "q4_pricing_summary",
     "q7_region_revenue",
@@ -124,7 +132,16 @@ def compute_window(
     green = last_green_rounds(repo_root, artifacts)
 
     window = list(ANCHORS)
-    never = sorted((n for n in oracle if n not in green and n not in window), key=_qid)
+    # FORCE_RECHECK entries are edited-since-green: treat as never-green
+    # so the code change gets a driver row next round (ADVICE r9).
+    never = sorted(
+        (
+            n
+            for n in oracle
+            if (n not in green or n in FORCE_RECHECK) and n not in window
+        ),
+        key=_qid,
+    )
     if len(window) + len(never) > size:
         raise RuntimeError(
             f"window over capacity: {len(ANCHORS)} anchors + {len(never)} "
@@ -172,8 +189,18 @@ def write_registry(window: list[str], consumed: list[str]) -> str:
         src = f.read()
 
     def replace_block(src: str, marker: str, entries: list[str]) -> str:
-        start = src.index(marker) + len(marker)
-        end = src.index("\n]", start)
+        # Anchor the marker to a line START and the closing bracket to
+        # column 0 (ADVICE r9): a bare ``src.index(marker)`` binds to the
+        # first occurrence anywhere — a docstring or comment mentioning
+        # '_PRIORITY = [' would silently redirect the surgery.
+        m = re.search(r"^" + re.escape(marker), src, re.M)
+        if m is None:
+            raise RuntimeError(f"registry.py lacks a line-start {marker!r} block")
+        start = m.end()
+        m_end = re.compile(r"^\]", re.M).search(src, start)
+        if m_end is None:
+            raise RuntimeError(f"no column-0 ']' closing the {marker!r} block")
+        end = m_end.start() - 1  # back up over the preceding newline
         body = src[start:end]
         # keep any leading comment lines inside the block
         kept = []
