@@ -10,6 +10,7 @@ aggregate.
 
 import math
 
+from distributed_map_reduce_spark.operators.events import q203_variant_json
 from distributed_map_reduce_spark.operators.sketches import (
     KMV_SKETCH_K,
     q197_kmv_distinct,
@@ -90,3 +91,21 @@ def test_sql_udf_inlines_into_codegen(spark, sf_dir):
     assert "partial_sum" in physical, physical
     for node in ("BatchEvalPython", "ArrowEvalPython"):
         assert node not in physical, physical
+
+
+def test_variant_json_parses_once(spark, sf_dir):
+    """q203's scale claim vs q15 is parse-ONCE: the optimized plan must
+    decode each props document into Variant exactly one time and probe
+    it with typed variant_get — never fall back to per-call
+    get_json_object string re-parsing (N extractions = N full parses)."""
+    plan = (
+        q203_variant_json(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # Catalyst renders parse_json as a static_invoke of
+    # VariantExpressionEvalUtils.parseJson in the optimized plan.
+    assert plan.count("parseJson") == 1, plan
+    assert "get_json_object" not in plan, plan
+    assert "variant_get" in plan, plan
