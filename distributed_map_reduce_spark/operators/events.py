@@ -129,6 +129,68 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+
+def q206_variant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT storage round trip — the write half q203 left open: the
+    parsed Variant column is WRITTEN to parquet (Spark persists it as
+    the typed_value/metadata binary pair of the Parquet variant spec)
+    and read back, and the rollup runs over the READ-BACK frame. At
+    100 TB this is the parse-once-store-forever posture: ingest pays
+    ``parse_json`` one time, every later reader does typed binary
+    probes against the parquet-resident encoding with zero re-parsing,
+    and non-variant columns still prune/push down normally (the
+    event_type grouping never touches the variant bytes' JSON text).
+
+    Output is deliberately disjoint from q203's rollup (evenness split
+    + event_id range vs q203's min/max/distinct) so the two queries
+    pin different extraction paths over the same field.
+
+    Determinism: integer aggregates only; the temp write location does
+    not influence values.
+
+    Reference lineage: none — the reference's sinks are plain text
+    (worker.go:303-334); typed semi-structured STORAGE is an
+    engine-surface gap item, same rationale as q203."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="dmrs_q206_variant_")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.select("event_id", "event_type", F.parse_json("props").alias("v"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    back = spark.read.parquet(tmp)
+    k = F.variant_get("v", "$.k", "bigint")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.sum(F.when(k % 2 == 0, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_even_k"
+            ),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q206_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q52_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: parse props into a MapType
     (`from_json` -> map<string,bigint>), then element_at lookup and
@@ -1640,6 +1702,11 @@ QUERIES = [
               "VARIANT semi-structured path: parse_json once, typed "
               "variant_get multi-extraction rollup (q15's scale twin)",
               ("events", "json", "variant")),
+    QuerySpec("q206_variant_roundtrip", q206_variant_roundtrip,
+              Q206_ORACLE,
+              "VARIANT storage round trip: parse once, write parquet, "
+              "read back, typed probes over the stored encoding",
+              ("events", "json", "variant", "sink")),
     QuerySpec("q59_hourly_gapfill", q59_hourly_gapfill, Q59_ORACLE,
               "sparse-to-dense hourly grid with zero-filled empty buckets",
               ("events", "timeseries")),

@@ -4217,6 +4217,56 @@ FROM m
 """
 
 
+# --- q208: SQL pipe syntax (|> operator chaining) ----------------------------
+
+
+def q208_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL *pipe syntax* (Spark 4's ``|>`` operator chaining, SIGMOD'24
+    "SQL Has Problems..."): the query reads top-to-bottom as a
+    dataflow — FROM, then WHERE, then a computed column via EXTEND,
+    then AGGREGATE ... GROUP BY, then ORDER BY — instead of the
+    inside-out ANSI nesting. Each ``|>`` stage is sugar the parser
+    lowers to the SAME logical operators as the ANSI form, so
+    Catalyst's plan (pushdown, pruning, partial aggregation,
+    whole-stage codegen) is identical to hand-written SQL: the surface
+    costs nothing at 100 TB, which is exactly the point — it is a
+    parse-time feature, pinned by the plan test.
+
+    Semantics are TPC-H Q1-flavored (the q4 family): revenue per
+    returnflag x linestatus over recent shipments, with the discount
+    expression introduced once in EXTEND and consumed by the
+    aggregate.
+
+    Determinism: double sum ROUND(...,2), the q4 recipe.
+
+    Reference lineage: none — the reference has no query language at
+    all (SURVEY §2.3); declarative surface parity item like q204."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__q208_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM __q208_lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |> EXTEND l_extendedprice * (1.0 - l_discount) AS disc_price
+        |> AGGREGATE COUNT(*) AS n_items,
+                     ROUND(SUM(disc_price), 2) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+Q208_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -4337,6 +4387,10 @@ QUERIES = [
               "top-2 orders per customer via LATERAL correlated "
               "subquery (decorrelated, no per-row re-scan)",
               ("relational", "subquery", "topk")),
+    QuerySpec("q208_sql_pipe", q208_sql_pipe, Q208_ORACLE,
+              "SQL pipe syntax (|> chaining): parse-time sugar lowered "
+              "to the identical ANSI plan",
+              ("relational", "sql", "pipe")),
     QuerySpec("q120_price_histogram", q120_price_histogram, Q120_ORACLE,
               "fixed-width order-total histogram via width_bucket "
               "(equal-width companion to q113's ntile bins)",

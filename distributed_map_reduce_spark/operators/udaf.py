@@ -336,6 +336,82 @@ ORDER BY 1, 2
 """
 
 
+# --- q205: declarative SQL TABLE function (CREATE FUNCTION ... RETURNS TABLE) --
+
+
+def q205_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL *table* functions — ``CREATE FUNCTION ... RETURNS TABLE
+    (...) RETURN SELECT ...`` — the declarative sibling of q71's Python
+    UDTF, completing the SQL-UDF ladder q204's scalar functions
+    started. A parameterized relation (here: the per-priority order
+    rollup for one market segment after a cutoff) is defined once and
+    invoked per argument set in the FROM clause; Catalyst inlines each
+    invocation into the plan like a parameterized view, so the joins
+    and aggregates below get full pushdown/pruning/partial-agg
+    treatment — zero invocation cost, unlike q71 whose fan-out runs in
+    a Python worker.
+
+    The query calls the function twice (BUILDING and MACHINERY) and
+    unions the invocations, proving args actually parameterize the
+    body rather than being captured once.
+
+    Determinism: money is summed in integer cents (floor(p*100+0.5));
+    the SUM is CAST to BIGINT in both engines (DuckDB HUGEINT rule).
+
+    Scale shape: each invocation is the same broadcast-able
+    customer⋈orders rollup a hand-written query would plan (the filter
+    on c_mktsegment reaches the customer scan; at 100 TB the inlined
+    body behaves exactly like the q6 family). Invocation count is
+    static (2), not data-dependent.
+
+    Reference lineage: worker.go:280-301 — reusable composition units
+    in the reference are Go callables; SURVEY §2.3 "no UDAF/UDTF
+    interfaces". This is the declarative table-shaped analog."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__q205_{t}")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION q205_seg_orders(
+            seg STRING, cutoff TIMESTAMP)
+        RETURNS TABLE (o_orderpriority STRING, n_orders BIGINT,
+                       total_cents BIGINT)
+        RETURN SELECT o.o_orderpriority, COUNT(*),
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)
+        FROM __q205_orders o
+        JOIN __q205_customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = seg AND o.o_orderdate >= cutoff
+        GROUP BY o.o_orderpriority
+        """
+    )
+    return spark.sql(
+        """
+        SELECT 'BUILDING' AS seg, *
+        FROM q205_seg_orders('BUILDING', TIMESTAMP '1995-01-01 00:00:00')
+        UNION ALL
+        SELECT 'MACHINERY' AS seg, *
+        FROM q205_seg_orders('MACHINERY', TIMESTAMP '1995-01-01 00:00:00')
+        ORDER BY seg, o_orderpriority
+        """
+    )
+
+
+Q205_ORACLE = """
+WITH f AS (
+  SELECT segs.seg, o.o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS total_cents
+  FROM (VALUES ('BUILDING'), ('MACHINERY')) AS segs(seg)
+  JOIN customer c ON c.c_mktsegment = segs.seg
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  GROUP BY segs.seg, o.o_orderpriority
+)
+SELECT seg, o_orderpriority, n_orders, total_cents
+FROM f ORDER BY seg, o_orderpriority
+"""
+
+
 QUERIES = [
     QuerySpec("q70_udaf_geomean", q70_udaf_geomean, Q70_ORACLE,
               "grouped-agg pandas UDAF (vectorized custom aggregate)",
@@ -351,6 +427,11 @@ QUERIES = [
     QuerySpec("q71_udtf_tokenize", q71_udtf_tokenize, Q71_ORACLE,
               "Python UDTF lateral fan-out (table-function interface)",
               ("udtf",)),
+    QuerySpec("q205_sql_table_function", q205_sql_table_function,
+              Q205_ORACLE,
+              "declarative SQL table function (CREATE FUNCTION RETURNS "
+              "TABLE), inlined per-invocation like a parameterized view",
+              ("udtf", "sql")),
     QuerySpec("q108_pandas_ols", q108_pandas_ols, _q108_oracle(),
               "q87's OLS trend recomputed by an applyInPandas group "
               "processor, hash-checked against the same SQL oracle",

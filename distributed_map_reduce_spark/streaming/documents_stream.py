@@ -115,6 +115,141 @@ def q130_streaming_bm25_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(bm25_scores(tf, dl, qterms))
 
 
+def q207_streaming_theta_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE SKETCH STATE in a streaming aggregate — the streaming
+    twin of q197/q201's theta-style KMV sketches. The shingle explode
+    and the 60-bit md5-prefix hash (``sketches._kmv_hash``, shared with
+    q197/q201 so the sketches stay bit-mergeable across the batch and
+    streaming paths) run JVM-side on the document file stream; the only
+    Python is the per-source ``applyInPandasWithState`` fold whose state
+    IS a theta sketch: the K smallest distinct hashes plus an overflow
+    bit. Each micro-batch set-merges its hashes into the sketch and
+    re-truncates to K — the theta-sketch merge operation, associative
+    and idempotent, so the drained result is independent of how the
+    stream was micro-batched. State is O(K)=256 longs per source
+    forever, regardless of corpus volume: this is how a 100 TB
+    append-only crawl keeps live distinct-shingle estimates per source
+    without a backfill (vs q130's tf-state, which is O(vocab)).
+
+    The update log is reduced to each source's final state via
+    ``max_by(_, n_rows)`` (n_rows strictly increases per invocation —
+    a group is only invoked when it has data). Estimator and small-set
+    rule are exactly q197's: not-overflowed means the sketch is the
+    complete hash set (estimate = its size); overflowed means
+    E = (K-1)*2^60 / h_(K), h_(K) = the sketch's max.
+
+    Determinism: the final sketch is a set function of the input, so
+    n_sketch/n_kmv are batching-invariant; n_rows counts raw
+    (source, shingle) rows — also a pure input property. Cardinality
+    is hash-level (collisions counted once), q197's documented posture.
+
+    Reference lineage: none for sketches (SURVEY §2.3); the
+    streaming-vs-batch twin methodology is this module's header."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import _SPARK_SHINGLES, _SPARK_TOKS
+    from ..operators.sketches import KMV_SKETCH_K, _POW60, _kmv_hash
+
+    K = KMV_SKETCH_K
+    out_schema = "source string, n_rows bigint, n_sketch bigint, n_kmv bigint"
+    state_schema = "hashes array<bigint>, overflowed boolean, n_rows bigint"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            hashes, overflowed, n_rows = state.get
+            cur = set(hashes)
+        else:
+            cur, overflowed, n_rows = set(), False, 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            cur.update(int(x) for x in pdf["h"])
+        if len(cur) > K:
+            overflowed = True
+            cur = set(sorted(cur)[:K])
+        n_sketch = len(cur)
+        est = (
+            n_sketch
+            if not overflowed
+            # floor(x+0.5): half-up like both engines' ROUND on positives.
+            else int(math.floor((K - 1) * _POW60 / max(cur) + 0.5))
+        )
+        state.update((sorted(cur), bool(overflowed), n_rows))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_rows": [n_rows],
+                "n_sketch": [n_sketch],
+                "n_kmv": [est],
+            }
+        )
+
+    stream = (
+        documents_stream(spark, sf_dir)
+        .select("source", F.expr(_SPARK_TOKS).alias("toks"))
+        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("token"))
+        .select("source", _kmv_hash("token").alias("h"))
+        .groupBy("source")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    table = f"stream_q207_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dmrs_q207_stream_ckpt_")
+    run_available_now(
+        stream, checkpoint_dir=ckpt, table_name=table, output_mode="update"
+    )
+    return (
+        spark.table(table)
+        .groupBy("source")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max_by("n_sketch", "n_rows").alias("n_sketch"),
+            F.max_by("n_kmv", "n_rows").alias("n_kmv"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q207_oracle() -> str:
+    from ..operators.dedup import _DUCK_SHINGLES
+    from ..operators.sketches import KMV_SKETCH_K, _POW60, _DUCK_KMV_HASH
+
+    K = KMV_SKETCH_K
+    return f"""
+WITH raw AS (
+  SELECT source, unnest({_DUCK_SHINGLES}) AS token FROM documents
+),
+tok AS (SELECT DISTINCT source, token FROM raw),
+h AS (
+  SELECT DISTINCT source, {_DUCK_KMV_HASH.format(col='token')} AS h FROM tok
+),
+nrows AS (SELECT source, COUNT(*) AS n_rows FROM raw GROUP BY source),
+exact AS (SELECT source, COUNT(*) AS n_exact FROM h GROUP BY source),
+r AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+),
+topk AS (SELECT source, MAX(h) AS kth FROM r WHERE rn <= {K} GROUP BY source)
+SELECT n.source, n.n_rows,
+       LEAST(e.n_exact, {K}) AS n_sketch,
+       CASE WHEN e.n_exact <= {K} THEN e.n_exact
+            ELSE CAST(ROUND({K - 1} * {_POW60}
+                            / CAST(t.kth AS DOUBLE)) AS BIGINT)
+       END AS n_kmv
+FROM nrows n
+JOIN exact e ON e.source = n.source
+JOIN topk t ON t.source = n.source
+ORDER BY n.source
+"""
+
+
 def _build_queries():
     from ..operators.retrieval import Q93_ORACLE
     from ..operators.textanalysis import Q91_ORACLE
@@ -136,6 +271,14 @@ def _build_queries():
             "incremental BM25: tf/dl as streaming aggregates over a "
             "documents file stream, scored like batch q93 (== its oracle)",
             ("streaming", "documents", "retrieval"),
+        ),
+        QuerySpec(
+            "q207_streaming_theta_twin",
+            q207_streaming_theta_twin,
+            _q207_oracle(),
+            "mergeable theta/KMV sketch state in a streaming aggregate "
+            "(applyInPandasWithState, O(K) state per source)",
+            ("streaming", "documents", "sketch", "approx"),
         ),
     ]
 

@@ -154,6 +154,9 @@ DEFAULT_AUDIT = [
     "q202_arrow_geomean",
     "q203_variant_json",
     "q204_sql_udf",
+    "q205_sql_table_function",
+    "q206_variant_roundtrip",
+    "q208_sql_pipe",
 ]
 
 
