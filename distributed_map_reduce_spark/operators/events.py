@@ -130,6 +130,19 @@ ORDER BY event_type
 """
 
 
+def _q206_store_path(sf_dir: str) -> str:
+    """Stable per-sf-dir location for q206's variant parquet: the query
+    overwrites it on every build, so repeated invocations (parity,
+    bench, scaling, driver) reuse ONE on-disk copy instead of leaking a
+    fresh mkdtemp full-table copy per call."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"dmrs_q206_variant_{tag}")
+
+
 def q206_variant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT storage round trip — the write half q203 left open: the
     parsed Variant column is WRITTEN to parquet (Spark persists it as
@@ -151,9 +164,7 @@ def q206_variant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference lineage: none — the reference's sinks are plain text
     (worker.go:303-334); typed semi-structured STORAGE is an
     engine-surface gap item, same rationale as q203."""
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="dmrs_q206_variant_")
+    tmp = _q206_store_path(sf_dir)
     ev = load_table(spark, sf_dir, "events")
     (
         ev.select("event_id", "event_type", F.parse_json("props").alias("v"))

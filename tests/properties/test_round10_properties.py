@@ -47,24 +47,21 @@ def test_variant_roundtrip_preserves_type_and_values(spark, sf_dir):
     """The q206 storage hop must write a real VARIANT column (not a
     stringified fallback) and be lossless: the rollup over the
     read-back frame equals the same rollup computed directly over the
-    in-memory parse (no storage hop)."""
-    import tempfile
-
+    in-memory parse (no storage hop). The schema assertion reads the
+    store q206 itself just wrote (no second full-table write)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import VariantType
 
+    from distributed_map_reduce_spark.operators.events import (
+        _q206_store_path,
+    )
     from distributed_map_reduce_spark.sources import load_table
 
-    tmp = tempfile.mkdtemp(prefix="dmrs_q206_test_")
-    ev = load_table(spark, sf_dir, "events")
-    (
-        ev.select("event_id", "event_type", F.parse_json("props").alias("v"))
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    back = spark.read.parquet(tmp)
+    a = sorted(map(tuple, q206_variant_roundtrip(spark, sf_dir).collect()))
+    back = spark.read.parquet(_q206_store_path(sf_dir))
     assert isinstance(back.schema["v"].dataType, VariantType), back.schema
 
+    ev = load_table(spark, sf_dir, "events")
     k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
     direct = (
         ev.groupBy("event_type")
@@ -79,7 +76,6 @@ def test_variant_roundtrip_preserves_type_and_values(spark, sf_dir):
         )
         .orderBy("event_type")
     )
-    a = sorted(map(tuple, q206_variant_roundtrip(spark, sf_dir).collect()))
     b = sorted(map(tuple, direct.collect()))
     assert a == b
 

@@ -129,6 +129,14 @@ def compute_window(
     size = size or CORRECTNESS_WINDOW
     qs = all_queries()
     oracle = [n for n, s in qs.items() if s.oracle is not None]
+    # A typo'd / stale FORCE_RECHECK name would otherwise silently
+    # no-op — the exact stale-green failure the list exists to prevent.
+    unknown = [n for n in FORCE_RECHECK if n not in oracle]
+    if unknown:
+        raise RuntimeError(
+            f"FORCE_RECHECK names not in the oracle-bearing registry: "
+            f"{unknown} — fix the typo or prune the entry"
+        )
     green = last_green_rounds(repo_root, artifacts)
 
     window = list(ANCHORS)
