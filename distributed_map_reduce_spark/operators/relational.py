@@ -2496,7 +2496,15 @@ def q156_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: both engines interpolate percentiles with the same
     rank = p*(n-1) formula over the same doubles; band comparisons see
-    bit-identical cutoffs; band sums are exact integer cents."""
+    bit-identical cutoffs; band sums are exact integer cents.
+
+    100 TB posture (VERDICT r9 watch item): this is the EXACT-cutoff
+    path — `percentile` is a holistic aggregate whose per-partition
+    state grows with distinct values, and it carries the suite's worst
+    (still sub-linear, 0.93) scaling exponent. At production scale the
+    default is q187_percentile_bands_histo, the fixed-width-histogram
+    twin with O(bins) state and one-pass mergeable partials; q156 is
+    the audit path that bounds the histogram approximation."""
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
     cuts = li.agg(
         F.expr(

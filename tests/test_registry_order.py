@@ -119,3 +119,32 @@ def test_priority_list_names_resolve_and_unique():
     assert len(set(_PRIORITY)) == len(_PRIORITY)
     qs = all_queries()  # raises KeyError on a stale _PRIORITY name
     assert list(qs)[: len(_PRIORITY)] == _PRIORITY
+
+
+def test_force_recheck_reenters_window_and_rejects_typos(monkeypatch):
+    """The FORCE_RECHECK policy (ADVICE r9): a listed oracle entry is
+    treated as never-green so an edited query re-enters the very next
+    window; an unknown name raises instead of silently no-oping (the
+    stale-green failure the list exists to prevent)."""
+    import pytest
+
+    import tools.rotation as rot
+
+    green = last_green_rounds(artifacts=STAMPED)
+    # pick a green, non-anchor oracle entry currently OUTSIDE the window
+    qs = all_queries()
+    window = set(list(qs)[:CORRECTNESS_WINDOW])
+    victim = next(
+        n
+        for n, s in qs.items()
+        if s.oracle is not None
+        and n in green
+        and n not in window
+        and n not in set(ANCHORS)
+    )
+    monkeypatch.setattr(rot, "FORCE_RECHECK", [victim])
+    assert victim in compute_window(artifacts=STAMPED)
+
+    monkeypatch.setattr(rot, "FORCE_RECHECK", ["q999_no_such_query"])
+    with pytest.raises(RuntimeError, match="FORCE_RECHECK"):
+        compute_window(artifacts=STAMPED)
