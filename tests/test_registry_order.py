@@ -148,3 +148,33 @@ def test_force_recheck_reenters_window_and_rejects_typos(monkeypatch):
     monkeypatch.setattr(rot, "FORCE_RECHECK", ["q999_no_such_query"])
     with pytest.raises(RuntimeError, match="FORCE_RECHECK"):
         compute_window(artifacts=STAMPED)
+
+
+def test_replace_block_surgery_is_line_anchored():
+    """tools.rotation.replace_block must bind to the LINE-START block,
+    not a docstring mention of the marker, and must stop at the
+    column-0 closing bracket (ADVICE r9: the naive index() version
+    would silently corrupt registry.py)."""
+    from tools.rotation import replace_block
+
+    src = (
+        '"""Docstring that mentions _PRIORITY = [ in prose."""\n'
+        "# _PRIORITY = [ in a comment too\n"
+        "OTHER = [\n"
+        '    "keep-me",\n'
+        "]\n"
+        "_PRIORITY = [\n"
+        "    # leading comment to preserve\n"
+        '    "old_a",\n'
+        '    "old_b",\n'
+        "]\n"
+        "TAIL = 1\n"
+    )
+    out = replace_block(src, "_PRIORITY = [", ["new_x"])
+    assert '"keep-me",' in out                      # other block untouched
+    assert "# leading comment to preserve" in out   # comments preserved
+    assert '"new_x",' in out and '"old_a",' not in out
+    assert out.startswith('"""Docstring')           # docstring untouched
+    assert out.endswith("TAIL = 1\n")               # tail untouched
+    # the docstring/comment mentions are still there, unmodified
+    assert "mentions _PRIORITY = [ in prose" in out

@@ -184,6 +184,35 @@ def advise_if_newer(stamped: list[str], repo_root: str = REPO_ROOT) -> list[str]
     return newer
 
 
+def replace_block(src: str, marker: str, entries: list[str]) -> str:
+    """Replace the quoted entries of a module-level ``NAME = [...]``
+    block, preserving its leading comment lines. The marker is anchored
+    to a line START and the closing bracket to column 0 (ADVICE r9): a
+    bare ``src.index(marker)`` binds to the first occurrence anywhere —
+    a docstring or comment mentioning '_PRIORITY = [' would silently
+    redirect the surgery."""
+    m = re.search(r"^" + re.escape(marker), src, re.M)
+    if m is None:
+        raise RuntimeError(f"registry.py lacks a line-start {marker!r} block")
+    start = m.end()
+    m_end = re.compile(r"^\]", re.M).search(src, start)
+    if m_end is None:
+        raise RuntimeError(f"no column-0 ']' closing the {marker!r} block")
+    end = m_end.start() - 1  # back up over the preceding newline
+    body = src[start:end]
+    # keep any leading comment lines inside the block
+    kept = []
+    for line in body.splitlines():
+        if line.strip().startswith("#") or not line.strip():
+            kept.append(line)
+        else:
+            break
+    new_body = "\n".join(kept + [f'    "{e}",' for e in entries])
+    if not new_body.startswith("\n"):
+        new_body = "\n" + new_body.lstrip("\n")
+    return src[:start] + new_body + src[end:]
+
+
 def write_registry(window: list[str], consumed: list[str]) -> str:
     """Rewrite the _WINDOW_ARTIFACTS and _PRIORITY list BODIES in
     registry.py in place, preserving both blocks' leading comment lines.
@@ -195,32 +224,6 @@ def write_registry(window: list[str], consumed: list[str]) -> str:
     )
     with open(path) as f:
         src = f.read()
-
-    def replace_block(src: str, marker: str, entries: list[str]) -> str:
-        # Anchor the marker to a line START and the closing bracket to
-        # column 0 (ADVICE r9): a bare ``src.index(marker)`` binds to the
-        # first occurrence anywhere — a docstring or comment mentioning
-        # '_PRIORITY = [' would silently redirect the surgery.
-        m = re.search(r"^" + re.escape(marker), src, re.M)
-        if m is None:
-            raise RuntimeError(f"registry.py lacks a line-start {marker!r} block")
-        start = m.end()
-        m_end = re.compile(r"^\]", re.M).search(src, start)
-        if m_end is None:
-            raise RuntimeError(f"no column-0 ']' closing the {marker!r} block")
-        end = m_end.start() - 1  # back up over the preceding newline
-        body = src[start:end]
-        # keep any leading comment lines inside the block
-        kept = []
-        for line in body.splitlines():
-            if line.strip().startswith("#") or not line.strip():
-                kept.append(line)
-            else:
-                break
-        new_body = "\n".join(kept + [f'    "{e}",' for e in entries])
-        if not new_body.startswith("\n"):
-            new_body = "\n" + new_body.lstrip("\n")
-        return src[:start] + new_body + src[end:]
 
     src = replace_block(src, "_WINDOW_ARTIFACTS = [", consumed)
     src = replace_block(src, "_PRIORITY = [", window)
