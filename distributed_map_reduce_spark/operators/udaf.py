@@ -353,7 +353,13 @@ def q205_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query calls the function twice (BUILDING and MACHINERY) and
     unions the invocations, proving args actually parameterize the
-    body rather than being captured once.
+    body rather than being captured once. The correlated form
+    (``FROM t, LATERAL tf(t.col)``) is deliberately NOT exercised: in
+    this Spark build a correlated table-function call whose body ends
+    in ORDER BY ... LIMIT returned wrong rows in a pre-registration
+    probe (dropped groups + wrong per-group rows), so the query pins
+    the plain-invocation surface only; q119 covers LATERAL via
+    correlated subqueries, which decorrelate correctly.
 
     Determinism: money is summed in integer cents (floor(p*100+0.5));
     the SUM is CAST to BIGINT in both engines (DuckDB HUGEINT rule).
