@@ -145,6 +145,19 @@ def q207_streaming_theta_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference lineage: none for sketches (SURVEY §2.3); the
     streaming-vs-batch twin methodology is this module's header."""
+    drained = drain_theta_sketch_stream(
+        theta_sketch_stream(documents_stream(spark, sf_dir))
+    )
+    return drained
+
+
+def theta_sketch_stream(docs: DataFrame) -> DataFrame:
+    """The q207 pipeline over ANY documents stream: JVM-side shingle
+    explode + KMV hash, then the per-source sketch-state fold.
+    Factored out of q207 so tests can drive it with a MULTI-file source
+    (maxFilesPerTrigger=1) and exercise the cross-micro-batch merge
+    path the single-file production drain only hits on a growing
+    directory."""
     import math
 
     from pyspark.sql import functions as F
@@ -188,9 +201,8 @@ def q207_streaming_theta_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    stream = (
-        documents_stream(spark, sf_dir)
-        .select("source", F.expr(_SPARK_TOKS).alias("toks"))
+    return (
+        docs.select("source", F.expr(_SPARK_TOKS).alias("toks"))
         .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("token"))
         .select("source", _kmv_hash("token").alias("h"))
         .groupBy("source")
@@ -199,6 +211,15 @@ def q207_streaming_theta_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def drain_theta_sketch_stream(stream: DataFrame) -> DataFrame:
+    """availableNow drain + final-state reduction for q207's update log
+    (n_rows strictly increases per invocation, so max_by picks each
+    source's last update)."""
+    from pyspark.sql import functions as F
+
+    spark = stream.sparkSession
     table = f"stream_q207_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dmrs_q207_stream_ckpt_")
     run_available_now(
