@@ -42,6 +42,8 @@ Usage:
                                       # literals for registry.py
     python -m tools.rotation --write  # rewrite both blocks in registry.py
                                       # in place (then run --check)
+    python -m tools.rotation --plan   # backlog histogram + window
+                                      # composition + drain forecast
 
 After the driver lands a new CORRECTNESS_r{N}.json, run ``--write`` (or
 ``--emit`` and paste BOTH blocks into ``registry.py`` by hand).
@@ -258,6 +260,54 @@ def main(argv: list[str]) -> int:
         print(f"registry window matches policy ({len(window)} entries, "
               f"stamped on {len(stamped)} artifacts)")
         advise_if_newer(stamped)
+        return 0
+    if "--plan" in argv:
+        # Round-planning view: the numbers every rotation round needs
+        # (previously recomputed by hand each round — see the README
+        # capacity-math note for why intake is bounded by this).
+        from collections import Counter
+
+        from distributed_map_reduce_spark.registry import (
+            CORRECTNESS_WINDOW,
+            all_queries,
+        )
+
+        qs = all_queries()
+        oracle = [n for n, s in qs.items() if s.oracle is not None]
+        green = last_green_rounds()
+        hist = Counter(green[n] for n in oracle if n in green)
+        never = [n for n in oracle if n not in green]
+        print(f"oracle entries: {len(oracle)} "
+              f"({len(oracle) - len(never)} ever-green, {len(never)} never)")
+        print("last-green histogram (round: entries):")
+        for rnd in sorted(hist):
+            print(f"  r{rnd}: {hist[rnd]}")
+        window = compute_window()
+        anchors = [n for n in window if n in set(ANCHORS)]
+        w_never = [n for n in window if n in set(never)]
+        stale = [n for n in window if n not in set(ANCHORS) and n in green]
+        oldest_in = min((green[n] for n in stale), default=None)
+        oldest_out = min(
+            (green[n] for n in oracle
+             if n in green and n not in set(window)),
+            default=None,
+        )
+        print(f"next window: {len(anchors)} anchors + {len(w_never)} "
+              f"never-green + {len(stale)} stale re-greens "
+              f"= {len(window)}/{CORRECTNESS_WINDOW}")
+        print(f"stalest staged: r{oldest_in}; stalest left outside: "
+              f"r{oldest_out}")
+        capacity = CORRECTNESS_WINDOW - len(ANCHORS)
+        backlog = sum(
+            1 for n in oracle
+            if n in green and n not in set(window)
+        )
+        import math as _math
+
+        rounds_left = _math.ceil(backlog / capacity) if backlog else 0
+        print(f"backlog outside next window: {backlog} entries "
+              f"(~{rounds_left} more zero-intake rounds to drain; every "
+              f"new query this round displaces one re-green)")
         return 0
     window = compute_window()
     if "--write" in argv:
