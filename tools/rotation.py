@@ -304,10 +304,15 @@ def main(argv: list[str]) -> int:
         )
         import math as _math
 
-        rounds_left = _math.ceil(backlog / capacity) if backlog else 0
+        n_oracle = len(oracle)
+        period = _math.ceil(
+            (n_oracle - len(ANCHORS)) / capacity) + 1 if capacity else 0
         print(f"backlog outside next window: {backlog} entries "
-              f"(~{rounds_left} more zero-intake rounds to drain; every "
-              f"new query this round displaces one re-green)")
+              f"(steady-state recheck period ~{period} rounds at "
+              f"{n_oracle} entries / {CORRECTNESS_WINDOW} slots / "
+              f"{len(ANCHORS)} anchors — this is a rotation, not a "
+              f"drain; every new query this round displaces one "
+              f"re-green)")
         return 0
     window = compute_window()
     if "--write" in argv:
