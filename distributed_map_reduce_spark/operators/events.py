@@ -130,16 +130,22 @@ ORDER BY event_type
 """
 
 
-def _q206_store_path(sf_dir: str) -> str:
-    """Stable per-sf-dir location for q206's variant parquet: the query
-    overwrites it on every build, so repeated invocations (parity,
-    bench, scaling, driver) reuse ONE on-disk copy instead of leaking a
-    fresh mkdtemp full-table copy per call."""
+def _q206_store_path(sf_dir: str, spark: SparkSession) -> str:
+    """Stable per-(sf-dir, Spark app) location for q206's variant
+    parquet: the query overwrites it on every build, so repeated
+    invocations within one session (parity, bench, scaling, driver)
+    reuse ONE on-disk copy instead of leaking a fresh mkdtemp
+    full-table copy per call. The applicationId component (ADVICE r10)
+    keeps concurrent processes over the same sf_dir — bench alongside
+    pytest, pytest-xdist — from overwriting each other's store
+    mid-read, and makes the /tmp name unpredictable to other users."""
     import hashlib
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
     return os.path.join(tempfile.gettempdir(), f"dmrs_q206_variant_{tag}")
 
 
@@ -164,7 +170,7 @@ def q206_variant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference lineage: none — the reference's sinks are plain text
     (worker.go:303-334); typed semi-structured STORAGE is an
     engine-surface gap item, same rationale as q203."""
-    tmp = _q206_store_path(sf_dir)
+    tmp = _q206_store_path(sf_dir, spark)
     ev = load_table(spark, sf_dir, "events")
     (
         ev.select("event_id", "event_type", F.parse_json("props").alias("v"))

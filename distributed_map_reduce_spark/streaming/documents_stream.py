@@ -141,7 +141,14 @@ def q207_streaming_theta_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the final sketch is a set function of the input, so
     n_sketch/n_kmv are batching-invariant; n_rows counts raw
     (source, shingle) rows — also a pure input property. Cardinality
-    is hash-level (collisions counted once), q197's documented posture.
+    is hash-level (a 60-bit md5-prefix collision is counted once),
+    whereas batch q197 counts n_exact at TOKEN level — the two agree
+    except under an intra-source hash collision (probability
+    ~n²/2^61, negligible at any per-source vocabulary this engine
+    targets, but the semantics are stated here exactly). The rounded
+    estimate itself is computed in the drain with q197's identical
+    Spark ``F.round`` expression, so the streaming, batch, and oracle
+    paths share one rounding implementation (ADVICE r10).
 
     Reference lineage: none for sketches (SURVEY §2.3); the
     streaming-vs-batch twin methodology is this module's header."""
@@ -158,16 +165,22 @@ def theta_sketch_stream(docs: DataFrame) -> DataFrame:
     (maxFilesPerTrigger=1) and exercise the cross-micro-batch merge
     path the single-file production drain only hits on a growing
     directory."""
-    import math
-
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..operators.dedup import _SPARK_SHINGLES, _SPARK_TOKS
-    from ..operators.sketches import KMV_SKETCH_K, _POW60, _kmv_hash
+    from ..operators.sketches import KMV_SKETCH_K, _kmv_hash
 
     K = KMV_SKETCH_K
-    out_schema = "source string, n_rows bigint, n_sketch bigint, n_kmv bigint"
+    # The fold emits the raw sketch summary (size, overflow bit, max
+    # hash); the ROUNDED estimate is computed in the drain with q197's
+    # exact Spark F.round expression — Python math.floor(x+0.5) can
+    # disagree with BigDecimal HALF_UP when x+0.5 crosses an integer
+    # under binary-float representation (ADVICE r10).
+    out_schema = (
+        "source string, n_rows bigint, n_sketch bigint, "
+        "overflowed boolean, h_max bigint"
+    )
     state_schema = "hashes array<bigint>, overflowed boolean, n_rows bigint"
 
     def update(key, pdfs, state):
@@ -184,20 +197,14 @@ def theta_sketch_stream(docs: DataFrame) -> DataFrame:
         if len(cur) > K:
             overflowed = True
             cur = set(sorted(cur)[:K])
-        n_sketch = len(cur)
-        est = (
-            n_sketch
-            if not overflowed
-            # floor(x+0.5): half-up like both engines' ROUND on positives.
-            else int(math.floor((K - 1) * _POW60 / max(cur) + 0.5))
-        )
         state.update((sorted(cur), bool(overflowed), n_rows))
         yield pd.DataFrame(
             {
                 "source": [key[0]],
                 "n_rows": [n_rows],
-                "n_sketch": [n_sketch],
-                "n_kmv": [est],
+                "n_sketch": [len(cur)],
+                "overflowed": [bool(overflowed)],
+                "h_max": [max(cur)],
             }
         )
 
@@ -216,8 +223,13 @@ def theta_sketch_stream(docs: DataFrame) -> DataFrame:
 def drain_theta_sketch_stream(stream: DataFrame) -> DataFrame:
     """availableNow drain + final-state reduction for q207's update log
     (n_rows strictly increases per invocation, so max_by picks each
-    source's last update)."""
+    source's last update). The KMV estimate is computed HERE, over the
+    final sketch summary, with the same Spark ``F.round`` expression as
+    batch q197 (sketches.py) — one rounding implementation across the
+    streaming, batch, and DuckDB-ROUND oracle paths."""
     from pyspark.sql import functions as F
+
+    from ..operators.sketches import KMV_SKETCH_K, _POW60
 
     spark = stream.sparkSession
     table = f"stream_q207_{uuid.uuid4().hex[:8]}"
@@ -225,16 +237,20 @@ def drain_theta_sketch_stream(stream: DataFrame) -> DataFrame:
     run_available_now(
         stream, checkpoint_dir=ckpt, table_name=table, output_mode="update"
     )
-    return (
-        spark.table(table)
-        .groupBy("source")
-        .agg(
-            F.max("n_rows").alias("n_rows"),
-            F.max_by("n_sketch", "n_rows").alias("n_sketch"),
-            F.max_by("n_kmv", "n_rows").alias("n_kmv"),
-        )
-        .orderBy("source")
+    final = spark.table(table).groupBy("source").agg(
+        F.max("n_rows").alias("n_rows"),
+        F.max_by("n_sketch", "n_rows").alias("n_sketch"),
+        F.max_by("overflowed", "n_rows").alias("overflowed"),
+        F.max_by("h_max", "n_rows").alias("h_max"),
     )
+    est = F.when(~F.col("overflowed"), F.col("n_sketch")).otherwise(
+        F.round(
+            (KMV_SKETCH_K - 1) * _POW60 / F.col("h_max").cast("double")
+        ).cast("bigint")
+    )
+    return final.select(
+        "source", "n_rows", "n_sketch", est.alias("n_kmv")
+    ).orderBy("source")
 
 
 def _q207_oracle() -> str:

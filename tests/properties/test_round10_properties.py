@@ -58,7 +58,7 @@ def test_variant_roundtrip_preserves_type_and_values(spark, sf_dir):
     from distributed_map_reduce_spark.sources import load_table
 
     a = sorted(map(tuple, q206_variant_roundtrip(spark, sf_dir).collect()))
-    back = spark.read.parquet(_q206_store_path(sf_dir))
+    back = spark.read.parquet(_q206_store_path(sf_dir, spark))
     assert isinstance(back.schema["v"].dataType, VariantType), back.schema
 
     ev = load_table(spark, sf_dir, "events")
