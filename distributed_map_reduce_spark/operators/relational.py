@@ -4275,6 +4275,108 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# --- q211: parameterized SQL (named + positional binding, IDENTIFIER) --------
+
+
+_Q211_SQL = """
+SELECT :seg AS seg, o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(MAX(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS max_cents,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM IDENTIFIER(:orders_tbl) o
+JOIN IDENTIFIER(:customer_tbl) c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = :seg
+  AND o.o_orderdate >= CAST(:cutoff AS TIMESTAMP)
+GROUP BY o.o_orderpriority
+"""
+
+
+def q211_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized ``spark.sql(sql, args=...)`` — the injection-safe
+    composition surface: user-supplied values bind as TYPED literal
+    parameters (``:name`` markers, never string-spliced), and
+    user-supplied object names pass through the ``IDENTIFIER(:param)``
+    clause, which resolves them as identifiers — a value can never
+    smuggle SQL syntax into either position. One SQL text, compiled
+    per argument set; the bound literals are real Catalyst literals,
+    so constant folding, filter pushdown, and partition pruning work
+    exactly as if the values were inlined by hand (a 100 TB scan
+    still prunes on the bound ``:cutoff``).
+
+    ONE statement text is compiled twice with different named argument
+    sets and the union proves each set parameterizes the plan
+    independently (the q205 two-invocation discipline). Positional
+    (``?``) binding is exercised separately in
+    tests/properties/test_round11_properties.py: in this Spark build
+    positional parameters do NOT compose with IDENTIFIER() — the
+    binder assigns markers inside IDENTIFIER() last, after the value
+    markers, not in lexical order — so the probe pins the plain
+    value-binding form that does work (same watch-list posture as
+    q205's correlated-LATERAL probe).
+
+    Determinism: integer-cents money with SUM CAST to BIGINT (the
+    DuckDB HUGEINT recipe); COUNT/MAX are exact.
+
+    Reference lineage: the reference parameterizes jobs by argv
+    (mrworker.go:30-38 loads the app .so named on the command line);
+    a declarative engine's analog — safely templating the QUERY
+    itself — has no counterpart there (SURVEY §2.3), engine-surface
+    item like q204/q205/q208."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__q211_{t}")
+    named = spark.sql(
+        _Q211_SQL,
+        args={
+            "seg": "AUTOMOBILE",
+            "cutoff": "1996-01-01 00:00:00",
+            "orders_tbl": "__q211_orders",
+            "customer_tbl": "__q211_customer",
+        },
+    )
+    positional_sql = (
+        _Q211_SQL.replace(":orders_tbl", "?")
+        .replace(":customer_tbl", "?")
+        .replace(":cutoff", "?")
+        .replace(":seg", "?")
+    )
+    # lexical order of the ? markers in _Q211_SQL: seg (projection),
+    # orders_tbl, customer_tbl, seg (filter), cutoff — positional
+    # parameters bind one marker each, so seg is passed twice.
+    positional = spark.sql(
+        positional_sql,
+        args=[
+            "HOUSEHOLD",
+            "__q211_orders",
+            "__q211_customer",
+            "HOUSEHOLD",
+            "1994-06-01 00:00:00",
+        ],
+    )
+    return named.unionAll(positional).orderBy("seg", "o_orderpriority")
+
+
+Q211_ORACLE = """
+WITH inv AS (
+  SELECT * FROM (VALUES ('AUTOMOBILE', TIMESTAMP '1996-01-01 00:00:00'),
+                        ('HOUSEHOLD',  TIMESTAMP '1994-06-01 00:00:00'))
+         AS v(seg, cutoff)
+)
+SELECT inv.seg, o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(MAX(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS max_cents,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM inv
+JOIN customer c ON c.c_mktsegment = inv.seg
+JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_orderdate >= inv.cutoff
+GROUP BY inv.seg, o.o_orderpriority
+ORDER BY inv.seg, o.o_orderpriority
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -4399,6 +4501,10 @@ QUERIES = [
               "SQL pipe syntax (|> chaining): parse-time sugar lowered "
               "to the identical ANSI plan",
               ("relational", "sql", "pipe")),
+    QuerySpec("q211_parameterized_sql", q211_parameterized_sql, Q211_ORACLE,
+              "parameterized spark.sql (named + positional binding, "
+              "IDENTIFIER clause): injection-safe query composition",
+              ("relational", "sql", "parameters")),
     QuerySpec("q120_price_histogram", q120_price_histogram, Q120_ORACLE,
               "fixed-width order-total histogram via width_bucket "
               "(equal-width companion to q113's ntile bins)",
