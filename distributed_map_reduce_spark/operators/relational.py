@@ -4307,14 +4307,18 @@ def q211_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ONE statement text is compiled twice with different named argument
     sets and the union proves each set parameterizes the plan
-    independently (the q205 two-invocation discipline). Positional
-    (``?``) binding is exercised separately in
-    tests/properties/test_round11_properties.py: in this Spark build
-    positional parameters do NOT compose with IDENTIFIER() — the
-    binder assigns markers inside IDENTIFIER() last, after the value
-    markers, not in lexical order — so the probe pins the plain
-    value-binding form that does work (same watch-list posture as
-    q205's correlated-LATERAL probe).
+    independently (the q205 two-invocation discipline). The second
+    invocation exercises positional (``?``) binding — but ONLY for
+    value markers: in this Spark build positional parameters do NOT
+    compose with ``IDENTIFIER()`` (``spark.sql`` raises
+    ``ParseException`` when a ``?`` marker appears inside
+    ``IDENTIFIER()``), so the positional text keeps the view names as
+    plain literals and binds just ``seg``/``cutoff``. The
+    incompatibility itself is pinned as a raises-probe in
+    tests/properties/test_round11_properties.py (same watch-list
+    posture as q205's correlated-LATERAL probe: if a future Spark
+    build starts accepting it, the probe fails and we upgrade the
+    query).
 
     Determinism: integer-cents money with SUM CAST to BIGINT (the
     DuckDB HUGEINT recipe); COUNT/MAX are exact.
@@ -4336,23 +4340,17 @@ def q211_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     positional_sql = (
-        _Q211_SQL.replace(":orders_tbl", "?")
-        .replace(":customer_tbl", "?")
+        _Q211_SQL.replace("IDENTIFIER(:orders_tbl)", "__q211_orders")
+        .replace("IDENTIFIER(:customer_tbl)", "__q211_customer")
         .replace(":cutoff", "?")
         .replace(":seg", "?")
     )
-    # lexical order of the ? markers in _Q211_SQL: seg (projection),
-    # orders_tbl, customer_tbl, seg (filter), cutoff — positional
-    # parameters bind one marker each, so seg is passed twice.
+    # lexical order of the ? value markers: seg (projection),
+    # seg (filter), cutoff — positional parameters bind one marker
+    # each, so seg is passed twice.
     positional = spark.sql(
         positional_sql,
-        args=[
-            "HOUSEHOLD",
-            "__q211_orders",
-            "__q211_customer",
-            "HOUSEHOLD",
-            "1994-06-01 00:00:00",
-        ],
+        args=["HOUSEHOLD", "HOUSEHOLD", "1994-06-01 00:00:00"],
     )
     return named.unionAll(positional).orderBy("seg", "o_orderpriority")
 

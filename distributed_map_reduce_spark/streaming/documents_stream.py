@@ -204,7 +204,10 @@ def theta_sketch_stream(docs: DataFrame) -> DataFrame:
                 "n_rows": [n_rows],
                 "n_sketch": [len(cur)],
                 "overflowed": [bool(overflowed)],
-                "h_max": [max(cur)],
+                # h_max is only consumed on the overflowed branch, where
+                # cur is necessarily non-empty; guard anyway so a future
+                # timeout-driven zero-row invocation can't raise.
+                "h_max": [max(cur) if cur else 0],
             }
         )
 

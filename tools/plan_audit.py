@@ -157,6 +157,7 @@ DEFAULT_AUDIT = [
     "q205_sql_table_function",
     "q206_variant_roundtrip",
     "q208_sql_pipe",
+    "q211_parameterized_sql",
 ]
 
 
