@@ -418,6 +418,109 @@ FROM f ORDER BY seg, o_orderpriority
 """
 
 
+Q213_MOD = 8  # deterministic input cap (q71's UDTF_KEY_CAP posture)
+
+
+def q213_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a static ``analyze()`` — the polymorphic
+    table-function surface: the OUTPUT SCHEMA is computed at plan time
+    from the call's literal arguments (here ``k`` power-sum columns
+    s1..sk), and the function itself REQUESTS its required input
+    partitioning (``AnalyzeResult(partitionBy=...)``), so a caller
+    cannot forget the PARTITION BY clause — the contract travels with
+    the function, not the call site. Completes the UDTF ladder: q71 is
+    a fixed-schema per-row fan-out, q205 a declarative SQL table
+    function; this is the dynamic-schema, whole-partition form (the
+    TABLE(...) argument + terminate() pattern — a UDTF acting as a
+    custom aggregate over each partition).
+
+    The body computes exact integer power sums of kilodollar order
+    totals per priority (s1..s3 = Σv, Σv², Σv³ — the raw moments a
+    variance/skew layer derives); kilodollar truncation keeps s3 far
+    inside BIGINT at any realistic scale (530³·|orders| ≈ 4e12 at
+    sf0.1) and the oracle replays the same truncation.
+
+    Scale shape: Spark hash-partitions the input on the requested key
+    and streams each partition through one UDTF instance — state is
+    O(k) per partition, rows never materialize. Input is capped to
+    o_orderkey % Q213_MOD = 0 (the q71 posture: this is API surface, not
+    a scan operator — hot-path aggregation stays on codegen).
+    Measured: useArrow=True is 3x SLOWER here (30 s vs 10 s at sf0.1
+    uncapped) — the Arrow UDTF path still calls eval() per row and
+    pays batch conversion on top, so the plain pickle path is kept.
+
+    Reference lineage: SURVEY §2.3 "no UDAF/UDTF interfaces"; the
+    reference's map fan-out (worker.go:280-301) has a fixed kv shape —
+    schema-from-arguments has no analog there."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult, PartitioningColumn
+
+    class PowerSums:
+        @staticmethod
+        def analyze(k: AnalyzeArgument, t: AnalyzeArgument) -> AnalyzeResult:
+            if not t.isTable:
+                raise ValueError("power_sums: second argument must be TABLE(...)")
+            if k.value is None or int(k.value) < 1:
+                raise ValueError("power_sums: k must be a positive literal")
+            kv = int(k.value)
+            fields = [
+                StructField("o_orderpriority", StringType()),
+                StructField("n", LongType()),
+            ]
+            fields += [StructField(f"s{i}", LongType()) for i in range(1, kv + 1)]
+            return AnalyzeResult(
+                schema=StructType(fields),
+                partitionBy=[PartitioningColumn("o_orderpriority")],
+            )
+
+        def __init__(self):
+            self._key, self._n, self._sums = None, 0, None
+
+        def eval(self, k: int, row):
+            if self._sums is None:
+                self._sums = [0] * int(k)
+            self._key = row["o_orderpriority"]
+            v = int(row["kd"])
+            self._n += 1
+            p = 1
+            for i in range(len(self._sums)):
+                p *= v
+                self._sums[i] += p
+
+        def terminate(self):
+            if self._key is not None:
+                yield (self._key, self._n, *self._sums)
+
+    spark.udtf.register("q213_power_sums", udtf(PowerSums))
+    load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % Q213_MOD == 0
+    ).createOrReplaceTempView("__q213_orders")
+    return spark.sql(
+        """
+        SELECT * FROM q213_power_sums(3, TABLE(
+            SELECT o_orderpriority,
+                   CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS kd
+            FROM __q213_orders))
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+Q213_ORACLE = f"""
+WITH b AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS kd
+  FROM orders WHERE o_orderkey % {Q213_MOD} = 0
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(kd) AS BIGINT) AS s1,
+       CAST(SUM(kd * kd) AS BIGINT) AS s2,
+       CAST(SUM(kd * kd * kd) AS BIGINT) AS s3
+FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = [
     QuerySpec("q70_udaf_geomean", q70_udaf_geomean, Q70_ORACLE,
               "grouped-agg pandas UDAF (vectorized custom aggregate)",
@@ -438,6 +541,11 @@ QUERIES = [
               "declarative SQL table function (CREATE FUNCTION RETURNS "
               "TABLE), inlined per-invocation like a parameterized view",
               ("udtf", "sql")),
+    QuerySpec("q213_udtf_analyze", q213_udtf_analyze, Q213_ORACLE,
+              "Python UDTF with static analyze(): output schema computed "
+              "from literal args, input partitioning requested by the "
+              "function (TABLE argument + terminate())",
+              ("udtf", "analyze")),
     QuerySpec("q108_pandas_ols", q108_pandas_ols, _q108_oracle(),
               "q87's OLS trend recomputed by an applyInPandas group "
               "processor, hash-checked against the same SQL oracle",

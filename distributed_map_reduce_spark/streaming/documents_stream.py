@@ -232,8 +232,6 @@ def drain_theta_sketch_stream(stream: DataFrame) -> DataFrame:
     streaming, batch, and DuckDB-ROUND oracle paths."""
     from pyspark.sql import functions as F
 
-    from ..operators.sketches import KMV_SKETCH_K, _POW60
-
     spark = stream.sparkSession
     table = f"stream_q207_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dmrs_q207_stream_ckpt_")
@@ -246,13 +244,101 @@ def drain_theta_sketch_stream(stream: DataFrame) -> DataFrame:
         F.max_by("overflowed", "n_rows").alias("overflowed"),
         F.max_by("h_max", "n_rows").alias("h_max"),
     )
-    est = F.when(~F.col("overflowed"), F.col("n_sketch")).otherwise(
+    return final.select(
+        "source", "n_rows", "n_sketch", _kmv_estimate().alias("n_kmv")
+    ).orderBy("source")
+
+
+def _kmv_estimate():
+    """The KMV estimate over a (n_sketch, overflowed, h_max) summary —
+    q197's exact Spark ``F.round`` expression, shared by the live drain
+    (q207) and the offline state read (q214) so every consumer of the
+    sketch state rounds identically (ADVICE r10's single-rounding-path
+    rule)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import KMV_SKETCH_K, _POW60
+
+    return F.when(~F.col("overflowed"), F.col("n_sketch")).otherwise(
         F.round(
             (KMV_SKETCH_K - 1) * _POW60 / F.col("h_max").cast("double")
         ).cast("bigint")
     )
-    return final.select(
-        "source", "n_rows", "n_sketch", est.alias("n_kmv")
+
+
+def _q214_ckpt_path(sf_dir: str, spark: SparkSession) -> str:
+    """Stable per-(sf-dir, Spark app) checkpoint for q214's sketch
+    stream — the q206 store-path pattern: repeated invocations within
+    one session resume the SAME checkpoint (a no-new-data catch-up,
+    not a re-drain), because the whole point of the query is reading
+    PERSISTENT state; the applicationId component keeps concurrent
+    processes from sharing a state store mid-read."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"dmrs_q214_ckpt_{tag}")
+
+
+def q214_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE STATE INSPECTION — ``spark.read.format("statestore")``
+    over a streaming checkpoint: the state store q207's
+    ``applyInPandasWithState`` fold persists (per-source theta/KMV
+    sketch: hashes + overflow bit + row count) is read back as a batch
+    DataFrame — ``key.source`` plus ``value.groupState.<state schema>``
+    — WITHOUT the streaming query running, and re-derives exactly the
+    live drain's output (same oracle as q207). Operationally this is
+    how a 100 TB streaming job is debugged: inspect the checkpoint's
+    state directly instead of instrumenting the job; it is also the
+    recovery audit — what a restart would resume from IS what the
+    sink shows.
+
+    The sketch estimate is computed by the SHARED ``_kmv_estimate``
+    expression (one rounding path across the live drain, this offline
+    read, batch q197, and the DuckDB oracle). h_max falls out of the
+    stored state for free: the fold keeps hashes sorted ascending, so
+    ``element_at(hashes, -1)`` is the sketch maximum — but
+    ``array_max`` is used so the read does not depend on that storage
+    detail. n_sketch = size(hashes) likewise re-derives rather than
+    trusts the update log.
+
+    Scale shape: the state source plans one partition per state-store
+    instance (= the stream's shuffle partitions), each reading its own
+    RocksDB/HDFS-backed store files — no shuffle until the final tiny
+    per-source projection; state volume is O(K) per source regardless
+    of corpus size.
+
+    Reference lineage: the reference's only durable state is the
+    completed-task set inside the coordinator's memory
+    (coordinator.go) — unreadable once the process exits; a
+    checkpointed, offline-queryable state store is the declarative
+    engine's upgrade (SURVEY §2.3)."""
+    from pyspark.sql import functions as F
+
+    ckpt = _q214_ckpt_path(sf_dir, spark)
+    # Drain (first call) or catch up (no new files => no-op batch) the
+    # sketch stream into the persistent checkpoint. The sink is noop:
+    # q214 reads the STATE, not the sink — and unlike the memory sink,
+    # noop recovers from an existing checkpoint, so re-invocations are
+    # cheap catch-ups instead of an AnalysisException.
+    run_available_now(
+        theta_sketch_stream(documents_stream(spark, sf_dir)),
+        checkpoint_dir=ckpt,
+        output_mode="update",
+        sink="noop",
+    )
+    state = spark.read.format("statestore").load(ckpt)
+    summary = state.select(
+        F.col("key.source").alias("source"),
+        F.col("value.groupState.n_rows").alias("n_rows"),
+        F.size("value.groupState.hashes").alias("n_sketch"),
+        F.col("value.groupState.overflowed").alias("overflowed"),
+        F.array_max("value.groupState.hashes").alias("h_max"),
+    )
+    return summary.select(
+        "source", "n_rows", "n_sketch", _kmv_estimate().alias("n_kmv")
     ).orderBy("source")
 
 
@@ -290,6 +376,64 @@ ORDER BY n.source
 """
 
 
+def q212_pydatasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python DataSource (Spark 4
+    ``DataSourceStreamReader``) — the missing half of the pydatasource
+    extension surface (batch ``mrtext`` landed round 5): the documents
+    parquet streamed as row-index ranges through ``format("docrange")``
+    (sources/pystreamsource.py), aggregated per (source, lang) in
+    complete mode, drained with availableNow, and hash-checked against
+    the plain batch oracle — proving rows that enter through the custom
+    offset/partition/read contract are the same rows a batch scan sees.
+
+    Scale shape: offsets are planned driver-side from one parquet
+    FOOTER read (no data scan); each micro-batch fans out as
+    range/partitionRows executor-side reads that touch only their
+    overlapping row groups and materialize only the four needed
+    columns. The aggregate state is one row per (source, lang) —
+    bounded by the label vocabulary, not the corpus. The rate-limited
+    multi-batch walk and the recovery invariant ([a,c) == [a,b) ∪
+    [b,c)) are pinned in tests/properties/test_round12_properties.py.
+
+    Reference lineage: the reference's input model is a static file
+    list handed out once (rpc.go:219-228); a GROWING input needs this
+    offset contract — re-run test-mr.sh vs resume-from-checkpoint."""
+    from pyspark.sql import functions as F
+
+    from ..sources.pystreamsource import register_docrange
+
+    register_docrange(spark)
+    src = (
+        spark.readStream.format("docrange")
+        .option("path", f"{sf_dir.rstrip('/')}/documents.parquet")
+        .load()
+    )
+    agged = src.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.min("n_chars").alias("min_chars"),
+    )
+    table = f"stream_q212_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dmrs_q212_stream_ckpt_")
+    run_available_now(
+        agged, checkpoint_dir=ckpt, table_name=table, output_mode="complete"
+    )
+    return spark.table(table).orderBy("source", "lang")
+
+
+Q212_ORACLE = """
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MAX(doc_id) AS max_doc_id,
+       MIN(n_chars) AS min_chars
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
 def _build_queries():
     from ..operators.retrieval import Q93_ORACLE
     from ..operators.textanalysis import Q91_ORACLE
@@ -319,6 +463,22 @@ def _build_queries():
             "mergeable theta/KMV sketch state in a streaming aggregate "
             "(applyInPandasWithState, O(K) state per source)",
             ("streaming", "documents", "sketch", "approx"),
+        ),
+        QuerySpec(
+            "q212_pydatasource_stream",
+            q212_pydatasource_stream,
+            Q212_ORACLE,
+            "custom streaming Python DataSource (DataSourceStreamReader "
+            "offset/partition/read contract), == the batch oracle",
+            ("streaming", "documents", "source", "extension"),
+        ),
+        QuerySpec(
+            "q214_statestore_reader",
+            q214_statestore_reader,
+            _q207_oracle(),
+            "offline statestore read of q207's checkpointed sketch state "
+            "(== the live drain through the same oracle)",
+            ("streaming", "documents", "statestore", "sketch"),
         ),
     ]
 

@@ -463,9 +463,16 @@ def run_available_now(
     table_name: str = "stream_out",
     output_mode: str = "complete",
     state_partitions: int | None = 8,
+    sink: str = "memory",
 ) -> None:
     """Drain the stream with Trigger.availableNow into an in-memory
     table; blocks until the backlog is fully processed.
+
+    ``sink="noop"`` discards the rows instead — for drains run only to
+    advance a PERSISTENT checkpoint's state (q214): unlike the memory
+    sink, noop supports recovering from an existing checkpoint, so a
+    re-drain over the same location is a cheap no-new-data catch-up
+    rather than an AnalysisException.
 
     ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` for the
     drain: a streaming query creates one state-store instance per
@@ -482,10 +489,11 @@ def run_available_now(
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
+        writer = stream_df.writeStream.format(sink)
+        if sink == "memory":
+            writer = writer.queryName(table_name)
         q = (
-            stream_df.writeStream.format("memory")
-            .queryName(table_name)
-            .outputMode(output_mode)
+            writer.outputMode(output_mode)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
