@@ -418,7 +418,7 @@ FROM f ORDER BY seg, o_orderpriority
 """
 
 
-Q213_MOD = 8  # deterministic input cap (q71's UDTF_KEY_CAP posture)
+Q213_MOD = 32  # deterministic input cap (q71's UDTF_KEY_CAP posture)
 
 
 def q213_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,7 +492,7 @@ def q213_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
             if self._key is not None:
                 yield (self._key, self._n, *self._sums)
 
-    spark.udtf.register("q213_power_sums", udtf(PowerSums))
+    spark.udtf.register("q213_power_sums", udtf(PowerSums, useArrow=True))
     load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % Q213_MOD == 0
     ).createOrReplaceTempView("__q213_orders")
