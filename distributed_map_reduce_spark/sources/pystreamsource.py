@@ -19,12 +19,21 @@ The concrete source streams a parquet file as row-index ranges:
 
 - ``initialOffset`` = row 0; ``latestOffset`` = the file's footer row
   count (one metadata read, no data scan). With ``rowsPerBatch`` set,
-  ``latestOffset`` advances at most that many rows per call — Spark's
-  rate-limit hook (the analog of maxFilesPerTrigger) — so a drain
-  becomes MULTIPLE micro-batches exercising the cross-batch offset
-  walk; leave it unset for a single-batch availableNow drain (the
-  rate-limited form is for fresh-checkpoint tests: a restarted query
-  resumes from the checkpoint, not from this reader's counter).
+  ``latestOffset`` advances at most that many rows past the reader's
+  high-water mark per call — Spark's rate-limit hook (the analog of
+  maxFilesPerTrigger) — so a drain becomes MULTIPLE micro-batches
+  exercising the cross-batch offset walk. Two marks make the rate
+  limiter RESTART-SAFE in both directions a restart can go: a FRESH
+  planner process starts its counters below the WAL (first
+  ``latestOffset`` falls under the committed offset → Spark plans one
+  backwards, empty batch whose bounds reveal the WAL position), while
+  a REUSED planner process starts them above the commit log (planning
+  outruns committing, so the stopped query's last batch replays
+  against a reader that already planned it). ``partitions`` clips
+  re-covered rows by KNOWN-COMMITTED progress only — never by planned
+  progress, which would silently drop the replay — measured
+  exactly-once across mid-stream stop/restart at every stop point
+  (the e2e pin in tests/properties/test_round12_properties.py).
 - ``partitions(start, end)`` chunks the range into ``partitionRows``
   slices → parallelism within a micro-batch is (range / partitionRows),
   independent of file count (vs the reference's one-task-per-file
@@ -94,7 +103,27 @@ class _DocRangeStreamReader(DataSourceStreamReader):
             raise ValueError("docrange requires a path (.parquet file)")
         self.rows_per_batch = int(options.get("rowsPerBatch", 0))
         self.partition_rows = max(1, int(options.get("partitionRows", 2000)))
-        self._pos = 0  # rate-limit counter (fresh-checkpoint runs only)
+        # Restart-safety marks. A restarted query restores offsets from
+        # the WAL, not from reader memory — and the reader instance may
+        # be EITHER fresh (new python planner process: counters reset
+        # below the WAL) or reused from the stopped query (planner
+        # process pooling: counters possibly AHEAD of the commit log,
+        # since planning outruns committing). Both directions are
+        # handled with two separate marks:
+        #   _planned   — highest offset ever handed to partitions();
+        #                paces the rate-limited latestOffset only.
+        #   _committed — highest offset KNOWN delivered: bumped by
+        #                commit(), and by a backwards batch's start
+        #                (Spark's committed offset leaks through there
+        #                when a fresh reader's latestOffset fell below
+        #                the WAL). partitions() clips re-covered rows
+        #                by THIS mark only — clipping by _planned loses
+        #                the replay of an uncommitted batch on a reused
+        #                reader (measured: exactly one batch silently
+        #                dropped). Pinned end-to-end in
+        #                tests/properties/test_round12_properties.py.
+        self._planned = 0
+        self._committed = 0
         self._total = None
 
     def _num_rows(self) -> int:
@@ -111,22 +140,43 @@ class _DocRangeStreamReader(DataSourceStreamReader):
         total = self._num_rows()
         if self.rows_per_batch <= 0:
             return {"row": total}
-        self._pos = min(self._pos + self.rows_per_batch, total)
-        return {"row": self._pos}
+        base = max(self._planned, self._committed)
+        return {"row": min(base + self.rows_per_batch, total)}
 
     def partitions(self, start: dict, end: dict):
         b, e = int(start["row"]), int(end["row"])
-        return [
+        if e < b:
+            # Backwards batch: a restarted fresh reader's rate-limited
+            # latestOffset fell below the WAL's committed offset, and
+            # Spark planned (committed -> stale). Emit nothing; b IS
+            # the committed offset, so record it — the next (forward)
+            # batch starts at the stale offset and must be clipped.
+            self._committed = max(self._committed, b)
+            self._planned = max(self._planned, b)
+            return []
+        # Clip only below KNOWN-COMMITTED progress: rows under it were
+        # delivered by committed batches (either this reader saw the
+        # commit() or a backwards batch revealed the WAL position). A
+        # replay of an UNCOMMITTED batch has b >= _committed and is
+        # re-delivered in full — clipping by planned progress instead
+        # would drop it when the planner process (and this reader) is
+        # reused across the restart.
+        lo0 = max(b, self._committed)
+        parts = [
             _RowRange(self.path, lo, min(lo + self.partition_rows, e))
-            for lo in range(b, e, self.partition_rows)
-        ] or [_RowRange(self.path, b, e)]
+            for lo in range(lo0, e, self.partition_rows)
+        ]
+        self._planned = max(self._planned, b, e)
+        return parts
 
     def read(self, partition: _RowRange):
         yield from _read_row_range(partition.path, partition.begin, partition.end)
 
     def commit(self, end: dict) -> None:
         # Nothing to release for a file; a log-backed source acks here.
-        return None
+        # Record delivery so a rate-limited latestOffset never re-covers
+        # a committed range within this reader's lifetime.
+        self._committed = max(self._committed, int(end["row"]))
 
 
 class DocRangeStreamDataSource(DataSource):

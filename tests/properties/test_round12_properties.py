@@ -141,6 +141,79 @@ def test_udtf_analyze_rejects_bad_k(spark, sf_dir):
         ).collect()
 
 
+def test_docrange_restart_is_exactly_once(spark, sf_dir):
+    """Stop the rate-limited stream MID-WAY and restart from the same
+    checkpoint: the drain must deliver every row exactly once. This is
+    the failure mode the reader's high-water mark exists for — the WAL
+    survives a restart, the in-memory rate counter does not, and
+    without the mark the first post-restart latestOffset falls below
+    the committed offset and re-covers rows (measured: 587 rows for a
+    500-row file before the fix)."""
+    import time
+
+    register_docrange(spark)
+    ckpt = tempfile.mkdtemp(prefix="q212_restart_ckpt_")
+    out = tempfile.mkdtemp(prefix="q212_restart_out_")
+
+    def start():
+        src = (
+            spark.readStream.format("docrange")
+            .option("path", _docs_path(sf_dir))
+            .option("rowsPerBatch", "29")
+            .load()
+        )
+        return (
+            src.writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    for _ in range(600):
+        p = q.lastProgress
+        if p and p["batchId"] >= 2:
+            break
+        time.sleep(0.05)
+    try:
+        q.stop()
+    except Exception:
+        # stopping mid-batch IS the simulated crash; an interrupted
+        # in-flight batch may surface its cancellation here
+        pass
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = spark.read.json(out)
+    batch = spark.read.parquet(_docs_path(sf_dir))
+    total = batch.count()
+    n = got.count()
+    n_distinct = got.select("doc_id").distinct().count()
+    if n != total or n_distinct != total:
+        # self-diagnosing failure: which ids, and what the WAL says
+        import glob
+        import os
+
+        have = {r["doc_id"] for r in got.select("doc_id").collect()}
+        want = {r["doc_id"] for r in batch.select("doc_id").collect()}
+        logs = {
+            log: [
+                (os.path.basename(f), open(f).read().strip().splitlines()[-1])
+                for f in sorted(glob.glob(f"{ckpt}/{log}/*"))
+                if not f.endswith(".tmp")
+            ]
+            for log in ("offsets", "commits")
+        }
+        raise AssertionError(
+            f"rows={n} distinct={n_distinct} expected={total}; "
+            f"missing={sorted(want - have)[:40]} "
+            f"dup_or_extra={sorted(have - want)[:10]}; logs={logs}"
+        )
+
+
 def test_statestore_read_equals_live_drain_and_reuses_checkpoint(spark, sf_dir):
     """q214's offline state read must equal q207's live drain (same
     rows through a different physical path), and a second invocation
