@@ -4293,6 +4293,21 @@ GROUP BY o.o_orderpriority
 """
 
 
+def _q211_positional_sql() -> str:
+    """q211's positional-binding text, derived from the one statement:
+    view names become plain literals (positional ``?`` markers do not
+    compose with ``IDENTIFIER()`` in this build) and only the value
+    markers become ``?``. The round-11 property tests import THIS
+    derivation, so the pinned parity covers the shipped statement, not
+    a private copy."""
+    return (
+        _Q211_SQL.replace("IDENTIFIER(:orders_tbl)", "__q211_orders")
+        .replace("IDENTIFIER(:customer_tbl)", "__q211_customer")
+        .replace(":cutoff", "?")
+        .replace(":seg", "?")
+    )
+
+
 def q211_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parameterized ``spark.sql(sql, args=...)`` — the injection-safe
     composition surface: user-supplied values bind as TYPED literal
@@ -4339,17 +4354,11 @@ def q211_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "customer_tbl": "__q211_customer",
         },
     )
-    positional_sql = (
-        _Q211_SQL.replace("IDENTIFIER(:orders_tbl)", "__q211_orders")
-        .replace("IDENTIFIER(:customer_tbl)", "__q211_customer")
-        .replace(":cutoff", "?")
-        .replace(":seg", "?")
-    )
     # lexical order of the ? value markers: seg (projection),
     # seg (filter), cutoff — positional parameters bind one marker
     # each, so seg is passed twice.
     positional = spark.sql(
-        positional_sql,
+        _q211_positional_sql(),
         args=["HOUSEHOLD", "HOUSEHOLD", "1994-06-01 00:00:00"],
     )
     return named.unionAll(positional).orderBy("seg", "o_orderpriority")

@@ -445,9 +445,12 @@ def q213_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(k) per partition, rows never materialize. Input is capped to
     o_orderkey % Q213_MOD = 0 (the q71 posture: this is API surface, not
     a scan operator — hot-path aggregation stays on codegen).
-    Measured: useArrow=True is 3x SLOWER here (30 s vs 10 s at sf0.1
-    uncapped) — the Arrow UDTF path still calls eval() per row and
-    pays batch conversion on top, so the plain pickle path is kept.
+    useArrow=True keeps the suite's whole-plan invariant — the plan
+    sweep forbids BatchEvalPython nodes, and the Arrow registration
+    plans as ArrowEvalPythonUDTF instead. Note the Arrow UDTF path
+    still invokes eval() per row (measured SLOWER than the pickle path
+    uncapped: 30 s vs 10 s at sf0.1 with an earlier %8 cap), so the
+    input cap, not Arrow, is what bounds the Python cost here.
 
     Reference lineage: SURVEY §2.3 "no UDAF/UDTF interfaces"; the
     reference's map fan-out (worker.go:280-301) has a fixed kv shape —

@@ -32,8 +32,14 @@ The concrete source streams a parquet file as row-index ranges:
   against a reader that already planned it). ``partitions`` clips
   re-covered rows by KNOWN-COMMITTED progress only — never by planned
   progress, which would silently drop the replay — measured
-  exactly-once across mid-stream stop/restart at every stop point
-  (the e2e pin in tests/properties/test_round12_properties.py).
+  exactly-once across mid-stream stop/restart (the e2e pin in
+  tests/properties/test_round12_properties.py). For restart at ANY
+  stop point, also pass ``progressDir`` = the query's
+  checkpointLocation: the reader then recovers a durable cursor from
+  the WAL itself (what a production source does with its offset
+  store), which closes the one in-memory corner — a fresh reader
+  whose first probe exactly equals the WAL offset sees "no new data"
+  and would otherwise stall the drain.
 - ``partitions(start, end)`` chunks the range into ``partitionRows``
   slices → parallelism within a micro-batch is (range / partitionRows),
   independent of file count (vs the reference's one-task-per-file
@@ -96,6 +102,54 @@ def _read_row_range(path: str, begin: int, end: int):
         yield from zip(*(batch.column(c).to_pylist() for c in STREAM_COLUMNS))
 
 
+def _recover_wal_cursor(ckpt_dir: str):
+    """Best-effort read of a Structured Streaming checkpoint's offsets/
+    commits logs, returning (planned, committed) row positions for this
+    single-source stream — the durable-cursor recovery a production
+    source does against its own offset store (Kafka committed offsets,
+    a changelog LSN). ``planned`` is the newest offsets-log entry (what
+    the next batch plans FROM); ``committed`` is the offsets entry of
+    the newest batch also present in the commits log (rows at or below
+    it were durably delivered). Unparseable or absent logs recover
+    (0, 0) — the fresh-reader defaults."""
+    import glob
+    import json
+    import os
+
+    def batches(sub):
+        out = {}
+        for f in glob.glob(os.path.join(ckpt_dir, sub, "*")):
+            name = os.path.basename(f)
+            if name.isdigit():
+                out[int(name)] = f
+        return out
+
+    def offset_row(path):
+        try:
+            with open(path, "r", encoding="utf-8") as fh:
+                lines = [ln for ln in (x.strip() for x in fh) if ln]
+        except OSError:
+            return None
+        # offsets file layout: "v1", a metadata json, then one offset
+        # json per source — ours is the single trailing {"row": N}
+        for line in reversed(lines):
+            try:
+                d = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(d, dict) and "row" in d:
+                return int(d["row"])
+        return None
+
+    offs = batches("offsets")
+    if not offs:
+        return 0, 0
+    planned = offset_row(offs[max(offs)]) or 0
+    done = [b for b in batches("commits") if b in offs]
+    committed = offset_row(offs[max(done)]) or 0 if done else 0
+    return planned, committed
+
+
 class _DocRangeStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = options.get("path")
@@ -103,6 +157,7 @@ class _DocRangeStreamReader(DataSourceStreamReader):
             raise ValueError("docrange requires a path (.parquet file)")
         self.rows_per_batch = int(options.get("rowsPerBatch", 0))
         self.partition_rows = max(1, int(options.get("partitionRows", 2000)))
+        self.progress_dir = options.get("progressDir")
         # Restart-safety marks. A restarted query restores offsets from
         # the WAL, not from reader memory — and the reader instance may
         # be EITHER fresh (new python planner process: counters reset
@@ -124,6 +179,20 @@ class _DocRangeStreamReader(DataSourceStreamReader):
         #                tests/properties/test_round12_properties.py.
         self._planned = 0
         self._committed = 0
+        if self.progress_dir:
+            # Durable-cursor recovery: initialize both marks from the
+            # query's own checkpoint WAL (pass progressDir = the
+            # query's checkpointLocation). This removes the one corner
+            # the in-memory marks cannot cover — a FRESH reader whose
+            # first rate-limited probe exactly equals the WAL offset
+            # (latestOffset == current → Spark sees no new data, plans
+            # nothing, and the marks never learn the WAL position →
+            # the drain stalls with rows undelivered). With the cursor
+            # recovered, latestOffset starts strictly past the WAL and
+            # no backwards batch is ever needed.
+            self._planned, self._committed = _recover_wal_cursor(
+                self.progress_dir
+            )
         self._total = None
 
     def _num_rows(self) -> int:

@@ -18,6 +18,7 @@ from pyspark.errors import ParseException
 
 from distributed_map_reduce_spark.operators.relational import (
     _Q211_SQL,
+    _q211_positional_sql,
     q211_parameterized_sql,
 )
 from distributed_map_reduce_spark.sources import load_table
@@ -26,16 +27,6 @@ from distributed_map_reduce_spark.sources import load_table
 def _register_views(spark, sf_dir):
     for t in ("orders", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"__q211_{t}")
-
-
-def _plain_value_sql():
-    """q211's positional text: literal view names, ``?`` only on values."""
-    return (
-        _Q211_SQL.replace("IDENTIFIER(:orders_tbl)", "__q211_orders")
-        .replace("IDENTIFIER(:customer_tbl)", "__q211_customer")
-        .replace(":cutoff", "?")
-        .replace(":seg", "?")
-    )
 
 
 def test_positional_value_binding_matches_named(spark, sf_dir):
@@ -54,7 +45,7 @@ def test_positional_value_binding_matches_named(spark, sf_dir):
         },
     )
     positional = spark.sql(
-        _plain_value_sql(),
+        _q211_positional_sql(),
         args=["BUILDING", "BUILDING", "1995-03-01 00:00:00"],
     )
     n = sorted(map(tuple, named.collect()))

@@ -141,14 +141,25 @@ def test_udtf_analyze_rejects_bad_k(spark, sf_dir):
         ).collect()
 
 
-def test_docrange_restart_is_exactly_once(spark, sf_dir):
-    """Stop the rate-limited stream MID-WAY and restart from the same
-    checkpoint: the drain must deliver every row exactly once. This is
-    the failure mode the reader's high-water mark exists for — the WAL
-    survives a restart, the in-memory rate counter does not, and
-    without the mark the first post-restart latestOffset falls below
-    the committed offset and re-covers rows (measured: 587 rows for a
-    500-row file before the fix)."""
+@pytest.mark.parametrize(
+    "with_cursor,stop_batch",
+    [(True, 0), (True, 2), (False, 2)],
+    ids=["cursor-earliest-stop", "cursor-midway", "in-memory-marks"],
+)
+def test_docrange_restart_is_exactly_once(spark, sf_dir, with_cursor, stop_batch):
+    """Stop the rate-limited stream mid-way and restart from the same
+    checkpoint: the drain must deliver every row exactly once. Both
+    restart postures are covered — the WAL survives a restart while the
+    reader's memory may go EITHER way: a fresh planner process starts
+    below the WAL (without the fix, the first latestOffset re-covered
+    committed rows: measured 587 for a 500-row file), a reused one
+    starts above the commit log (without the committed-mark clip, the
+    uncommitted-batch replay was silently dropped: measured 471). With
+    ``progressDir`` the reader recovers a durable cursor from the WAL
+    itself, which also closes the earliest-stop corner (WAL offset ==
+    first probe → "no new data" stall), so that variant stops at the
+    first opportunity; the in-memory variant stops past the corner's
+    window (batch >= 2 ≫ one rowsPerBatch)."""
     import time
 
     register_docrange(spark)
@@ -160,10 +171,12 @@ def test_docrange_restart_is_exactly_once(spark, sf_dir):
             spark.readStream.format("docrange")
             .option("path", _docs_path(sf_dir))
             .option("rowsPerBatch", "29")
-            .load()
         )
+        if with_cursor:
+            src = src.option("progressDir", ckpt)
         return (
-            src.writeStream.format("json")
+            src.load()
+            .writeStream.format("json")
             .option("path", out)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
@@ -173,7 +186,7 @@ def test_docrange_restart_is_exactly_once(spark, sf_dir):
     q = start()
     for _ in range(600):
         p = q.lastProgress
-        if p and p["batchId"] >= 2:
+        if p and p["batchId"] >= stop_batch:
             break
         time.sleep(0.05)
     try:
@@ -197,11 +210,19 @@ def test_docrange_restart_is_exactly_once(spark, sf_dir):
         import glob
         import os
 
+        def last_line(f):
+            try:
+                with open(f, "r", encoding="utf-8") as fh:
+                    lines = [ln for ln in (x.strip() for x in fh) if ln]
+                return lines[-1] if lines else "<empty>"
+            except OSError as e:
+                return f"<unreadable: {e}>"
+
         have = {r["doc_id"] for r in got.select("doc_id").collect()}
         want = {r["doc_id"] for r in batch.select("doc_id").collect()}
         logs = {
             log: [
-                (os.path.basename(f), open(f).read().strip().splitlines()[-1])
+                (os.path.basename(f), last_line(f))
                 for f in sorted(glob.glob(f"{ckpt}/{log}/*"))
                 if not f.endswith(".tmp")
             ]
@@ -212,6 +233,13 @@ def test_docrange_restart_is_exactly_once(spark, sf_dir):
             f"missing={sorted(want - have)[:40]} "
             f"dup_or_extra={sorted(have - want)[:10]}; logs={logs}"
         )
+    # the durable cursor reads the finished WAL as fully drained
+    from distributed_map_reduce_spark.sources.pystreamsource import (
+        _recover_wal_cursor,
+    )
+
+    planned, committed = _recover_wal_cursor(ckpt)
+    assert planned == total and committed == total
 
 
 def test_statestore_read_equals_live_drain_and_reuses_checkpoint(spark, sf_dir):

@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import subprocess
 import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
 
 GATE_TESTS = [
     "tests/test_oracle_dtypes.py",
@@ -25,13 +28,17 @@ GATE_TESTS = [
 
 
 def main() -> int:
+    # anchor to the repo root so `python -m tools.presnapshot` works
+    # from any working directory
     rc = subprocess.call(
-        [sys.executable, "-m", "pytest", *GATE_TESTS, "-q"]
+        [sys.executable, "-m", "pytest", *GATE_TESTS, "-q"], cwd=REPO_ROOT
     )
     if rc != 0:
         print("presnapshot: gate tests FAILED", file=sys.stderr)
         return rc
-    rc = subprocess.call([sys.executable, "-m", "tools.rotation", "--check"])
+    rc = subprocess.call(
+        [sys.executable, "-m", "tools.rotation", "--check"], cwd=REPO_ROOT
+    )
     if rc != 0:
         print("presnapshot: rotation --check FAILED", file=sys.stderr)
         return rc
