@@ -141,12 +141,23 @@ def _recover_wal_cursor(ckpt_dir: str):
                 return int(d["row"])
         return None
 
+    def newest_readable(ids, offs):
+        # fall back past unreadable entries (a crash can leave an
+        # empty/truncated newest file): the newest READABLE offset is
+        # still a safe cursor — it only under-reports, and the
+        # backwards-batch machinery absorbs under-reporting
+        for b in sorted(ids, reverse=True):
+            row = offset_row(offs[b])
+            if row is not None:
+                return row
+        return 0
+
     offs = batches("offsets")
     if not offs:
         return 0, 0
-    planned = offset_row(offs[max(offs)]) or 0
+    planned = newest_readable(offs, offs)
     done = [b for b in batches("commits") if b in offs]
-    committed = offset_row(offs[max(done)]) or 0 if done else 0
+    committed = newest_readable(done, offs) if done else 0
     return planned, committed
 
 
