@@ -1,0 +1,174 @@
+"""Watch-list probes de-risking the round-13 intake candidates.
+
+Same discipline as q205's correlated-LATERAL probe (commit a187b14):
+before a surface becomes a registry query, pin how THIS Spark build
+behaves on it — the working form, the trap, and the oracle-matchability
+evidence — so the intake round composes queries instead of debugging
+binders. Five candidates, all verified available in pyspark 4.1.2 here:
+
+1. ``listagg`` — bare listagg's order is partition-dependent; only the
+   ``WITHIN GROUP (ORDER BY ...)`` form is deterministic. DuckDB twin:
+   ``string_agg(x, ',' ORDER BY ...)``.
+2. ``collate('UNICODE_CI')`` — CI grouping matches DuckDB ``lower()``
+   grouping on this ASCII corpus, BUT the Spark group key retains an
+   arbitrary representative's original case: an oracle-hashed query
+   must surface ``lower(key)``, never the raw collated key.
+3. ``hll_sketch_agg`` (Datasketches HLL, lgK=14) — NOT exact even at
+   sf0.01 shingle cardinality (~3.7k/source: est 3735 vs exact 3746),
+   so an HLL registry entry is rows-only with an error-bound property,
+   or must sit on a small domain where sparse mode is exact (tokens,
+   ~31/source). ``hll_union_agg`` over per-bucket sketches is
+   deterministic for a FIXED bucketing but does NOT reproduce the
+   one-shot sketch estimate, and changing the bucket geometry shifts
+   the estimate (the union goes through Datasketches' HLL_8 gadget) —
+   so a merged-sketch query must fix its bucketing explicitly and can
+   only be oracled via an error bound, never a value hash.
+4. ``from_xml`` — schema-projected extraction; oracle replays with
+   regexp. Malformed input degrades to NULL fields (PERMISSIVE), not
+   an error.
+5. ``EXECUTE IMMEDIATE ... USING`` — positional binding works here
+   (unlike '?' inside IDENTIFIER(), q211's pinned quirk).
+"""
+
+import duckdb
+from pyspark.sql import functions as F
+
+
+def _docs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    df.createOrReplaceTempView("probe_docs")
+    return df
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir.rstrip('/')}/documents.parquet'"
+        )
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def test_listagg_within_group_matches_duckdb_string_agg(spark, sf_dir):
+    """Only the WITHIN GROUP form is deterministic: bare listagg
+    concatenates in partition-arrival order. The ordered form must
+    hash-match DuckDB's ordered string_agg exactly."""
+    _docs(spark, sf_dir)
+    got = spark.sql(
+        "SELECT source, listagg(CAST(doc_id AS STRING), ',') "
+        "WITHIN GROUP (ORDER BY doc_id) AS ids "
+        "FROM probe_docs GROUP BY source ORDER BY source"
+    ).collect()
+    want = _duck(
+        sf_dir,
+        "SELECT source, string_agg(CAST(doc_id AS VARCHAR), ',' "
+        "ORDER BY doc_id) AS ids FROM documents GROUP BY source "
+        "ORDER BY source",
+    )
+    assert [(r.source, r.ids) for r in got] == want
+
+
+def test_collate_ci_grouping_needs_lower_for_oracle(spark, sf_dir):
+    """UNICODE_CI grouping agrees with lower() grouping on this ASCII
+    corpus (same groups, same counts) — but the collated group KEY is
+    an arbitrary-case representative, so the oracle-safe surface is
+    lower(key). Assert the lower()-projected form matches DuckDB."""
+    _docs(spark, sf_dir)
+    got = spark.sql(
+        "SELECT lower(k) AS k, n FROM ("
+        "  SELECT collate(substr(text, 1, 2), 'UNICODE_CI') AS k, "
+        "         count(*) AS n FROM probe_docs GROUP BY k"
+        ") ORDER BY k"
+    ).collect()
+    want = _duck(
+        sf_dir,
+        "SELECT lower(substr(text, 1, 2)) AS k, count(*) AS n "
+        "FROM documents GROUP BY k ORDER BY k",
+    )
+    assert [(r.k, r.n) for r in got] == want
+
+
+def test_hll_error_bound_and_union_mergeability(spark, sf_dir):
+    """Three pins: (a) the lgK=14 estimate is NOT exact at shingle
+    cardinality (so any registry entry is rows-only + this error
+    bound); (b) unioning per-bucket sketches stays within the same
+    bound of exact — mergeability is what makes HLL a linear scan at
+    100 TB; (c) the merged estimate does NOT equal the one-shot
+    estimate in this build (HLL_8 union gadget), so the one-shot path
+    can never serve as the merged path's oracle."""
+    _docs(spark, sf_dir)
+    shingles = spark.sql(
+        "SELECT source, doc_id % 4 AS bucket, "
+        "explode(transform(sequence(1, greatest(length(text)-7, 0)), "
+        "        i -> substr(text, i, 8))) AS sh "
+        "FROM probe_docs"
+    )
+    shingles.createOrReplaceTempView("probe_shingles")
+    one_shot = {
+        r.source: (r.est, r.exact)
+        for r in spark.sql(
+            "SELECT source, "
+            "hll_sketch_estimate(hll_sketch_agg(sh, 14)) AS est, "
+            "count(DISTINCT sh) AS exact "
+            "FROM probe_shingles GROUP BY source"
+        ).collect()
+    }
+    for src, (est, exact) in one_shot.items():
+        assert abs(est - exact) <= max(0.03 * exact, 3), (src, est, exact)
+    merged = {
+        r.source: r.est
+        for r in spark.sql(
+            "SELECT source, hll_sketch_estimate(hll_union_agg(sk)) AS est "
+            "FROM (SELECT source, bucket, hll_sketch_agg(sh, 14) AS sk "
+            "      FROM probe_shingles GROUP BY source, bucket) "
+            "GROUP BY source"
+        ).collect()
+    }
+    for src, est in merged.items():
+        exact = one_shot[src][1]
+        assert abs(est - exact) <= max(0.03 * exact, 3), (src, est, exact)
+    # the union gadget shifts estimates: merged != one-shot for at
+    # least some sources at this cardinality (if this ever flips to
+    # all-equal on a Spark upgrade, the one-shot oracle becomes viable)
+    assert any(
+        merged[src] != est for src, (est, _) in one_shot.items()
+    ), "HLL union now reproduces one-shot estimates — revisit oracle design"
+
+
+def test_from_xml_extraction_matches_regexp_oracle(spark, sf_dir):
+    """Schema-projected from_xml over synthesized XML equals the
+    regexp replay (the DuckDB oracle shape for an r13 XML query), and
+    malformed XML degrades to NULL fields, not an error."""
+    _docs(spark, sf_dir)
+    got = spark.sql(
+        "SELECT x.id AS id, x.src AS src FROM ("
+        "  SELECT from_xml(concat('<r><id>', doc_id, '</id><src>', "
+        "                         source, '</src></r>'), "
+        "                  'id BIGINT, src STRING') AS x "
+        "  FROM probe_docs) ORDER BY id"
+    ).collect()
+    want = _duck(
+        sf_dir,
+        "SELECT doc_id AS id, source AS src FROM documents ORDER BY id",
+    )
+    assert [(r.id, r.src) for r in got] == want
+    bad = spark.sql(
+        "SELECT from_xml('<r><id>oops', 'id BIGINT, src STRING') AS x"
+    ).collect()[0].x
+    assert bad.src is None
+
+
+def test_execute_immediate_positional_using_binds(spark, sf_dir):
+    """EXECUTE IMMEDIATE's USING clause binds positional values in this
+    build (value slots only — the IDENTIFIER() interaction stays on
+    q211's watch list, tests/properties/test_round11_properties.py)."""
+    _docs(spark, sf_dir)
+    got = spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT count(*) AS n FROM probe_docs WHERE doc_id < ?' USING 10"
+    ).collect()[0].n
+    want = _duck(sf_dir, "SELECT count(*) FROM documents WHERE doc_id < 10")[0][0]
+    assert got == want
