@@ -28,7 +28,16 @@ binders. Five candidates, all verified available in pyspark 4.1.2 here:
    an error.
 5. ``EXECUTE IMMEDIATE ... USING`` — positional binding works here
    (unlike '?' inside IDENTIFIER(), q211's pinned quirk).
+6. ``foreachBatch`` + batchId-keyed overwrite — the exactly-once file
+   sink recipe: a crash-before-commit replay re-delivers the SAME
+   batchId and the overwrite absorbs it. Gotcha pinned: simulating the
+   crash by deleting ``commits/N`` must also delete the local
+   filesystem's ``.N.crc`` sidecar, or the replay's rename fails and
+   surfaces as a misleading "multiple streaming queries" error.
 """
+
+import glob
+import os
 
 import duckdb
 from pyspark.sql import functions as F
@@ -172,3 +181,60 @@ def test_execute_immediate_positional_using_binds(spark, sf_dir):
     ).collect()[0].n
     want = _duck(sf_dir, "SELECT count(*) FROM documents WHERE doc_id < 10")[0][0]
     assert got == want
+
+
+def test_foreachbatch_batchid_overwrite_is_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch's exactly-once recipe: write each batch to a
+    batchId-keyed path with mode=overwrite. Three pins over the
+    docrange source with an availableNow drain: (a) the drain delivers
+    the corpus once; (b) a crash-before-commit (commits/N removed —
+    with its .crc sidecar, or the replay's rename fails with a
+    misleading concurrent-queries error) replays the SAME batchId, and
+    the overwrite absorbs the re-delivery; (c) a further restart over
+    the completed checkpoint invokes the sink zero times."""
+    from distributed_map_reduce_spark.sources.pystreamsource import (
+        register_docrange,
+    )
+
+    register_docrange(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    os.makedirs(out)
+    calls = []
+
+    def sink(df, batch_id):
+        df.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
+        calls.append(batch_id)
+
+    def drain():
+        src = (
+            spark.readStream.format("docrange")
+            .option("path", f"{sf_dir.rstrip('/')}/documents.parquet")
+            .option("progressDir", ckpt)
+            .load()
+        )
+        q = (
+            src.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert calls == [0]
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    calls.clear()
+    drain()
+    assert calls == [0], "uncommitted batch must replay under the same id"
+    written = spark.read.parquet(*glob.glob(os.path.join(out, "b*")))
+    n_docs = spark.read.parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet"
+    ).count()
+    assert written.count() == n_docs
+    assert written.select("doc_id").distinct().count() == n_docs
+    calls.clear()
+    drain()
+    assert calls == []
