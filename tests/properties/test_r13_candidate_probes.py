@@ -4,7 +4,8 @@ Same discipline as q205's correlated-LATERAL probe (commit a187b14):
 before a surface becomes a registry query, pin how THIS Spark build
 behaves on it — the working form, the trap, and the oracle-matchability
 evidence — so the intake round composes queries instead of debugging
-binders. Five candidates, all verified available in pyspark 4.1.2 here:
+binders. Eleven candidates, all verified available in pyspark 4.1.2
+here:
 
 1. ``listagg`` — bare listagg's order is partition-dependent; only the
    ``WITHIN GROUP (ORDER BY ...)`` form is deterministic. DuckDB twin:
@@ -34,6 +35,32 @@ binders. Five candidates, all verified available in pyspark 4.1.2 here:
    crash by deleting ``commits/N`` must also delete the local
    filesystem's ``.N.crc`` sidecar, or the replay's rename fails and
    surfaces as a misleading "multiple streaming queries" error.
+7. SQL scripting (``BEGIN ... END``, Spark 4.0) — DECLARE/SET, WHILE,
+   FOR-over-query, and IF all execute here; the script returns ONLY
+   the final statement's result (earlier SELECTs are discarded), so a
+   registry query must put its whole answer in the last statement.
+   Oracle shape: replay the loop's closed form in plain SQL.
+8. Session variables (``DECLARE VARIABLE`` / ``SET VAR``) — values
+   CONSTANT-FOLD into the plan (a variable in a WHERE clause prunes
+   like a hand-inlined literal at 100 TB), ``SET VAR x = ?`` binds
+   positionally, and a variable inside ``IDENTIFIER()`` RESOLVES —
+   the exact composition q211 pinned as broken for positional ``?``
+   markers. Variables are the working path for parameterized table
+   names + positional submission.
+9. Native XML DataSource (``format("xml")`` read AND write) — the
+   file-level sibling of the ``from_xml`` probe above: round trip
+   through files preserves values including XML-special characters
+   (``< & "`` are escaped on write, unescaped on read).
+10. ``approx_top_k`` — counts are EXACT while distinct items tracked
+    stay under maxItemsTracked (default 10000), but the returned
+    array's order among EQUAL counts is arbitrary, so an oracle-hashed
+    query must explode and re-sort by (count DESC, item) rather than
+    trust the sketch's tie order.
+11. Arrow-optimized Python UDF (``udf(..., useArrow=True)``) — plans
+    as ``ArrowEvalPython`` (Arrow batch transfer) where the row form
+    plans ``BatchEvalPython`` (pickled rows); results agree with the
+    row form and the equivalent built-in expression. The registry's
+    UDF-demonstration surfaces should default to the Arrow form.
 """
 
 import glob
@@ -238,3 +265,137 @@ def test_foreachbatch_batchid_overwrite_is_exactly_once(spark, sf_dir, tmp_path)
     calls.clear()
     drain()
     assert calls == []
+
+
+def test_sql_scripting_loop_and_final_result(spark, sf_dir):
+    """SQL scripting executes DECLARE/SET/FOR here and a script
+    returns ONLY its final statement's result — the earlier SELECT is
+    discarded, so a registry query must stage its whole answer into
+    the last statement. The FOR-loop fold must equal the closed-form
+    aggregate (the DuckDB oracle shape for a scripting query)."""
+    _docs(spark, sf_dir)
+    rows = spark.sql(
+        """
+BEGIN
+  DECLARE total BIGINT DEFAULT 0;
+  SELECT 'discarded' AS note;
+  FOR grp AS SELECT count(*) AS n FROM probe_docs GROUP BY source DO
+    SET total = total + grp.n;
+  END FOR;
+  SELECT total;
+END
+"""
+    ).collect()
+    want = _duck(sf_dir, "SELECT count(*) FROM documents")[0][0]
+    assert len(rows) == 1 and rows[0][0] == want
+    assert rows[0].asDict().keys() == {"total"}, (
+        "script returned a non-final statement's result"
+    )
+
+
+def test_session_variables_fold_bind_and_identify(spark, sf_dir):
+    """Three pins on session variables: (a) a variable in a WHERE
+    clause constant-folds into the optimized plan (literal pruning at
+    100 TB, same posture as q211's named args); (b) ``SET VAR x = ?``
+    binds positionally; (c) a variable inside ``IDENTIFIER()``
+    RESOLVES — the working counterpart of q211's pinned
+    positional-?-in-IDENTIFIER ParseException."""
+    _docs(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE r13_lim BIGINT DEFAULT 10")
+    spark.sql("SET VAR r13_lim = ?", args=[25])
+    df = spark.sql(
+        "SELECT count(*) AS n FROM probe_docs WHERE doc_id < r13_lim"
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "25" in plan and "r13_lim" not in plan, (
+        "session variable no longer constant-folds"
+    )
+    want = _duck(sf_dir, "SELECT count(*) FROM documents WHERE doc_id < 25")
+    assert df.collect()[0].n == want[0][0]
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE r13_tbl STRING DEFAULT 'probe_docs'"
+    )
+    got = spark.sql("SELECT count(*) AS n FROM IDENTIFIER(r13_tbl)")
+    assert got.collect()[0].n == _duck(
+        sf_dir, "SELECT count(*) FROM documents"
+    )[0][0]
+
+
+def test_xml_datasource_roundtrip_escapes(spark, sf_dir, tmp_path):
+    """The native XML DataSource (file-level sibling of from_xml):
+    write then read preserves every value, including XML-special
+    characters — ``< & "`` are escaped on write and unescaped on
+    read, so arbitrary document text survives the format."""
+    docs = _docs(spark, sf_dir)
+    src = docs.selectExpr(
+        "doc_id", "concat(source, ' <&\"> ', doc_id) AS s"
+    )
+    path = str(tmp_path / "xmlrt")
+    src.write.format("xml").option("rowTag", "row").save(path)
+    back = spark.read.format("xml").option("rowTag", "row").load(path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
+def test_approx_top_k_exact_counts_arbitrary_tie_selection(spark, sf_dir):
+    """Two pins: (a) under maxItemsTracked the sketch's COUNTS are
+    exact — re-sorted by (count DESC, item) the top-5 tokens match the
+    exact aggregate (boundary counts are distinct in this corpus);
+    (b) when a COUNT TIE crosses the k boundary, even the SELECTION is
+    arbitrary (not just the order), so an oracle-hashed registry query
+    needs a count floor above tie depth or a deterministic re-rank."""
+    _docs(spark, sf_dir)
+    n_toks = spark.sql(
+        "SELECT count(DISTINCT tok) AS n FROM "
+        "(SELECT explode(split(text, ' ')) AS tok FROM probe_docs)"
+    ).collect()[0].n
+    assert n_toks < 10000, "corpus outgrew the sketch's exact regime"
+    got = spark.sql(
+        "SELECT e.item, e.count AS c FROM ("
+        "  SELECT approx_top_k(tok, 5) AS tk FROM "
+        "  (SELECT explode(split(text, ' ')) AS tok FROM probe_docs)"
+        ") LATERAL VIEW explode(tk) AS e ORDER BY c DESC, e.item"
+    ).collect()
+    want = _duck(
+        sf_dir,
+        "SELECT tok, count(*) AS c FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
+        "GROUP BY tok ORDER BY c DESC, tok LIMIT 5",
+    )
+    assert [(r.item, r.c) for r in got] == want
+    tie = spark.sql(
+        "SELECT approx_top_k(x, 2) AS tk "
+        "FROM VALUES ('a'), ('a'), ('b'), ('c') t(x)"
+    ).collect()[0].tk
+    assert (tie[0].item, tie[0]["count"]) == ("a", 2)
+    assert tie[1].item in {"b", "c"} and tie[1]["count"] == 1
+
+
+def test_arrow_udf_plans_arrow_eval_and_agrees(spark, sf_dir):
+    """``udf(..., useArrow=True)`` plans as ArrowEvalPython (Arrow
+    batch transfer) where the row form plans BatchEvalPython (pickled
+    rows); both agree with the built-in expression. Pins the perf
+    posture for any r13 UDF-demonstration surface: default to the
+    Arrow form, never the row form."""
+    from pyspark.sql.functions import udf
+
+    docs = _docs(spark, sf_dir)
+    arrow_f = udf(lambda s: len(s.split(" ")), "int", useArrow=True)
+    row_f = udf(lambda s: len(s.split(" ")), "int", useArrow=False)
+    via_arrow = docs.select("doc_id", arrow_f("text").alias("n"))
+    via_row = docs.select("doc_id", row_f("text").alias("n"))
+    assert "ArrowEvalPython" in (
+        via_arrow._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" in (
+        via_row._jdf.queryExecution().executedPlan().toString()
+    )
+    builtin = {
+        r.doc_id: r.n
+        for r in docs.selectExpr(
+            "doc_id", "size(split(text, ' ')) AS n"
+        ).collect()
+    }
+    assert {r.doc_id: r.n for r in via_arrow.collect()} == builtin
+    assert {r.doc_id: r.n for r in via_row.collect()} == builtin
