@@ -158,6 +158,8 @@ DEFAULT_AUDIT = [
     "q206_variant_roundtrip",
     "q208_sql_pipe",
     "q211_parameterized_sql",
+    "q213_udtf_analyze",
+    "q214_statestore_reader",
 ]
 
 
@@ -188,7 +190,21 @@ def main() -> int:
     args = ap.parse_args()
     names = args.queries or DEFAULT_AUDIT
 
-    spark = get_spark("plan-audit")
+    # Hermetic warehouse: the main table documents the DEFAULT plans
+    # (what the driver/oracle check). With the session's warehouse
+    # pointed at the working directory, resolve_pairs(pairs=None)
+    # silently picks up any fresh pair store a prior bench/parity run
+    # left behind, and the pair-consumer rows flip to their stored-path
+    # plans — the main-table twin of the amortization degeneration
+    # VERDICT r10 flagged. A throwaway warehouse guarantees inline.
+    import tempfile as _tmp
+
+    spark = get_spark(
+        "plan-audit",
+        extra_conf={
+            "spark.sql.warehouse.dir": _tmp.mkdtemp(prefix="plan_audit_wh_")
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
