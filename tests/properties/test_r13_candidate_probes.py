@@ -340,11 +340,11 @@ def test_xml_datasource_roundtrip_escapes(spark, sf_dir, tmp_path):
 
 def test_approx_top_k_exact_counts_arbitrary_tie_selection(spark, sf_dir):
     """Two pins: (a) under maxItemsTracked the sketch's COUNTS are
-    exact — re-sorted by (count DESC, item) the top-5 tokens match the
-    exact aggregate (boundary counts are distinct in this corpus);
-    (b) when a COUNT TIE crosses the k boundary, even the SELECTION is
-    arbitrary (not just the order), so an oracle-hashed registry query
-    needs a count floor above tie depth or a deterministic re-rank."""
+    exact and the returned array is a valid top-5 set (tie-robust
+    check, since the corpus regenerates between rounds); (b) when a
+    COUNT TIE crosses the k boundary, even the SELECTION is arbitrary
+    (not just the order), so an oracle-hashed registry query needs a
+    count floor above tie depth or a deterministic re-rank."""
     _docs(spark, sf_dir)
     n_toks = spark.sql(
         "SELECT count(DISTINCT tok) AS n FROM "
@@ -357,13 +357,24 @@ def test_approx_top_k_exact_counts_arbitrary_tie_selection(spark, sf_dir):
         "  (SELECT explode(split(text, ' ')) AS tok FROM probe_docs)"
         ") LATERAL VIEW explode(tk) AS e ORDER BY c DESC, e.item"
     ).collect()
-    want = _duck(
-        sf_dir,
-        "SELECT tok, count(*) AS c FROM "
-        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
-        "GROUP BY tok ORDER BY c DESC, tok LIMIT 5",
+    exact = dict(
+        _duck(
+            sf_dir,
+            "SELECT tok, count(*) AS c FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS tok "
+            " FROM documents) GROUP BY tok",
+        )
     )
-    assert [(r.item, r.c) for r in got] == want
+    # Tie-robust against corpus regeneration: every returned count is
+    # exact, and the returned set is A valid top-5 (no item outside it
+    # beats the smallest returned count — at a boundary TIE the
+    # sketch's pick among equals is arbitrary, per pin (b) below).
+    assert len(got) == 5
+    for r in got:
+        assert exact[r.item] == r.c, (r.item, r.c, exact[r.item])
+    kth = min(r.c for r in got)
+    n_ge = sum(1 for c in exact.values() if c > kth)
+    assert n_ge <= 5, "sketch omitted an item strictly above its k-th count"
     tie = spark.sql(
         "SELECT approx_top_k(x, 2) AS tk "
         "FROM VALUES ('a'), ('a'), ('b'), ('c') t(x)"
