@@ -191,3 +191,66 @@ def test_executor_jvm_death_triggers_shuffle_refetch(tmp_path):
     result = json.loads(lines[-1])
     assert result["killed"] is True, "no executor was actually killed"
     assert result["match"] is True, "post-kill result diverged from golden"
+
+
+def test_docrange_stream_survives_task_failures(spark, sf_dir, tmp_path):
+    """Streaming analog of the map-task crash test: every partition's
+    FIRST read(partition) attempt dies inside the custom Python
+    streaming DataSource (sources/pystreamsource.py); task retry
+    (maxFailures=2) must re-read each row range deterministically, so
+    the drained corpus is delivered exactly once — nothing lost to the
+    failed attempts and nothing duplicated by the retries. This is the
+    task-level half of q212's exactly-once story (the batch-replay half
+    lives in tests/properties/test_round12_properties.py)."""
+    from distributed_map_reduce_spark.sources.pystreamsource import (
+        DocRangeStreamDataSource,
+        _DocRangeStreamReader,
+    )
+
+    marker_dir = str(tmp_path / "markers")
+    os.makedirs(marker_dir)
+
+    class _ChaosReader(_DocRangeStreamReader):
+        def read(self, partition):
+            # one marker per row range: the first attempt dies, the
+            # re-dispatched attempt re-reads the SAME [begin, end) and
+            # completes (a task, not a record, is the failure unit)
+            marker = os.path.join(marker_dir, f"b{partition.begin}")
+            if not os.path.exists(marker):
+                with open(marker, "w") as f:
+                    f.write("attempted")
+                raise RuntimeError(
+                    f"injected crash at row {partition.begin}"
+                )
+            yield from super().read(partition)
+
+    class _ChaosSource(DocRangeStreamDataSource):
+        @classmethod
+        def name(cls):
+            return "docrange_chaos"
+
+        def streamReader(self, schema):
+            return _ChaosReader(self.options)
+
+    spark.dataSource.register(_ChaosSource)
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    src = (
+        spark.readStream.format("docrange_chaos")
+        .option("path", path)
+        .option("partitionRows", "100")
+        .load()
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName("chaos_docrange")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("chaos_docrange")
+    want = spark.read.parquet(path).count()
+    assert got.count() == want
+    assert got.select("doc_id").distinct().count() == want
+    # at least one partition actually crashed and was re-run
+    assert len(os.listdir(marker_dir)) >= 1
