@@ -83,15 +83,32 @@ class _MRTextReader(DataSourceReader):
 
 
 class _MRTextCommit(WriterCommitMessage):
-    def __init__(self, path: str, rows: int):
-        self.path = path
+    def __init__(self, staged: str, pid: int, rows: int):
+        self.staged = staged
+        self.pid = pid
         self.rows = rows
+
+
+_STAGE_PREFIX = "._staged-mr-out-"
 
 
 class _MRTextWriter(DataSourceWriter):
     """Writes ``<first-col> <second-col>`` lines, one part file per task
     — the reference's mr-out format (mrsequential.go:38-42 prints
-    '%v %v')."""
+    '%v %v') — with the reference's own atomic-commit discipline
+    (worker.go:184-216 writes a temp file and os.Rename()s it into
+    place): each task attempt stages to a hidden
+    ``._staged-mr-out-<pid>-<attempt>`` file, and only the driver-side
+    ``commit()`` promotes the files of attempts that REPORTED success
+    to their final ``mr-out-<pid>`` names. A task that dies mid-write
+    (or a speculative duplicate attempt — routine at 1000-executor
+    scale) leaves only a staged orphan; readers can never observe a
+    partial part file, because the dot-prefix keeps staged files out
+    of every ``mr-out-*`` match. Orphans are swept by commit() and
+    abort() — best-effort in abort's case, since a CANCELLED attempt
+    can land its staged file after the driver's sweep (the same race
+    Hadoop committers have with ``_temporary``); the next successful
+    job into the directory sweeps deterministically at commit()."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -102,25 +119,45 @@ class _MRTextWriter(DataSourceWriter):
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"mr-out-{pid:05d}")
+        staged = os.path.join(
+            self.path, f"{_STAGE_PREFIX}{pid:05d}-{ctx.taskAttemptId()}"
+        )
         n = 0
-        with open(out, "w", encoding="utf-8") as f:
+        with open(staged, "w", encoding="utf-8") as f:
             for row in iterator:
                 f.write(f"{row[0]} {row[1]}\n")
                 n += 1
-        return _MRTextCommit(out, n)
+        return _MRTextCommit(staged, pid, n)
+
+    def _sweep_staged(self):
+        import glob
+
+        for orphan in glob.glob(os.path.join(self.path, f"{_STAGE_PREFIX}*")):
+            try:
+                os.remove(orphan)
+            except OSError:
+                pass
 
     def commit(self, messages):
-        # part files are already in place; nothing to move. A durable
-        # object-store impl would promote staged files here.
+        # Promote exactly the staged files whose tasks reported success
+        # (atomic os.replace per file), then sweep staged orphans left
+        # by failed or speculative attempts. Runs driver-side, after
+        # Spark has one success message per partition.
+        for m in messages:
+            if m is not None:
+                os.replace(
+                    m.staged,
+                    os.path.join(self.path, f"mr-out-{m.pid:05d}"),
+                )
+        self._sweep_staged()
         return None
 
     def abort(self, messages):
-        for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+        # Nothing was promoted; remove every staged attempt file.
+        self._sweep_staged()
 
 
 class MRTextDataSource(DataSource):

@@ -112,3 +112,129 @@ def test_writer_rejects_wrong_width(spark, tmp_path):
     df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
     with pytest.raises(Exception, match="two columns"):
         df.write.format("mrtext").mode("append").save(str(tmp_path / "x"))
+
+
+def test_writer_atomic_under_task_failures(spark, tmp_path):
+    """Every partition's FIRST write attempt dies after staging some
+    rows; the retry must rewrite its range and commit() must promote
+    only reported-success attempts — final content equals the clean
+    run, and no staged orphan survives (the reference's atomic-rename
+    discipline, worker.go:184-216, under the crash harness's rules)."""
+    from distributed_map_reduce_spark.sources.pydatasource import (
+        MRTextDataSource,
+        _MRTextWriter,
+        _STAGE_PREFIX,
+    )
+
+    marker_dir = str(tmp_path / "markers")
+    os.makedirs(marker_dir)
+
+    class _ChaosWriter(_MRTextWriter):
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
+            marker = os.path.join(marker_dir, f"p{pid}")
+            if not os.path.exists(marker):
+                with open(marker, "w") as f:
+                    f.write("attempted")
+                # stage a PARTIAL file, then die: the orphan must never
+                # be promoted to an mr-out name
+                os.makedirs(self.path, exist_ok=True)
+                staged = os.path.join(
+                    self.path,
+                    f"{_STAGE_PREFIX}{pid:05d}-{ctx.taskAttemptId()}",
+                )
+                rows = iter(iterator)
+                with open(staged, "w", encoding="utf-8") as f:
+                    first = next(rows, None)
+                    if first is not None:
+                        f.write(f"{first[0]} {first[1]}\n")
+                raise RuntimeError(f"injected crash in write task {pid}")
+            return super().write(iterator)
+
+    class _ChaosSink(MRTextDataSource):
+        @classmethod
+        def name(cls):
+            return "mrtext_chaos"
+
+        def writer(self, schema, overwrite):
+            return _ChaosWriter(self.options, overwrite)
+
+    spark.dataSource.register(_ChaosSink)
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [("apple", 3), ("pear", 1), ("plum", 7), ("fig", 2)],
+        "key string, n int",
+    ).repartition(2)
+    df.write.format("mrtext_chaos").mode("append").save(out)
+
+    parts = sorted(os.listdir(out))
+    assert parts and all(p.startswith("mr-out-") for p in parts), parts
+    lines = sorted(
+        line
+        for p in parts
+        for line in open(os.path.join(out, p)).read().splitlines()
+    )
+    assert lines == ["apple 3", "fig 2", "pear 1", "plum 7"]
+    assert len(os.listdir(marker_dir)) >= 1
+
+
+def test_writer_abort_leaves_no_partial_output(spark, tmp_path):
+    """When a write task exhausts maxFailures and the JOB aborts, the
+    output directory must contain no mr-out part files and no staged
+    orphans — a failed job is invisible to readers (output finality,
+    the A6 property, on the pluggable sink)."""
+    from distributed_map_reduce_spark.sources.pydatasource import (
+        MRTextDataSource,
+        _MRTextWriter,
+        _STAGE_PREFIX,
+    )
+
+    class _AlwaysCrashWriter(_MRTextWriter):
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            os.makedirs(self.path, exist_ok=True)
+            staged = os.path.join(
+                self.path,
+                f"{_STAGE_PREFIX}00000-{ctx.taskAttemptId()}",
+            )
+            with open(staged, "w", encoding="utf-8") as f:
+                f.write("partial 1\n")
+            raise RuntimeError("injected crash on every attempt")
+
+    class _AbortSink(MRTextDataSource):
+        @classmethod
+        def name(cls):
+            return "mrtext_abort"
+
+        def writer(self, schema, overwrite):
+            return _AlwaysCrashWriter(self.options, overwrite)
+
+    spark.dataSource.register(_AbortSink)
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame([("apple", 3)], "key string, n int")
+    with pytest.raises(Exception):
+        df.write.format("mrtext_abort").mode("append").save(out)
+    # commit() never ran, so a promoted part file can never exist —
+    # readers match mr-out-* and are blind to dot-prefixed staging
+    leftovers = os.listdir(out) if os.path.isdir(out) else []
+    assert not [p for p in leftovers if p.startswith("mr-out-")], leftovers
+    assert all(p.startswith("._staged") for p in leftovers), leftovers
+    # abort()'s sweep is best-effort (a cancelled attempt can land its
+    # staged file after the sweep); the DETERMINISTIC cleanup is the
+    # next successful job's commit() — run one and check it swept
+    from distributed_map_reduce_spark.sources.pydatasource import (
+        register_mrtext,
+    )
+
+    register_mrtext(spark)
+    spark.createDataFrame(
+        [("apple", 3)], "key string, n int"
+    ).coalesce(1).write.format("mrtext").mode("append").save(out)
+    final = sorted(os.listdir(out))
+    assert [p for p in final if p.startswith("mr-out-")], final
+    assert not [p for p in final if p.startswith("._staged")], final
