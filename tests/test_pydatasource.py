@@ -238,3 +238,44 @@ def test_writer_abort_leaves_no_partial_output(spark, tmp_path):
     final = sorted(os.listdir(out))
     assert [p for p in final if p.startswith("mr-out-")], final
     assert not [p for p in final if p.startswith("._staged")], final
+
+
+def test_writer_commit_promotes_only_reported_attempts(tmp_path):
+    """The speculative-duplicate guarantee, pinned at protocol level:
+    two attempts of one partition each stage a file, only one reports
+    success, and commit() promotes exactly the reported attempt's file
+    while sweeping the twin — so a speculative race can never surface
+    a duplicate or partial part file. (Scheduler-launched speculation
+    itself cannot be provoked in this build's local-cluster — measured:
+    a 25 s straggler with speculation.quantile=0 / multiplier=1.0 /
+    efficiency gate off never drew a speculative attempt — so the
+    protocol invariant is the testable surface.)"""
+    from distributed_map_reduce_spark.sources.pydatasource import (
+        _MRTextCommit,
+        _MRTextWriter,
+        _STAGE_PREFIX,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    winner = os.path.join(out, f"{_STAGE_PREFIX}00000-7")
+    loser = os.path.join(out, f"{_STAGE_PREFIX}00000-8")
+    with open(winner, "w") as f:
+        f.write("apple 3\npear 1\n")
+    with open(loser, "w") as f:
+        f.write("apple 3\n")  # partial twin: died mid-write
+
+    writer = _MRTextWriter({"path": out}, overwrite=False)
+    writer.commit([_MRTextCommit(winner, 0, 2)])
+
+    assert sorted(os.listdir(out)) == ["mr-out-00000"]
+    assert open(os.path.join(out, "mr-out-00000")).read() == (
+        "apple 3\npear 1\n"
+    )
+
+    # abort path: nothing promoted, every staged attempt swept
+    for name in (winner, loser):
+        with open(name, "w") as f:
+            f.write("junk\n")
+    writer.abort([None])
+    assert sorted(os.listdir(out)) == ["mr-out-00000"]
