@@ -65,10 +65,18 @@ class _MRTextReader(DataSourceReader):
 
         p = self.path
         if os.path.isdir(p):
+            # Hidden files ('.'/'_'-prefixed) are excluded BEFORE the
+            # glob, matching Spark's InMemoryFileIndex convention —
+            # fnmatch gives leading dots no special treatment, so a
+            # default '*' glob would otherwise read staged orphans
+            # (._staged-mr-out-*) left by an aborted writer as partial
+            # part files, breaking the "readers can never observe a
+            # partial file" invariant the writer docstring promises.
             files = sorted(
                 os.path.join(p, f)
                 for f in os.listdir(p)
-                if fnmatch.fnmatch(f, self.glob)
+                if not f.startswith((".", "_"))
+                and fnmatch.fnmatch(f, self.glob)
                 and os.path.isfile(os.path.join(p, f))
             )
         else:
@@ -98,23 +106,46 @@ class _MRTextWriter(DataSourceWriter):
     '%v %v') — with the reference's own atomic-commit discipline
     (worker.go:184-216 writes a temp file and os.Rename()s it into
     place): each task attempt stages to a hidden
-    ``._staged-mr-out-<pid>-<attempt>`` file, and only the driver-side
-    ``commit()`` promotes the files of attempts that REPORTED success
-    to their final ``mr-out-<pid>`` names. A task that dies mid-write
-    (or a speculative duplicate attempt — routine at 1000-executor
-    scale) leaves only a staged orphan; readers can never observe a
-    partial part file, because the dot-prefix keeps staged files out
-    of every ``mr-out-*`` match. Orphans are swept by commit() and
-    abort() — best-effort in abort's case, since a CANCELLED attempt
-    can land its staged file after the driver's sweep (the same race
-    Hadoop committers have with ``_temporary``); the next successful
-    job into the directory sweeps deterministically at commit()."""
+    ``._staged-mr-out-<job>-<pid>-<attempt>`` file, and only the
+    driver-side ``commit()`` promotes the files of attempts that
+    REPORTED success to their final ``mr-out-<pid>`` names. A task that
+    dies mid-write (or a speculative duplicate attempt — routine at
+    1000-executor scale) leaves only a staged orphan; readers can never
+    observe a partial part file, because the dot-prefix keeps staged
+    files out of both the reader's listing (hidden-file filter) and
+    every ``mr-out-*`` match.
+
+    Staged names are NAMESPACED by a per-job token (the analog of
+    Hadoop's ``_temporary/<jobId>``), so two concurrent jobs appending
+    into one directory never touch each other's in-flight files:
+    commit() and abort() sweep ONLY this job's staged prefix. The cost
+    is that an aborted job whose cancelled attempts land files AFTER
+    its own best-effort sweep leaves hidden orphans behind (the same
+    residue Hadoop's committer leaves in ``_temporary``) — harmless to
+    readers, cleaned by any directory hygiene sweep of dot-files.
+
+    ``mode("overwrite")`` promotes this job's files first, then removes
+    stale ``mr-out-*`` part files a previous (wider) run left behind.
+    Each single-file promotion is atomic; the directory-level swap is
+    not — a reader racing the commit can briefly see old and new part
+    files mixed, the standard posture for filesystem committers without
+    a directory rename."""
 
     def __init__(self, options, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("mrtext requires a path (save('<dir>'))")
         self.overwrite = overwrite
+        # Driver-side, once per job; pickled with the writer so every
+        # task attempt stages under the same namespace.
+        self.job_token = uuid.uuid4().hex[:12]
+
+    def _staged_name(self, pid: int, attempt_id) -> str:
+        return os.path.join(
+            self.path, f"{_STAGE_PREFIX}{self.job_token}-{pid:05d}-{attempt_id}"
+        )
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -122,9 +153,7 @@ class _MRTextWriter(DataSourceWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         os.makedirs(self.path, exist_ok=True)
-        staged = os.path.join(
-            self.path, f"{_STAGE_PREFIX}{pid:05d}-{ctx.taskAttemptId()}"
-        )
+        staged = self._staged_name(pid, ctx.taskAttemptId())
         n = 0
         with open(staged, "w", encoding="utf-8") as f:
             for row in iterator:
@@ -135,7 +164,10 @@ class _MRTextWriter(DataSourceWriter):
     def _sweep_staged(self):
         import glob
 
-        for orphan in glob.glob(os.path.join(self.path, f"{_STAGE_PREFIX}*")):
+        pattern = os.path.join(
+            self.path, f"{_STAGE_PREFIX}{self.job_token}-*"
+        )
+        for orphan in glob.glob(pattern):
             try:
                 os.remove(orphan)
             except OSError:
@@ -143,20 +175,37 @@ class _MRTextWriter(DataSourceWriter):
 
     def commit(self, messages):
         # Promote exactly the staged files whose tasks reported success
-        # (atomic os.replace per file), then sweep staged orphans left
-        # by failed or speculative attempts. Runs driver-side, after
-        # Spark has one success message per partition.
+        # (atomic os.replace per file), then sweep this job's staged
+        # orphans left by failed or speculative attempts. Runs
+        # driver-side, after Spark has one success message per
+        # partition.
+        promoted = set()
         for m in messages:
             if m is not None:
-                os.replace(
-                    m.staged,
-                    os.path.join(self.path, f"mr-out-{m.pid:05d}"),
-                )
+                final = os.path.join(self.path, f"mr-out-{m.pid:05d}")
+                try:
+                    os.replace(m.staged, final)
+                except FileNotFoundError:
+                    raise RuntimeError(
+                        f"mrtext commit: staged file {m.staged!r} vanished "
+                        "before promotion — something external swept the "
+                        "output directory's hidden files mid-job"
+                    ) from None
+                promoted.add(os.path.basename(final))
         self._sweep_staged()
+        if self.overwrite:
+            # Remove part files this job did not produce (a prior run
+            # with more partitions); append mode leaves them alone.
+            for name in os.listdir(self.path):
+                if name.startswith("mr-out-") and name not in promoted:
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
         return None
 
     def abort(self, messages):
-        # Nothing was promoted; remove every staged attempt file.
+        # Nothing was promoted; remove this job's staged attempt files.
         self._sweep_staged()
 
 

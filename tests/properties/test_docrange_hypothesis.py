@@ -33,6 +33,17 @@ def _docs_path(sf_dir):
     return f"{sf_dir.rstrip('/')}/documents.parquet"
 
 
+def _rows(batch_iter):
+    """Flatten _read_row_range's pyarrow.RecordBatch yields to row
+    dicts: the recovery invariant is about the ROW stream — batch
+    boundaries legitimately differ between a whole read and a chain of
+    sub-reads."""
+    import pyarrow as pa
+
+    batches = list(batch_iter)
+    return pa.Table.from_batches(batches).to_pylist() if batches else []
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     cuts=st.lists(st.integers(min_value=0, max_value=80), max_size=6),
@@ -47,11 +58,11 @@ def test_read_row_range_composes(sf_dir, cuts, lo, span):
     path = _docs_path(sf_dir)
     hi = lo + span
     points = sorted({lo, hi, *[c for c in cuts if lo <= c <= hi]})
-    whole = list(_read_row_range(path, lo, hi))
+    whole = _rows(_read_row_range(path, lo, hi))
     chained = [
         row
         for a, b in zip(points, points[1:])
-        for row in _read_row_range(path, a, b)
+        for row in _rows(_read_row_range(path, a, b))
     ]
     assert chained == whole
     assert len(whole) == span

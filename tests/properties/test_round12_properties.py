@@ -65,14 +65,20 @@ def test_docrange_range_split_is_recovery_invariant(sf_dir):
     failure recovery relies on when it re-reads a committed offset
     range (readBetweenOffsets semantics). Pure Python, no session."""
     path = _docs_path(sf_dir)
-    one = list(_read_row_range(path, 0, 60))
-    assert one == list(_read_row_range(path, 0, 1)) + list(
-        _read_row_range(path, 1, 60)
-    )
-    assert one == list(_read_row_range(path, 0, 31)) + list(
-        _read_row_range(path, 31, 60)
-    )
-    assert list(_read_row_range(path, 17, 17)) == []
+
+    def rows(a, b):
+        # flatten the Arrow batches: the invariant is about the ROW
+        # stream; batch boundaries differ between whole and split reads
+        import pyarrow as pa
+
+        batches = list(_read_row_range(path, a, b))
+        return pa.Table.from_batches(batches).to_pylist() if batches else []
+
+    one = rows(0, 60)
+    assert len(one) == 60
+    assert one == rows(0, 1) + rows(1, 60)
+    assert one == rows(0, 31) + rows(31, 60)
+    assert rows(17, 17) == []
 
 
 def test_docrange_partitions_tile_the_offset_range(sf_dir):

@@ -123,7 +123,6 @@ def test_writer_atomic_under_task_failures(spark, tmp_path):
     from distributed_map_reduce_spark.sources.pydatasource import (
         MRTextDataSource,
         _MRTextWriter,
-        _STAGE_PREFIX,
     )
 
     marker_dir = str(tmp_path / "markers")
@@ -142,10 +141,7 @@ def test_writer_atomic_under_task_failures(spark, tmp_path):
                 # stage a PARTIAL file, then die: the orphan must never
                 # be promoted to an mr-out name
                 os.makedirs(self.path, exist_ok=True)
-                staged = os.path.join(
-                    self.path,
-                    f"{_STAGE_PREFIX}{pid:05d}-{ctx.taskAttemptId()}",
-                )
+                staged = self._staged_name(pid, ctx.taskAttemptId())
                 rows = iter(iterator)
                 with open(staged, "w", encoding="utf-8") as f:
                     first = next(rows, None)
@@ -189,7 +185,6 @@ def test_writer_abort_leaves_no_partial_output(spark, tmp_path):
     from distributed_map_reduce_spark.sources.pydatasource import (
         MRTextDataSource,
         _MRTextWriter,
-        _STAGE_PREFIX,
     )
 
     class _AlwaysCrashWriter(_MRTextWriter):
@@ -198,10 +193,7 @@ def test_writer_abort_leaves_no_partial_output(spark, tmp_path):
 
             ctx = TaskContext.get()
             os.makedirs(self.path, exist_ok=True)
-            staged = os.path.join(
-                self.path,
-                f"{_STAGE_PREFIX}00000-{ctx.taskAttemptId()}",
-            )
+            staged = self._staged_name(0, ctx.taskAttemptId())
             with open(staged, "w", encoding="utf-8") as f:
                 f.write("partial 1\n")
             raise RuntimeError("injected crash on every attempt")
@@ -225,8 +217,12 @@ def test_writer_abort_leaves_no_partial_output(spark, tmp_path):
     assert not [p for p in leftovers if p.startswith("mr-out-")], leftovers
     assert all(p.startswith("._staged") for p in leftovers), leftovers
     # abort()'s sweep is best-effort (a cancelled attempt can land its
-    # staged file after the sweep); the DETERMINISTIC cleanup is the
-    # next successful job's commit() — run one and check it swept
+    # staged file after the sweep), and — since staging is namespaced
+    # per job for concurrent-writer safety — a LATER job leaves another
+    # job's orphans alone. What must hold: the next successful job
+    # commits cleanly next to the orphans, and a reader sees ONLY
+    # committed content (the hidden-file filter makes orphans
+    # invisible even under the default '*' glob).
     from distributed_map_reduce_spark.sources.pydatasource import (
         register_mrtext,
     )
@@ -237,7 +233,8 @@ def test_writer_abort_leaves_no_partial_output(spark, tmp_path):
     ).coalesce(1).write.format("mrtext").mode("append").save(out)
     final = sorted(os.listdir(out))
     assert [p for p in final if p.startswith("mr-out-")], final
-    assert not [p for p in final if p.startswith("._staged")], final
+    seen = spark.read.format("mrtext").load(out).collect()
+    assert [r["text"] for r in seen] == ["apple 3\n"]
 
 
 def test_writer_commit_promotes_only_reported_attempts(tmp_path):
@@ -253,19 +250,18 @@ def test_writer_commit_promotes_only_reported_attempts(tmp_path):
     from distributed_map_reduce_spark.sources.pydatasource import (
         _MRTextCommit,
         _MRTextWriter,
-        _STAGE_PREFIX,
     )
 
     out = str(tmp_path / "out")
     os.makedirs(out)
-    winner = os.path.join(out, f"{_STAGE_PREFIX}00000-7")
-    loser = os.path.join(out, f"{_STAGE_PREFIX}00000-8")
+    writer = _MRTextWriter({"path": out}, overwrite=False)
+    winner = writer._staged_name(0, 7)
+    loser = writer._staged_name(0, 8)
     with open(winner, "w") as f:
         f.write("apple 3\npear 1\n")
     with open(loser, "w") as f:
         f.write("apple 3\n")  # partial twin: died mid-write
 
-    writer = _MRTextWriter({"path": out}, overwrite=False)
     writer.commit([_MRTextCommit(winner, 0, 2)])
 
     assert sorted(os.listdir(out)) == ["mr-out-00000"]
@@ -279,3 +275,73 @@ def test_writer_commit_promotes_only_reported_attempts(tmp_path):
             f.write("junk\n")
     writer.abort([None])
     assert sorted(os.listdir(out)) == ["mr-out-00000"]
+
+
+def test_concurrent_jobs_do_not_sweep_each_other(tmp_path):
+    """Two jobs appending into ONE directory: job A's commit must not
+    touch job B's in-flight staged file (staging is namespaced per job,
+    the _temporary/<jobId> discipline), and B's later commit promotes
+    its own file normally."""
+    from distributed_map_reduce_spark.sources.pydatasource import (
+        _MRTextCommit,
+        _MRTextWriter,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    a = _MRTextWriter({"path": out}, overwrite=False)
+    b = _MRTextWriter({"path": out}, overwrite=False)
+    assert a.job_token != b.job_token
+    a_staged = a._staged_name(0, 1)
+    b_staged = b._staged_name(1, 1)
+    with open(a_staged, "w") as f:
+        f.write("apple 1\n")
+    with open(b_staged, "w") as f:
+        f.write("pear 2\n")
+
+    a.commit([_MRTextCommit(a_staged, 0, 1)])
+    assert os.path.exists(b_staged), "A's sweep must spare B's staging"
+    b.commit([_MRTextCommit(b_staged, 1, 1)])
+    assert sorted(os.listdir(out)) == ["mr-out-00000", "mr-out-00001"]
+
+
+def test_overwrite_removes_stale_part_files(spark, tmp_path):
+    """mode('overwrite') with FEWER partitions than a prior run must
+    not leave the prior run's extra mr-out-* files mixed into the new
+    output (ADVICE r12): after the overwrite, the directory holds
+    exactly this job's part files."""
+    register_mrtext(spark)
+    out = str(tmp_path / "out")
+    wide = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)], "key string, n int"
+    ).repartition(4)
+    wide.write.format("mrtext").mode("append").save(out)
+    assert len([p for p in os.listdir(out) if p.startswith("mr-out-")]) == 4
+
+    narrow = spark.createDataFrame(
+        [("z", 9)], "key string, n int"
+    ).coalesce(1)
+    narrow.write.format("mrtext").mode("overwrite").save(out)
+    parts = sorted(p for p in os.listdir(out) if p.startswith("mr-out-"))
+    lines = sorted(
+        line
+        for p in parts
+        for line in open(os.path.join(out, p)).read().splitlines()
+    )
+    assert lines == ["z 9"], (parts, lines)
+
+
+def test_reader_skips_hidden_files_under_default_glob(spark, tmp_path):
+    """The default '*' glob must not surface dot/underscore-prefixed
+    files (fnmatch gives leading dots no special treatment): staged
+    orphans and Spark-convention metadata files are invisible to
+    readers, matching InMemoryFileIndex (ADVICE r12)."""
+    register_mrtext(spark)
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "real.txt").write_text("visible\n")
+    (d / "._staged-mr-out-deadbeef-00000-3").write_text("partial\n")
+    (d / "_SUCCESS").write_text("")
+    (d / ".hidden").write_text("nope\n")
+    rows = spark.read.format("mrtext").load(str(d)).collect()
+    assert [os.path.basename(r["path"]) for r in rows] == ["real.txt"]

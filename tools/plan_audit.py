@@ -197,13 +197,18 @@ def main() -> int:
     # left behind, and the pair-consumer rows flip to their stored-path
     # plans — the main-table twin of the amortization degeneration
     # VERDICT r10 flagged. A throwaway warehouse guarantees inline.
+    import atexit
+    import shutil
     import tempfile as _tmp
 
+    wh_dir = _tmp.mkdtemp(prefix="plan_audit_wh_")
+    # the warehouse must outlive the audit (Derby keeps it open until
+    # spark.stop()), so clean it at process exit rather than leaking a
+    # directory per run (ADVICE r12)
+    atexit.register(shutil.rmtree, wh_dir, ignore_errors=True)
     spark = get_spark(
         "plan-audit",
-        extra_conf={
-            "spark.sql.warehouse.dir": _tmp.mkdtemp(prefix="plan_audit_wh_")
-        },
+        extra_conf={"spark.sql.warehouse.dir": wh_dir},
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
