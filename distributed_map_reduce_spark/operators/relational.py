@@ -4384,6 +4384,249 @@ ORDER BY inv.seg, o.o_orderpriority
 """
 
 
+# --- q215: listagg WITHIN GROUP (ordered string aggregation) -----------------
+
+
+def q215_listagg_topk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``listagg(...) WITHIN GROUP (ORDER BY ...)`` — ANSI ordered
+    string aggregation (Spark 4), the declarative form of the ordered
+    reduce q2/q122 spell manually with sort_array/array_join. Only the
+    WITHIN GROUP form is deterministic: bare listagg concatenates in
+    partition-arrival order (pinned in
+    tests/properties/test_r13_candidate_probes.py), so the bare form
+    can never carry an oracle hash.
+
+    Scale posture: listagg state is the CONCATENATED STRING, so the
+    operator is only scale-safe over bounded groups — an unbounded
+    listagg at 100 TB is a driver-sized string per key. This query pins
+    the safe composition: a rank window LIMITS each group to its top-5
+    rows first (WindowGroupLimit pushes the cap before the full sort),
+    and the ordered aggregation runs over ≤5 rows per group. Rank and
+    listagg order both use exact integer cents, never raw doubles.
+
+    Reference lineage: the sorted-by-key reduce fold of
+    /root/reference/src/mr/worker.go:197-212 (values of one key
+    processed in one ordered pass); crash.go:45-55 concatenates values
+    within a key the same way.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q215_orders")
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT o_orderpriority, o_orderkey,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                            DESC, o_orderkey
+                 ) AS rk
+          FROM __q215_orders
+        )
+        SELECT o_orderpriority,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY cents DESC, o_orderkey) AS top_keys,
+               COUNT(*) AS n_top,
+               CAST(SUM(cents) AS BIGINT) AS top_cents
+        FROM ranked
+        WHERE rk <= 5
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+Q215_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                    o_orderkey
+         ) AS rk
+  FROM orders
+)
+SELECT o_orderpriority,
+       string_agg(CAST(o_orderkey AS VARCHAR), ','
+                  ORDER BY cents DESC, o_orderkey) AS top_keys,
+       COUNT(*) AS n_top,
+       CAST(SUM(cents) AS BIGINT) AS top_cents
+FROM ranked
+WHERE rk <= 5
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- q216: SQL scripting + session variables ---------------------------------
+
+
+_Q216_SCRIPT = """
+BEGIN
+  DECLARE n_total BIGINT DEFAULT 0;
+  DECLARE cents_total BIGINT DEFAULT 0;
+  DECLARE n_groups BIGINT DEFAULT 0;
+  FOR g AS SELECT o.o_orderpriority AS pri, COUNT(*) AS n,
+                  CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM IDENTIFIER(q216_tbl) o
+           JOIN __q216_customer c ON c.c_custkey = o.o_custkey
+           WHERE c.c_mktsegment = q216_seg
+             AND o.o_orderdate >= q216_cutoff
+           GROUP BY o.o_orderpriority
+           ORDER BY o.o_orderpriority DO
+    SET n_total = n_total + g.n;
+    SET cents_total = cents_total + g.cents;
+    SET n_groups = n_groups + 1;
+  END FOR;
+  SELECT q216_seg AS seg, n_groups, n_total, cents_total;
+END
+"""
+
+
+def q216_sql_script_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (``BEGIN ... END``, Spark 4) composed with session
+    variables — the parameterized-maintenance shape: ``DECLARE
+    VARIABLE`` + positional ``SET VAR x = ?`` set the job's parameters
+    once, then a script's FOR loop folds per-group aggregates into
+    script-local variables and the FINAL statement (a script returns
+    only its last statement's result — pinned in
+    tests/properties/test_r13_candidate_probes.py) emits the summary
+    row. The loop's fold is replayed as a closed-form aggregate by the
+    oracle, so control flow is hash-checked, not just smoke-run.
+
+    The three variable pins from the probe suite are all load-bearing
+    here: ``q216_seg``/``q216_cutoff`` CONSTANT-FOLD into the
+    optimized plan (the filter prunes like a hand-inlined literal — at
+    100 TB the segment/date scan cut happens at planning time), the
+    cutoff is submitted positionally (``SET VAR ... = ?``), and the
+    orders table name resolves through ``IDENTIFIER(q216_tbl)`` — the
+    working counterpart of q211's pinned positional-?-in-IDENTIFIER
+    ParseException.
+
+    Two invocations with different ``SET VAR`` bindings are unioned
+    (the q205/q211 two-invocation discipline): same script text, two
+    parameterizations, proving the variables — not the text — carry
+    the parameters.
+
+    Reference lineage: the reference parameterizes a run by argv
+    (mrworker.go:30-38, mrcoordinator.go:20-23); an engine-side
+    scripted control plane has no counterpart there (SURVEY §2.3) —
+    engine-surface item like q204/q205/q211."""
+    for t in ("orders", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"__q216_{t}")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE q216_seg STRING DEFAULT 'BUILDING'"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE q216_cutoff TIMESTAMP "
+        "DEFAULT TIMESTAMP '1990-01-01 00:00:00'"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE q216_tbl STRING DEFAULT '__q216_orders'"
+    )
+    spark.sql("SET VAR q216_seg = ?", args=["MACHINERY"])
+    spark.sql("SET VAR q216_cutoff = ?", args=["1995-07-01 00:00:00"])
+    first = spark.sql(_Q216_SCRIPT)
+    spark.sql("SET VAR q216_seg = ?", args=["FURNITURE"])
+    spark.sql("SET VAR q216_cutoff = ?", args=["1993-01-01 00:00:00"])
+    second = spark.sql(_Q216_SCRIPT)
+    return first.unionAll(second).orderBy("seg")
+
+
+Q216_ORACLE = """
+WITH inv AS (
+  SELECT * FROM (VALUES ('MACHINERY', TIMESTAMP '1995-07-01 00:00:00'),
+                        ('FURNITURE', TIMESTAMP '1993-01-01 00:00:00'))
+         AS v(seg, cutoff)
+), per_group AS (
+  SELECT inv.seg, o.o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM inv
+  JOIN customer c ON c.c_mktsegment = inv.seg
+  JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_orderdate >= inv.cutoff
+  GROUP BY inv.seg, o.o_orderpriority
+)
+SELECT seg, COUNT(*) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_total,
+       CAST(SUM(cents) AS BIGINT) AS cents_total
+FROM per_group
+GROUP BY seg
+ORDER BY seg
+"""
+
+
+# --- q218: EXECUTE IMMEDIATE ... USING ---------------------------------------
+
+
+_Q218_STMT = """
+SELECT ? AS region, n.n_name,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM __q218_customer c
+JOIN __q218_nation n ON n.n_nationkey = c.c_nationkey
+JOIN __q218_region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = ? AND c.c_acctbal > ?
+GROUP BY n.n_name
+"""
+
+
+def q218_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE ... USING`` — dynamic SQL whose statement
+    TEXT lives in a session variable and whose values bind through the
+    positional USING clause: the composition a metadata-driven job
+    runner uses (statement fetched from a config table, parameters
+    supplied at dispatch). Positional USING binds work in this build
+    (pinned in tests/properties/test_r13_candidate_probes.py), while
+    ``?`` inside ``IDENTIFIER()`` still does not (q211's watch-listed
+    quirk) — so object names here are fixed view literals and USING
+    carries values only.
+
+    One statement text, two USING argument sets, unioned (the
+    q205/q211/q216 two-invocation discipline). The region filter binds
+    to a broadcast-dim predicate and the balance bound is a typed
+    literal after binding — pushdown and pruning behave exactly as the
+    hand-inlined q7-family plans.
+
+    Determinism: COUNT plus integer-cents SUM; the region label is
+    projected from the same bound literal that filters.
+
+    Reference lineage: mrworker.go:30-38 dispatches by argv-supplied
+    app name — dynamic dispatch of the QUERY text is the declarative
+    analog (SURVEY §2.3 engine-surface gap)."""
+    for t in ("customer", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"__q218_{t}")
+    spark.sql("DECLARE OR REPLACE VARIABLE q218_stmt STRING DEFAULT ''")
+    spark.sql("SET VAR q218_stmt = ?", args=[_Q218_STMT])
+    first = spark.sql(
+        "EXECUTE IMMEDIATE q218_stmt USING 'EUROPE', 'EUROPE', 1000.0"
+    )
+    second = spark.sql(
+        "EXECUTE IMMEDIATE q218_stmt USING 'ASIA', 'ASIA', 5000.0"
+    )
+    return first.unionAll(second).orderBy("region", "n_name")
+
+
+Q218_ORACLE = """
+WITH inv AS (
+  SELECT * FROM (VALUES ('EUROPE', 1000.0), ('ASIA', 5000.0))
+         AS v(region, bal_min)
+)
+SELECT inv.region, n.n_name,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM inv
+JOIN region r ON r.r_name = inv.region
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+                AND c.c_acctbal > inv.bal_min
+GROUP BY inv.region, n.n_name
+ORDER BY inv.region, n.n_name
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -4644,4 +4887,20 @@ QUERIES = [
               "lineitem-sum vs order-total reconciliation deciles in "
               "exact cents (value-level audit sibling of the FK pass)",
               ("relational", "audit", "join")),
+    QuerySpec("q215_listagg_topk_report", q215_listagg_topk_report,
+              Q215_ORACLE,
+              "listagg WITHIN GROUP over rank-capped top-5 per "
+              "priority (ordered string agg, bounded-group posture)",
+              ("relational", "agg", "sql-surface")),
+    QuerySpec("q216_sql_script_maintenance", q216_sql_script_maintenance,
+              Q216_ORACLE,
+              "SQL scripting FOR-loop fold + session variables "
+              "(positional SET VAR ?, IDENTIFIER(var), constant-fold "
+              "pruning), two parameterizations unioned",
+              ("relational", "sql-surface", "scripting")),
+    QuerySpec("q218_execute_immediate", q218_execute_immediate,
+              Q218_ORACLE,
+              "EXECUTE IMMEDIATE with statement text in a session "
+              "variable, positional USING binds, two argument sets",
+              ("relational", "sql-surface", "dynamic-sql")),
 ]

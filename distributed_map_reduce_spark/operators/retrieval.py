@@ -208,10 +208,16 @@ def q126_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both input rankings are per-query top-k frames (tiny);
     the fusion is one full-outer join on (qid, doc_id) + row-local
-    reciprocal arithmetic + a WindowGroupLimit. Determinism: both input
-    ranks tie-break on rounded score then doc_id; rrf sums two exact
-    small-integer reciprocals, rounded to 6 dp."""
-    lex = _bm25_scored(spark, sf_dir)
+    reciprocal arithmetic + a WindowGroupLimit. The scored BM25 frame
+    is cut at a lazy localCheckpoint (the q182 shared-frame rule,
+    VERDICT r12 item 6): the fused plan then starts from the
+    materialized (qid, doc_id, score) frame instead of replaying q93's
+    full 24-exchange DAG inside this plan tree — stage count is what
+    it costs, values are identical (rounding happens before the cut).
+    Determinism: both input ranks tie-break on rounded score then
+    doc_id; rrf sums two exact small-integer reciprocals, rounded to
+    6 dp."""
+    lex = _bm25_scored(spark, sf_dir).localCheckpoint(eager=False)
     wl = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
@@ -332,10 +338,13 @@ def q127_hard_negatives(
     detector swaps for LSH/prefix candidates (q25/q104) unchanged;
     ``pairs=`` accepts the persisted bucketed store, which collapses
     this composition's plan from re-deriving the whole q24 DAG inline
-    to one bucketed scan (exchange counts in PLANS.md)."""
+    to one bucketed scan (exchange counts in PLANS.md). The scored
+    frame is cut at a lazy localCheckpoint (the q182 shared-frame
+    rule, VERDICT r12 item 6) so the anti-join plan starts from the
+    materialized score frame rather than inlining q93's whole DAG."""
     from .dedup import resolve_pairs
 
-    scored = _bm25_scored(spark, sf_dir)
+    scored = _bm25_scored(spark, sf_dir).localCheckpoint(eager=False)
     pairs = resolve_pairs(spark, sf_dir, pairs).select("ad", "bd")
     dup = pairs.unionByName(
         pairs.select(F.col("bd").alias("ad"), F.col("ad").alias("bd"))

@@ -22,6 +22,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .events_stream import run_available_now
 
@@ -434,6 +435,118 @@ ORDER BY source, lang
 """
 
 
+def _q219_run_dirs(sf_dir: str, spark: SparkSession) -> tuple[str, str]:
+    """Stable per-(sf-dir, app) checkpoint + output locations — the
+    q206/q214 discipline: first invocation in a session drains the
+    corpus, later invocations recover the checkpoint and catch up with
+    zero new batches (foreachBatch supports checkpoint recovery, unlike
+    the memory sink), re-reading the same committed files."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"dmrs_q219_{tag}")
+    return os.path.join(base, "ckpt"), os.path.join(base, "out")
+
+
+def q219_foreachbatch_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``foreachBatch`` with a batchId-keyed overwrite — the SINK-side
+    exactly-once recipe, completing the story whose SOURCE side q212
+    pins: each micro-batch lands at ``out/b<batchId>`` with
+    ``mode("overwrite")``, so a crash-before-commit replay (which
+    re-delivers the SAME batchId — pinned with the checkpoint-surgery
+    chaos drill in tests/properties/test_r13_candidate_probes.py)
+    overwrites its own partial output instead of duplicating rows.
+    Idempotence comes from the batchId key, not from the sink being
+    transactional — the file-sink analog of the reference's
+    atomic-rename discipline (worker.go:184-216: temp file +
+    os.Rename, duplicate attempts collapse onto one final name).
+
+    The drain streams the documents parquet through the docrange
+    source (rowsPerBatch = a third of the footer row count, so the
+    walk is ~3 micro-batches and several batchIds land at EVERY scale
+    — a fixed row cap would degrade to corpus/cap batches at 100 TB,
+    paying the per-batch planning overhead thousands of times;
+    progressDir makes the cursor durable), then the query re-reads
+    every committed ``b*`` directory
+    and aggregates per (source, lang) — hash-checked against the plain
+    batch oracle, proving no batch was lost or doubled across the
+    batched hand-offs. The walk uses the default micro-batch trigger +
+    ``processAllAvailable()`` rather than availableNow: a Python
+    DataSource has no SupportsTriggerAvailableNow hook, so availableNow
+    degrades to ONE batch per start() for it (measured here: a 500-row
+    corpus at rowsPerBatch=400 delivered only 400 rows) — the same
+    reason the q212 multi-batch probe drains this way.
+
+    Scale shape: per-batch output is a normal distributed parquet
+    write (no driver funnel); the batchId directory key works at any
+    executor count, and a real warehouse swaps the directory for a
+    transactional table with the batchId as the idempotence key."""
+    import glob
+    import os
+
+    from ..sources.pystreamsource import register_docrange
+
+    import pyarrow.parquet as pq
+
+    register_docrange(spark)
+    ckpt, out = _q219_run_dirs(sf_dir, spark)
+    os.makedirs(out, exist_ok=True)
+    doc_path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    # one footer read (no data scan) sizes the rate limit to ~3 batches
+    total = pq.ParquetFile(doc_path).metadata.num_rows
+    src = (
+        spark.readStream.format("docrange")
+        .option("path", doc_path)
+        .option("rowsPerBatch", str(max(1, (total + 2) // 3)))
+        .option("progressDir", ckpt)
+        .load()
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"b{batch_id}")
+        )
+
+    q = (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    written = spark.read.parquet(*sorted(glob.glob(os.path.join(out, "b*"))))
+    return (
+        written.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("doc_id").alias("n_distinct_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+Q219_ORACLE = """
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT doc_id) AS n_distinct_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
 def _build_queries():
     from ..operators.retrieval import Q93_ORACLE
     from ..operators.textanalysis import Q91_ORACLE
@@ -479,6 +592,15 @@ def _build_queries():
             "offline statestore read of q207's checkpointed sketch state "
             "(== the live drain through the same oracle)",
             ("streaming", "documents", "statestore", "sketch"),
+        ),
+        QuerySpec(
+            "q219_foreachbatch_exactly_once",
+            q219_foreachbatch_exactly_once,
+            Q219_ORACLE,
+            "foreachBatch batchId-keyed overwrite sink: multi-batch "
+            "docrange drain re-read from committed files (== the batch "
+            "oracle; sink-side exactly-once)",
+            ("streaming", "documents", "sink", "exactly-once"),
         ),
     ]
 
