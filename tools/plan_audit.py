@@ -160,6 +160,10 @@ DEFAULT_AUDIT = [
     "q211_parameterized_sql",
     "q213_udtf_analyze",
     "q214_statestore_reader",
+    "q215_listagg_topk_report",
+    "q216_sql_script_maintenance",
+    "q217_xml_roundtrip",
+    "q218_execute_immediate",
 ]
 
 
