@@ -254,3 +254,69 @@ def test_docrange_stream_survives_task_failures(spark, sf_dir, tmp_path):
     assert got.select("doc_id").distinct().count() == want
     # at least one partition actually crashed and was re-run
     assert len(os.listdir(marker_dir)) >= 1
+
+
+def test_foreachbatch_sink_survives_write_task_failures(spark, sf_dir, tmp_path):
+    """Sink-side chaos for q219's recipe: the first attempt of every
+    per-batch WRITE task dies mid-batch; Spark's task retry
+    (maxFailures=2) plus the parquet committer must land each
+    batchId-keyed directory exactly once — the drained union equals
+    the corpus with no loss and no duplication. Composes the two
+    exactly-once layers the registered query relies on: task-level
+    retry inside a batch (this test) and batch-level replay across
+    restarts (the checkpoint-surgery probe in
+    tests/properties/test_r13_candidate_probes.py)."""
+    import glob
+
+    from distributed_map_reduce_spark.sources.pystreamsource import (
+        register_docrange,
+    )
+
+    register_docrange(spark)
+    marker_dir = str(tmp_path / "markers")
+    os.makedirs(marker_dir)
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    src = (
+        spark.readStream.format("docrange")
+        .option("path", path)
+        .option("partitionRows", "100")
+        .load()
+    )
+    schema = "doc_id bigint, source string, lang string, n_chars bigint"
+
+    def sink(batch_df, batch_id):
+        def crash_once(batches):
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            marker = os.path.join(
+                marker_dir, f"b{batch_id}-p{ctx.partitionId()}"
+            )
+            if not os.path.exists(marker):
+                with open(marker, "w") as f:
+                    f.write("attempted")
+                raise RuntimeError(
+                    f"injected crash in write task of batch {batch_id}"
+                )
+            yield from batches
+
+        (
+            batch_df.mapInPandas(crash_once, schema)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"b{batch_id}"))
+        )
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    written = spark.read.parquet(*glob.glob(os.path.join(out, "b*")))
+    want = spark.read.parquet(path).count()
+    assert written.count() == want
+    assert written.select("doc_id").distinct().count() == want
+    assert len(os.listdir(marker_dir)) >= 1
