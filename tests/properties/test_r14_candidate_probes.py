@@ -42,6 +42,32 @@ available in pyspark 4.1.2 here (scouted 2026-08-16):
     ``approx_top_k_estimate(approx_top_k_accumulate(col, k), k)``
     returns an EMPTY array in this build — the working composition
     goes through ``approx_top_k_combine``.
+
+Second scouting batch (also 2026-08-16):
+
+11. ``GROUP BY ALL`` / ``ORDER BY ALL`` — resolve to the non-aggregate
+    projection / full select list; DuckDB (which originated the
+    syntax) agrees, so a registered query is value-hashable.
+12. ``SELECT * EXCEPT (cols)`` — projection-level column exclusion
+    (DuckDB spells it ``EXCLUDE``); same rows, same remaining columns.
+13. Lateral column aliases — a SELECT item can reference an alias
+    defined earlier in the same list; equals the nested-subquery
+    rewrite (the DuckDB oracle shape).
+14. ``avg()`` over day-time INTERVALs — typed interval arithmetic;
+    cross-engine matchable via epoch-seconds extraction (string casts
+    render differently between engines).
+15. ``TABLESAMPLE (BUCKET x OUT OF y) REPEATABLE (seed)`` — replays
+    identically for an identical plan, but the sampled SET is
+    partition-bound like seeded uniform(): repartitioning changes the
+    selection. md5-as-RNG (q62) remains the oracle-safe sampling path.
+16. ``histogram_numeric`` — NOT stable under repartition (bin centers
+    depend on merge order): rows-only/approx family only, never
+    hash-checked.
+17. Environment/feature rule-outs pinned as raising probes:
+    ``MERGE INTO`` on a parquet v1 catalog table
+    (UNSUPPORTED_FEATURE.TABLE_OPERATION — no v2 row-level-ops
+    catalog deployed here), and the ANSI window frame ``EXCLUDE
+    CURRENT ROW`` clause (PARSE_SYNTAX_ERROR in this build).
 """
 
 import duckdb
@@ -342,4 +368,159 @@ def test_approx_top_k_accumulate_needs_combine(spark, sf_dir):
     for item in combined:
         assert exact[item.item] == item["count"], (
             "combined counts left the exact regime"
+        )
+
+
+def test_group_by_all_order_by_all_matches_duckdb(spark, sf_dir):
+    """GROUP BY ALL groups on the full non-aggregate projection and
+    ORDER BY ALL sorts by the full select list — the DuckDB-originated
+    shorthand resolves identically in both engines."""
+    _docs(spark, sf_dir)
+    got = spark.sql(
+        "SELECT source, lang, COUNT(*) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total "
+        "FROM probe14_docs GROUP BY ALL ORDER BY ALL"
+    ).collect()
+    want = _duck(
+        sf_dir,
+        "SELECT source, lang, COUNT(*) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total "
+        "FROM documents GROUP BY ALL ORDER BY ALL",
+    )
+    assert [tuple(r) for r in got] == want
+
+
+def test_select_star_except_matches_duckdb_exclude(spark, sf_dir):
+    """SELECT * EXCEPT (cols) drops the named columns and keeps the
+    rest in schema order — DuckDB's EXCLUDE twin returns the same
+    frame, so projection-exclusion queries are hashable."""
+    _docs(spark, sf_dir)
+    got = spark.sql(
+        "SELECT * EXCEPT (text) FROM probe14_docs ORDER BY doc_id LIMIT 20"
+    )
+    want = _duck(
+        sf_dir,
+        "SELECT * EXCLUDE (text) FROM documents ORDER BY doc_id LIMIT 20",
+    )
+    assert [tuple(r) for r in got.collect()] == want
+    assert "text" not in got.columns
+
+
+def test_lateral_column_alias_equals_nested_rewrite(spark, sf_dir):
+    """A select item referencing an earlier alias in the SAME list
+    must equal the nested-subquery rewrite (the oracle shape — DuckDB
+    also supports the lateral form directly)."""
+    _docs(spark, sf_dir)
+    got = spark.sql(
+        "SELECT doc_id, n_chars + 1 AS a, a * 2 AS b, b - n_chars AS c "
+        "FROM probe14_docs ORDER BY doc_id LIMIT 20"
+    ).collect()
+    rewrite = spark.sql(
+        "SELECT doc_id, a, b, b - n_chars AS c FROM ("
+        "  SELECT doc_id, n_chars, a, a * 2 AS b FROM ("
+        "    SELECT doc_id, n_chars, n_chars + 1 AS a FROM probe14_docs"
+        ")) ORDER BY doc_id LIMIT 20"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in rewrite]
+
+
+def test_interval_avg_matchable_via_epoch_seconds(spark, sf_dir):
+    """avg() over day-time intervals is typed interval arithmetic;
+    the cross-engine surface is epoch-seconds extraction (string
+    renderings differ between engines)."""
+    _docs(spark, sf_dir)
+    got = spark.sql(
+        "SELECT source, CAST(unix_micros(TIMESTAMP '1970-01-01 00:00:00'"
+        "  + avg(INTERVAL '1' SECOND * (doc_id % 7))) / 1000000.0"
+        "  AS DOUBLE) AS avg_s"
+        " FROM probe14_docs GROUP BY source ORDER BY source"
+    ).collect()
+    # DuckDB has no avg(INTERVAL) — the oracle replays the closed
+    # form: the average interval in seconds IS the average of the
+    # scalar second counts
+    want = _duck(
+        sf_dir,
+        "SELECT source, CAST(AVG(doc_id % 7) AS DOUBLE) AS avg_s"
+        " FROM documents GROUP BY source ORDER BY source",
+    )
+    assert [(r.source, round(r.avg_s, 6)) for r in got] == [
+        (s, round(v, 6)) for s, v in want
+    ]
+
+
+def test_tablesample_repeatable_replays_but_partition_bound(spark, sf_dir):
+    """TABLESAMPLE ... REPEATABLE replays the same selection for an
+    identical plan, but the selection is partition-bound (same trap as
+    seeded uniform()): a repartitioned source samples a different set.
+    md5-as-RNG (q62/q84) stays the oracle-safe sampling path."""
+    docs = _docs(spark, sf_dir)
+    sql = (
+        "SELECT doc_id FROM probe14_docs"
+        " TABLESAMPLE (BUCKET 1 OUT OF 4) REPEATABLE (7) ORDER BY doc_id"
+    )
+    a = [r.doc_id for r in spark.sql(sql).collect()]
+    b = [r.doc_id for r in spark.sql(sql).collect()]
+    assert a == b, "identical plan must replay the identical sample"
+    docs.repartition(13).createOrReplaceTempView("probe14_docs_repart")
+    c = [
+        r.doc_id
+        for r in spark.sql(
+            "SELECT doc_id FROM probe14_docs_repart"
+            " TABLESAMPLE (BUCKET 1 OUT OF 4) REPEATABLE (7)"
+            " ORDER BY doc_id"
+        ).collect()
+    ]
+    assert a != c, (
+        "sampling became partitioning-independent — revisit the posture"
+    )
+
+
+def test_histogram_numeric_unstable_under_repartition(spark, sf_dir):
+    """histogram_numeric's bin centers depend on the merge order, so
+    the result changes under repartitioning — approx/rows-only family
+    only, never a value hash."""
+    docs = _docs(spark, sf_dir)
+    a = spark.sql(
+        "SELECT histogram_numeric(n_chars, 3) AS h FROM probe14_docs"
+    ).collect()[0].h
+    b = docs.repartition(13).selectExpr(
+        "histogram_numeric(n_chars, 3) AS h"
+    ).collect()[0].h
+    assert [tuple(r) for r in a] != [tuple(r) for r in b], (
+        "histogram_numeric became partition-independent — oracle upgrade "
+        "possible"
+    )
+    # counts still conserve the row total in both geometries
+    n = docs.count()
+    assert sum(r.y for r in a) == n and sum(r.y for r in b) == n
+
+
+def test_merge_into_and_window_exclude_are_ruled_out(spark, sf_dir):
+    """Rule-out pins (the Avro discipline): MERGE INTO needs a v2
+    catalog with row-level ops (none deployed here — parquet v1 tables
+    raise UNSUPPORTED_FEATURE), and the ANSI window frame EXCLUDE
+    clause does not parse in this build. If either starts working on
+    an upgrade, the probe fails and the surface joins the candidate
+    list."""
+    import pytest
+    from pyspark.errors import ParseException
+
+    spark.sql("DROP TABLE IF EXISTS probe14_merge_t")
+    spark.sql("CREATE TABLE probe14_merge_t (k INT, v INT) USING parquet")
+    try:
+        # raises UnsupportedOperationException (not AnalysisException)
+        with pytest.raises(Exception, match="TABLE_OPERATION"):
+            spark.sql(
+                "MERGE INTO probe14_merge_t t USING (SELECT 1 AS k, 2 AS v) s"
+                " ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v"
+                " WHEN NOT MATCHED THEN INSERT *"
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS probe14_merge_t")
+    _docs(spark, sf_dir)
+    with pytest.raises(ParseException):
+        spark.sql(
+            "SELECT sum(n_chars) OVER (ORDER BY doc_id"
+            " ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING"
+            " EXCLUDE CURRENT ROW) FROM probe14_docs"
         )
