@@ -87,9 +87,16 @@ def q217_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .save(path)
     )
+    # explicit schema: XML inference is a FULL extra pass over the
+    # files — at 100 TB the reader must be told its shape, same as any
+    # production ingest (inference is for exploration only)
     back = (
         spark.read.format("xml")
         .option("rowTag", "doc")
+        .schema(
+            "doc_id bigint, source string, lang string, n_chars bigint,"
+            " probe string"
+        )
         .load(path)
         .select("doc_id", "source", "lang", "n_chars", "probe")
     )

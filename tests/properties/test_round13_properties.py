@@ -81,6 +81,10 @@ def test_q217_roundtrip_preserves_every_row(spark, sf_dir):
     back = (
         spark.read.format("xml")
         .option("rowTag", "doc")
+        .schema(
+            "doc_id bigint, source string, lang string, n_chars bigint,"
+            " probe string"
+        )
         .load(path)
         .select("doc_id", "source", "lang", "n_chars", "probe")
     )
