@@ -193,9 +193,11 @@ class _MRTextWriter(DataSourceWriter):
                     ) from None
                 promoted.add(os.path.basename(final))
         self._sweep_staged()
-        if self.overwrite:
+        if self.overwrite and os.path.isdir(self.path):
             # Remove part files this job did not produce (a prior run
             # with more partitions); append mode leaves them alone.
+            # isdir guard: a zero-partition write never ran write(), so
+            # the directory may not exist yet.
             for name in os.listdir(self.path):
                 if name.startswith("mr-out-") and name not in promoted:
                     try:
