@@ -4548,11 +4548,17 @@ WITH inv AS (
   JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_orderdate >= inv.cutoff
   GROUP BY inv.seg, o.o_orderpriority
 )
-SELECT seg, COUNT(*) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_total,
-       CAST(SUM(cents) AS BIGINT) AS cents_total
-FROM per_group
-GROUP BY seg
-ORDER BY seg
+-- LEFT JOIN from inv: the script emits its summary row even when a
+-- parameterization matches ZERO orders (n_groups = 0, totals 0), so
+-- the oracle must too — an inner-join shape would drop that row on a
+-- regenerated corpus where a segment/cutoff combination is empty
+SELECT inv.seg, COUNT(pg.o_orderpriority) AS n_groups,
+       CAST(COALESCE(SUM(pg.n), 0) AS BIGINT) AS n_total,
+       CAST(COALESCE(SUM(pg.cents), 0) AS BIGINT) AS cents_total
+FROM inv
+LEFT JOIN per_group pg ON pg.seg = inv.seg
+GROUP BY inv.seg
+ORDER BY inv.seg
 """
 
 
