@@ -96,6 +96,8 @@ def _read_row_range(path: str, begin: int, end: int):
             break
     if not groups:
         return
+    import pyarrow as pa
+
     tbl = pf.read_row_groups(groups, columns=list(STREAM_COLUMNS))
     tbl = tbl.slice(begin - first_row, end - begin)
     # Arrow-native handoff: yield the sliced RecordBatches directly
@@ -105,6 +107,20 @@ def _read_row_range(path: str, begin: int, end: int):
     # order already matches STREAM_SCHEMA because read_row_groups was
     # given STREAM_COLUMNS in schema order (VERDICT r12 "what's wrong"
     # item 1: the tuple path round-tripped every row through Python).
+    # Footer-adaptivity: the batch types must EQUAL the declared
+    # STREAM_SCHEMA (the tuple path coerced implicitly; Arrow does
+    # not), so cast when a regenerated corpus narrows a physical type
+    # (e.g. int32 n_chars) — a no-op when types already match.
+    target = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("lang", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    if tbl.schema != target:
+        tbl = tbl.cast(target)
     yield from tbl.to_batches()
 
 
