@@ -27,7 +27,9 @@ from distributed_map_reduce_spark.registry import (
 from tools.rotation import (
     ANCHORS,
     REPO_ROOT,
+    ROWS_ONLY_QUOTA,
     advise_if_newer,
+    checked_names,
     compute_window,
     last_green_rounds,
 )
@@ -68,18 +70,28 @@ def test_window_contains_anchors_and_never_green():
     assert not missing, f"never-driver-green oracle entries outside window: {missing}"
 
 
-def test_window_entries_all_have_oracles():
+def test_window_rows_only_entries_are_the_quota_picks():
+    """Rows-only entries inside the window must be exactly the policy's
+    never-driver-checked rotation picks (<= ROWS_ONLY_QUOTA, VERDICT r13
+    item 3) — any other rows-only entry there wastes a hash-checkable
+    slot (the r7 ``sketch_active_users`` mistake)."""
     qs = all_queries()
     window = list(qs)[:CORRECTNESS_WINDOW]
-    rows_only = [n for n in window if qs[n].oracle is None]
-    assert not rows_only, (
-        f"rows-only entries waste hash-checkable window slots: {rows_only}"
+    in_window = [n for n in window if qs[n].oracle is None]
+    assert len(in_window) <= ROWS_ONLY_QUOTA
+    already = checked_names(artifacts=STAMPED)
+    stray = [n for n in in_window if n in already]
+    assert not stray, (
+        f"already-driver-checked rows-only entries waste window slots: {stray}"
     )
 
 
-def test_oracle_entries_precede_rows_only():
+def test_oracle_entries_precede_rows_only_outside_window():
+    """Beyond the window, discovery order must still put oracle-bearing
+    entries before rows-only ones (inside the window the rotation quota
+    deliberately interleaves a few rows-only picks)."""
     qs = all_queries()
-    names = list(qs)
+    names = list(qs)[CORRECTNESS_WINDOW:]
     first_rows_only = next(
         (i for i, n in enumerate(names) if qs[n].oracle is None), len(names)
     )

@@ -11,13 +11,22 @@ function and can never disagree:
 
     window = ANCHORS                                   (always re-checked)
            + never-green oracle entries                (close the union)
+           + never-checked rows-only entries           (<= ROWS_ONLY_QUOTA,
+                                                        once each, ever)
            + stalest-green oracle entries              (oldest last-green
                                                         round first)
 
-Only oracle-bearing entries are eligible — rows-only entries get a
-weaker rows-only driver check wherever they sit, so placing one inside
-the window wastes a hash-checkable slot (the r7 ``sketch_active_users``
-mistake).
+Oracle-bearing entries get the full hash check; rows-only entries get a
+weaker rows-only driver check wherever they sit, so a rows-only slot is
+spent deliberately, not by accident (the r7 ``sketch_active_users``
+mistake was accidental placement). VERDICT r13 item 3: 11 of 13
+rows-only entries had NEVER appeared inside a driver window, so the
+driver never even rows-checked them — the quota rotates each
+never-checked rows-only entry through the window exactly once (it
+leaves the pool the moment any stamped artifact records a row for it,
+match or mismatch), then the quota self-retires. Oracle intake always
+wins a capacity conflict: the quota shrinks before ``compute_window``
+raises.
 
 Artifact stamping (VERDICT r8 "What's wrong" item 1): ``--emit`` writes
 the list of CORRECTNESS artifacts it consumed into
@@ -70,6 +79,24 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # them (a stamped round newer than when they were added).
 FORCE_RECHECK: list[str] = []
 
+# Rows-only rotation (VERDICT r13 item 3): at most this many
+# never-driver-checked rows-only entries ride each window, family-ordered
+# ann_* -> sketch_* -> everything else so the similarity/sketch families
+# the verdict called out surface first. The pool drains to empty (each
+# entry needs exactly one driver row, ever) and the quota then costs
+# nothing.
+ROWS_ONLY_QUOTA = 6
+
+_ROWS_ONLY_FAMILY_ORDER = ("ann_", "sketch_", "multimodal_")
+
+
+def _rows_only_key(name: str) -> tuple[int, str]:
+    for i, prefix in enumerate(_ROWS_ONLY_FAMILY_ORDER):
+        if name.startswith(prefix):
+            return (i, name)
+    return (len(_ROWS_ONLY_FAMILY_ORDER), name)
+
+
 ANCHORS = [
     "q4_pricing_summary",
     "q7_region_revenue",
@@ -109,6 +136,20 @@ def last_green_rounds(
         for name, row in rows.items():
             if row.get("hash_match"):
                 out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def checked_names(
+    repo_root: str = REPO_ROOT, artifacts: list[str] | None = None
+) -> set[str]:
+    """Every query name with ANY driver row (match or mismatch) in the
+    given artifact set — the rows-only quota's 'already checked' test."""
+    if artifacts is None:
+        artifacts = artifacts_on_disk(repo_root)
+    out: set[str] = set()
+    for base in artifacts:
+        with open(os.path.join(repo_root, base)) as f:
+            out.update(json.load(f))
     return out
 
 
@@ -160,6 +201,16 @@ def compute_window(
             "some or wait a round"
         )
     window += never
+    # Rows-only rotation: never-driver-checked rows-only entries ride the
+    # window once each (VERDICT r13 item 3). Oracle intake wins a capacity
+    # conflict — the quota shrinks to the remaining space, never raises.
+    checked = checked_names(repo_root, artifacts)
+    rows_only_pool = sorted(
+        (n for n, s in qs.items() if s.oracle is None and n not in checked),
+        key=_rows_only_key,
+    )
+    quota = min(ROWS_ONLY_QUOTA, size - len(window))
+    window += rows_only_pool[:quota]
     stale = sorted(
         (n for n in oracle if n in green and n not in window),
         key=lambda n: (green[n], _qid(n)),
@@ -285,6 +336,7 @@ def main(argv: list[str]) -> int:
         window = compute_window()
         anchors = [n for n in window if n in set(ANCHORS)]
         w_never = [n for n in window if n in set(never)]
+        w_rows_only = [n for n in window if qs[n].oracle is None]
         stale = [n for n in window if n not in set(ANCHORS) and n in green]
         oldest_in = min((green[n] for n in stale), default=None)
         oldest_out = min(
@@ -293,7 +345,8 @@ def main(argv: list[str]) -> int:
             default=None,
         )
         print(f"next window: {len(anchors)} anchors + {len(w_never)} "
-              f"never-green + {len(stale)} stale re-greens "
+              f"never-green + {len(w_rows_only)} rows-only rotation + "
+              f"{len(stale)} stale re-greens "
               f"= {len(window)}/{CORRECTNESS_WINDOW}")
         print(f"stalest staged: r{oldest_in}; stalest left outside: "
               f"r{oldest_out}")
