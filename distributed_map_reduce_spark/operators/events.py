@@ -1671,6 +1671,62 @@ ORDER BY event_id
 """
 
 
+def q222_time_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-day activity profile on Spark 4's ANSI TIME type:
+    timestamps are projected onto a date-less clock value with
+    ``make_time(hour, minute, second)``, truncated to the hour with
+    ``time_trunc``, and aggregated — the wall-clock seasonality query a
+    date_trunc bucketing (q14) cannot express because it keeps the date.
+
+    TIME is conf-gated in this build (``spark.sql.timeType.enabled``,
+    default off — UNSUPPORTED_TIME_TYPE without it): the builder enables
+    it for plan ANALYSIS and restores the previous value; execution of
+    the analyzed plan does not re-check the flag (pinned in
+    tests/properties/test_r14_candidate_probes.py, along with the
+    rendering agreement with DuckDB's native TIME). The output casts
+    TIME to its ISO string so the driver hash is type-stable; DuckDB has
+    no time_trunc over TIME, so the oracle replays the trunc
+    arithmetically (seconds/minutes zeroed inside make_time).
+
+    Scale shape: identical to q14 — one hash aggregate keyed on
+    (hour-of-day, event_type), 24×|types| groups, partial map-side
+    combine; the TIME projection is codegen arithmetic on the timestamp
+    fields, no Python.
+    """
+    prev = spark.conf.get("spark.sql.timeType.enabled")
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.createOrReplaceTempView("q222_events")
+        return spark.sql(
+            """
+SELECT CAST(time_trunc('HOUR',
+            make_time(hour(ts), minute(ts), second(ts))) AS STRING) AS tod,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM q222_events
+GROUP BY tod, event_type
+ORDER BY tod, event_type
+"""
+        )
+    finally:
+        spark.conf.set("spark.sql.timeType.enabled", prev)
+
+
+Q222_ORACLE = """
+SELECT CAST(make_time(CAST(hour(ts) AS INT), 0, 0.0) AS VARCHAR) AS tod,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY tod, event_type
+ORDER BY tod, event_type
+"""
+
+
 QUERIES = [
     QuerySpec("q191_trailing_hour_avg", q191_trailing_hour_avg,
               Q191_ORACLE,
@@ -1776,4 +1832,9 @@ QUERIES = [
               "top event-type trigram paths via lead() windows "
               "(path-mining census, fully tie-broken top-k)",
               ("events", "window", "funnel")),
+    QuerySpec("q222_time_of_day_profile", q222_time_of_day_profile,
+              Q222_ORACLE,
+              "wall-clock time-of-day rollup on the conf-gated ANSI TIME "
+              "type (make_time + time_trunc, date-less seasonality)",
+              ("events", "time", "sql-surface")),
 ]

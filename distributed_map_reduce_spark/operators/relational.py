@@ -4633,6 +4633,70 @@ ORDER BY inv.region, n.n_name
 """
 
 
+def q224_report_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyst-shorthand reporting surface in one query: ``GROUP BY
+    ALL`` (group on the full non-aggregate projection), a lateral
+    column alias (``avg_cents`` reads the ``total_cents`` and ``n``
+    aliases defined earlier in the SAME select list — no nested
+    subquery), ``SELECT * EXCEPT (...)`` (projection-level column
+    exclusion), and ``ORDER BY ALL`` (sort by the full remaining select
+    list). All four resolve identically in DuckDB, which originated the
+    ALL/EXCEPT shorthand (EXCLUDE there) — pinned in
+    tests/properties/test_r14_candidate_probes.py.
+
+    The inner aggregate keeps the integer-cents discipline (per-row
+    FLOOR(x*100+0.5) before SUM); the lateral chain uses integer DIV so
+    both engines truncate identically. Build trap (this is why the
+    lateral layer sits ABOVE the aggregate): a lateral alias inside a
+    GROUP BY ALL block raises UNSUPPORTED_FEATURE.
+    LATERAL_COLUMN_ALIAS_IN_GROUP_BY in this build.
+
+    Scale shape: the shorthands are pure resolver sugar — the optimized
+    plan is the same single hash aggregate over (priority, status) as
+    the longhand spelling, then a 15-row projection; nothing about ALL/
+    EXCEPT survives into the physical plan.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q224_orders")
+    return spark.sql(
+        """
+SELECT * EXCEPT (total_cents) FROM (
+  SELECT *,
+         total_cents DIV n AS avg_cents,
+         avg_cents DIV 100 AS avg_dollars
+  FROM (
+    SELECT o_orderpriority,
+           o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS total_cents
+    FROM __q224_orders
+    GROUP BY ALL
+  )
+)
+ORDER BY ALL
+"""
+    )
+
+
+Q224_ORACLE = """
+SELECT * EXCLUDE (total_cents) FROM (
+  SELECT *,
+         total_cents // n AS avg_cents,
+         avg_cents // 100 AS avg_dollars
+  FROM (
+    SELECT o_orderpriority,
+           o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY ALL
+  )
+)
+ORDER BY ALL
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -4909,4 +4973,9 @@ QUERIES = [
               "EXECUTE IMMEDIATE with statement text in a session "
               "variable, positional USING binds, two argument sets",
               ("relational", "sql-surface", "dynamic-sql")),
+    QuerySpec("q224_report_group_by_all", q224_report_group_by_all,
+              Q224_ORACLE,
+              "GROUP BY ALL + lateral alias + SELECT * EXCEPT + ORDER BY "
+              "ALL reporting shorthand (resolver sugar, longhand plan)",
+              ("relational", "agg", "sql-surface")),
 ]

@@ -559,6 +559,148 @@ ORDER BY src_a, src_b
 """
 
 
+# --- q220: bucket-bitmap EXACT distinct rollup (mergeable) ---------------------
+
+
+def q220_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bucket bitmaps
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``) —
+    the Snowflake-style pre-aggregated rollup and the scale answer to
+    q19/q149's exact-distinct shapes: COUNT(DISTINCT key) shuffles every
+    distinct key, the bitmap path partial-aggregates each 32768-id
+    bucket into one fixed-size bitmap map-side and merges with OR.
+
+    Two consumption levels from ONE bucket frame prove the
+    pre-aggregation story: per-flag distinct part counts (SUM of bucket
+    cardinalities — buckets partition the id domain, so no overlap),
+    and the ALL-flags distinct from OR-merging the per-flag bucket
+    bitmaps WITHOUT rescanning base rows — the rollup a 100 TB warehouse
+    materializes once and slices arbitrarily. Exactness (== COUNT
+    DISTINCT) makes this the strongest-oracle entry of the sketch
+    family; pinned in tests/properties/test_r14_candidate_probes.py
+    (incl. the NESTED_AGGREGATE_FUNCTION trap: construct, OR-merge and
+    count-sum each need their own query block).
+
+    Scale shape: the bucket frame is one hash aggregate keyed
+    (flag, bucket) — partial map-side combine, one narrow shuffle of
+    fixed-size bitmaps, never a key explosion. The shared bucket frame
+    is pinned (localCheckpoint, the q166/q182 rule) so construct runs
+    once for both consumers; at real cluster scale persist() would be
+    the fault-tolerant spelling (ADVICE r13 note on q182).
+
+    Reference lineage: the indexer's manual distinct-document fold,
+    /root/reference/src/mrapps/indexer.go:21-25.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey"
+    )
+    buckets = (
+        li.groupBy(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_partkey)").alias("bkt"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(l_partkey))"
+            ).alias("b")
+        )
+        .localCheckpoint(eager=False)
+    )
+    per_flag = buckets.groupBy("l_returnflag").agg(
+        F.sum(F.expr("bitmap_count(b)")).cast("bigint").alias("distinct_parts")
+    )
+    merged = (
+        buckets.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(b)").alias("mb"))
+        .agg(
+            F.sum(F.expr("bitmap_count(mb)"))
+            .cast("bigint")
+            .alias("distinct_parts_all")
+        )
+    )
+    return per_flag.crossJoin(F.broadcast(merged)).orderBy("l_returnflag")
+
+
+Q220_ORACLE = """
+WITH per_flag AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts
+  FROM lineitem GROUP BY l_returnflag
+),
+merged AS (
+  SELECT COUNT(DISTINCT l_partkey) AS distinct_parts_all FROM lineitem
+)
+SELECT f.l_returnflag, f.distinct_parts, m.distinct_parts_all
+FROM per_flag f CROSS JOIN merged m
+ORDER BY f.l_returnflag
+"""
+
+
+# --- q221: DataSketches theta set operations in the exact regime ---------------
+
+
+def q221_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DataSketches THETA sketch set algebra — the operations HLL
+    cannot do (q201 spells them manually with KMV): per source, two
+    overlapping document audiences (``doc_id % 3 != 2`` vs ``!= 0``, so
+    every third doc is shared) are sketched with ``theta_sketch_agg``
+    and combined with ``theta_union`` / ``theta_intersection`` /
+    ``theta_difference``.
+
+    Oracle posture (the HLL rule, SURVEY §2.4 Q19 note): theta estimates
+    are EXACT while every sketch retains all hashed ids — guaranteed
+    here by lgNomEntries=15 (32768 nominal entries vs ≤5000 doc ids per
+    source at the gated scales), so the entry is value-hashable. Past
+    the exact regime the estimates are error-bound only; the unbounded-
+    domain path stays rows-only-with-floor (sketch_*) or KMV (q201).
+    Pinned in tests/properties/test_r14_candidate_probes.py.
+
+    Scale shape: one hash aggregate per source building three constant-
+    size sketch states map-side (mergeable — the same rollup shape as
+    q220's bitmaps but sub-linear state); the set ops run on the tiny
+    per-source aggregate frame. At 100 TB this is the audience-overlap
+    recipe: sketch once per segment, intersect any pair later without
+    touching rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("q221_docs")
+    return spark.sql(
+        """
+SELECT source,
+       CAST(theta_sketch_estimate(theta_union(a, b, 15)) AS BIGINT)
+         AS n_union,
+       CAST(theta_sketch_estimate(theta_intersection(a, b)) AS BIGINT)
+         AS n_inter,
+       CAST(theta_sketch_estimate(theta_difference(a, b)) AS BIGINT)
+         AS n_only_a
+FROM (
+  SELECT source,
+         theta_sketch_agg(CASE WHEN doc_id % 3 != 2 THEN doc_id END, 15)
+           AS a,
+         theta_sketch_agg(CASE WHEN doc_id % 3 != 0 THEN doc_id END, 15)
+           AS b
+  FROM q221_docs GROUP BY source
+)
+ORDER BY source
+"""
+    )
+
+
+Q221_ORACLE = """
+WITH counts AS (
+  SELECT source,
+         COUNT(DISTINCT CASE WHEN doc_id % 3 != 2 THEN doc_id END) AS n_a,
+         COUNT(DISTINCT CASE WHEN doc_id % 3 != 0 THEN doc_id END) AS n_b,
+         COUNT(DISTINCT CASE WHEN doc_id % 3 = 1 THEN doc_id END) AS n_inter,
+         COUNT(DISTINCT doc_id) AS n_union
+  FROM documents GROUP BY source
+)
+SELECT source, n_union, n_inter, n_a - n_inter AS n_only_a
+FROM counts
+ORDER BY source
+"""
+
+
 QUERIES = [
     QuerySpec("q197_kmv_distinct", q197_kmv_distinct, _q197_oracle(),
               "KMV distinct-shingle sketch per source with exact twin and "
@@ -568,6 +710,16 @@ QUERIES = [
               "theta/KMV sketch set operations: per-source-pair union and "
               "intersection estimates with exact twins and signed error",
               ("sketch", "approx", "textanalysis", "setops")),
+    QuerySpec("q220_bitmap_distinct_rollup", q220_bitmap_distinct_rollup,
+              Q220_ORACLE,
+              "bucket-bitmap EXACT mergeable distinct counts per returnflag "
+              "+ OR-merged all-flags rollup without rescanning rows",
+              ("sketch", "exact", "mergeable", "relational")),
+    QuerySpec("q221_theta_audience_overlap", q221_theta_audience_overlap,
+              Q221_ORACLE,
+              "DataSketches theta union/intersection/difference per source "
+              "in the lgk-guaranteed exact regime (value-hashed)",
+              ("sketch", "setops", "sql-surface")),
     QuerySpec("sketch_active_users", hll_active_users, None,
               "trailing 7/30-day DAU/WAU/MAU from per-day mergeable HLL "
               "sketches (approximate sibling of exact q149; rows-only, "

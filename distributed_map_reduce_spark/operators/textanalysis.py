@@ -1943,6 +1943,82 @@ ORDER BY v.source
 """
 
 
+def q223_try_quality_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe quality metrics with the ``try_*`` family: curation
+    expressions over messy text must not abort a 100 TB job on one bad
+    record (div-by-zero on an unpunctuated doc, an unparseable numeric
+    field) — ``try_divide`` / ``try_to_number`` return NULL where the
+    plain forms raise under ANSI mode, and NULLs flow through the
+    aggregates as "metric undefined for this record".
+
+    Per source: documents with no sentence punctuation at all
+    (the try_divide NULL census), total floor'd chars-per-sentence over
+    the defined rows (per-row FLOOR before the SUM — the established
+    integer discipline, raw double quotient sums are order-sensitive in
+    the last unit across engines), and the sum of each document's first
+    ≤6-digit number parsed with try_to_number (NULL when the doc has
+    none, or when the extract is empty).
+
+    Oracle shape: CASE WHEN guards replay every try_* NULL exactly
+    (pinned in tests/properties/test_r14_candidate_probes.py); DuckDB's
+    TRY_CAST of the empty extract mirrors try_to_number's NULL.
+
+    Scale shape: single-pass per-document codegen projections (regexp
+    count/extract + guarded arithmetic), then one small hash aggregate
+    keyed by source — the q17/q29 shape, zero Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sent = F.expr("regexp_count(text, '[.!?]')")
+    cps = F.floor(F.expr("try_divide(n_chars, regexp_count(text, '[.!?]'))"))
+    first_num = F.expr(
+        "try_to_number(regexp_extract(text, '([0-9]{1,6})', 1), '999999')"
+    )
+    return (
+        docs.select(
+            "source",
+            sent.alias("sent"),
+            cps.cast("bigint").alias("cps"),
+            first_num.cast("bigint").alias("first_num"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("sent") == 0).cast("bigint")).alias("n_unsentenced"),
+            F.sum("cps").alias("sum_chars_per_sent"),
+            F.sum((F.col("first_num").isNull()).cast("bigint")).alias(
+                "n_numberless"
+            ),
+            F.sum("first_num").alias("sum_first_num"),
+        )
+        .orderBy("source")
+    )
+
+
+Q223_ORACLE = """
+WITH d AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[.!?]')) AS sent,
+         n_chars,
+         TRY_CAST(regexp_extract(text, '([0-9]{1,6})', 1) AS BIGINT)
+           AS first_num
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN sent = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unsentenced,
+       CAST(SUM(CASE WHEN sent = 0 THEN NULL
+                     ELSE CAST(FLOOR(n_chars / sent) AS BIGINT) END)
+         AS BIGINT) AS sum_chars_per_sent,
+       CAST(SUM(CASE WHEN first_num IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_numberless,
+       CAST(SUM(first_num) AS BIGINT) AS sum_first_num
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = [
     QuerySpec("q195_ngram_novelty", q195_ngram_novelty, _q195_oracle(),
               "held-out bigram novelty rate per source (val occurrences "
@@ -2027,4 +2103,9 @@ QUERIES = [
               "points (corpus-drift / mirror-feed audit; token-keyed join "
               "bounded by |sources|^2 per token)",
               ("textanalysis", "dedup", "audit")),
+    QuerySpec("q223_try_quality_guards", q223_try_quality_guards,
+              Q223_ORACLE,
+              "error-safe curation metrics via try_divide/try_to_number "
+              "(NULL-on-error census + guarded integer aggregates)",
+              ("textanalysis", "quality", "sql-surface")),
 ]

@@ -164,6 +164,11 @@ DEFAULT_AUDIT = [
     "q216_sql_script_maintenance",
     "q217_xml_roundtrip",
     "q218_execute_immediate",
+    "q220_bitmap_distinct_rollup",
+    "q221_theta_audience_overlap",
+    "q222_time_of_day_profile",
+    "q223_try_quality_guards",
+    "q224_report_group_by_all",
 ]
 
 
