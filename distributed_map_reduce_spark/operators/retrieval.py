@@ -214,6 +214,11 @@ def q126_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized (qid, doc_id, score) frame instead of replaying q93's
     full 24-exchange DAG inside this plan tree — stage count is what
     it costs, values are identical (rounding happens before the cut).
+    Fault-tolerance tradeoff (ADVICE r13): localCheckpoint TRUNCATES
+    lineage, so losing an executor that held cached blocks fails the
+    query instead of recomputing — fine on the single-JVM bench
+    harness; on a real 1000-executor cluster the recomputable spelling
+    is persist() (or reliable checkpoint()) at the same cut point.
     Determinism: both input ranks tie-break on rounded score then
     doc_id; rrf sums two exact small-integer reciprocals, rounded to
     6 dp."""

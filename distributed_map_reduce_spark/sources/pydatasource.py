@@ -58,6 +58,11 @@ class _MRTextReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("mrtext requires a path (load('<dir or file>'))")
+        # NOTE: '.'/'_'-prefixed files are dropped BEFORE this glob is
+        # applied (InMemoryFileIndex convention), so a glob that
+        # explicitly targets them (e.g. pathGlobFilter='_stats-*')
+        # silently matches nothing — hidden names are not readable
+        # through this source at all (ADVICE r13).
         self.glob = options.get("pathGlobFilter", "*")
 
     def partitions(self):
@@ -116,13 +121,19 @@ class _MRTextWriter(DataSourceWriter):
     every ``mr-out-*`` match.
 
     Staged names are NAMESPACED by a per-job token (the analog of
-    Hadoop's ``_temporary/<jobId>``), so two concurrent jobs appending
+    Hadoop's ``_temporary/<jobId>``), so two concurrent APPEND jobs
     into one directory never touch each other's in-flight files:
-    commit() and abort() sweep ONLY this job's staged prefix. The cost
-    is that an aborted job whose cancelled attempts land files AFTER
-    its own best-effort sweep leaves hidden orphans behind (the same
-    residue Hadoop's committer leaves in ``_temporary``) — harmless to
-    readers, cleaned by any directory hygiene sweep of dot-files.
+    commit() and abort() sweep ONLY this job's staged prefix. The
+    namespace protects in-flight staged files only — overwrite mode's
+    stale-part sweep removes every committed ``mr-out-*`` not in THIS
+    job's promoted set, so an overwrite concurrent with ANY other
+    writer to the same directory is undefined (it deletes the other
+    job's committed output), same as Hadoop's overwrite committer
+    (ADVICE r13). The other cost is that an aborted job whose cancelled
+    attempts land files AFTER its own best-effort sweep leaves hidden
+    orphans behind (the same residue Hadoop's committer leaves in
+    ``_temporary``) — harmless to readers, cleaned by any directory
+    hygiene sweep of dot-files.
 
     ``mode("overwrite")`` promotes this job's files first, then removes
     stale ``mr-out-*`` part files a previous (wider) run left behind.

@@ -519,8 +519,18 @@ def q219_foreachbatch_exactly_once(
     )
     q.processAllAvailable()
     q.stop()
-    q.awaitTermination(60)
-    written = spark.read.parquet(*sorted(glob.glob(os.path.join(out, "b*"))))
+    batch_dirs = sorted(glob.glob(os.path.join(out, "b*")))
+    if not batch_dirs:
+        # Zero-batch drain (empty corpus): parquet() with no paths
+        # raises an opaque error — fail with the actual cause instead
+        # (ADVICE r13).
+        raise RuntimeError(
+            f"q219: no committed batch directories under {out!r} — the "
+            "docrange drain delivered zero micro-batches"
+        )
+    # Explicit schema: a b<N> left by an EMPTY micro-batch has no data
+    # file to infer from; the declared stream schema reads it as 0 rows.
+    written = spark.read.schema(src.schema).parquet(*batch_dirs)
     return (
         written.groupBy("source", "lang")
         .agg(
