@@ -44,6 +44,38 @@ Rule-outs pinned as raising probes (the Avro discipline):
 ``UNION ALL BY NAME`` does not parse in this build's SQL (DataFrame
 ``unionByName`` remains the spelling), and the ANSI window frame unit
 ``GROUPS BETWEEN`` does not parse (ROWS/RANGE only).
+
+Second scouting batch (also 2026-08-16):
+
+10. ``md5()`` / ``sha2(x, 256)`` — hex-identical to DuckDB's
+    md5/sha256: the content-addressed fingerprint surface (q16's
+    dedup key family) is directly hashable cross-engine.
+11. ``base64(encode(...))`` — round-trips and matches DuckDB's
+    ``to_base64(encode(...))`` byte-for-byte.
+12. ``split_part()`` incl. NEGATIVE indexes (count from the end) —
+    same name, same 1-based and -1-based semantics in DuckDB.
+13. ``translate()`` / ``overlay()`` — translate is value-identical in
+    DuckDB; DuckDB has NO overlay(), the oracle shape is the substr
+    splice.
+14. ``sequence(lo, hi[, step])`` == DuckDB ``generate_series`` for
+    integers (both inclusive, negative steps agree); DATE sequences
+    differ in TYPE only (Spark DATE array vs DuckDB TIMESTAMP array —
+    cast before hashing).
+15. ``str_to_map`` — works; ``map_entries`` preserves INSERTION order
+    (first-seen key order), pinned so a registered query can sort
+    entries explicitly instead of relying on it.
+16. ``greatest``/``least`` skip NULLs in BOTH engines (no trap —
+    scouted because the ANSI default differs in other engines).
+17. ``any_value()`` POSTURE pin: non-deterministic by contract (like
+    bare mode()/listagg) — only registrable over a domain where the
+    group has exactly one distinct value; the ignoreNulls form picks
+    the first non-null.
+18. ``months_between`` — Spark's fractional 31-day convention has no
+    DuckDB twin (datediff('month') is integer): an oracle must replay
+    the closed form, or the query sticks to whole-month boundaries.
+19. ``to_char(numeric, fmt)`` RENDERING trap: the group-separator
+    format renders '## ###.##' here (locale-space grouping) — never
+    hash a to_char numeric rendering cross-engine.
 """
 
 import duckdb
@@ -345,3 +377,122 @@ def test_union_by_name_and_groups_frame_are_ruled_out(spark):
     b = spark.createDataFrame([(20, 10)], "b INT, a INT")
     rows = a.unionByName(b).collect()
     assert [tuple(r) for r in rows] == [(1, 2), (10, 20)]
+
+
+def test_hash_fingerprints_match_duckdb(spark, sf_dir):
+    """md5/sha2-256 hex digests are byte-identical to DuckDB's
+    md5/sha256 — the content-addressed dedup-key surface (q16's family)
+    is directly hashable cross-engine."""
+    _view(spark, sf_dir, "documents", "probe15_docs")
+    got = spark.sql(
+        "SELECT doc_id, md5(text) m, sha2(text, 256) s,"
+        "       base64(encode(substr(text, 1, 40), 'UTF-8')) b"
+        " FROM probe15_docs ORDER BY doc_id LIMIT 50"
+    ).collect()
+    want = _duck(
+        sf_dir,
+        "SELECT doc_id, md5(text), sha256(text),"
+        "       to_base64(encode(substr(text, 1, 40)))"
+        " FROM documents ORDER BY doc_id LIMIT 50",
+    )
+    assert [(r.doc_id, r.m, r.s, r.b) for r in got] == want
+
+
+def test_string_surgery_matches_duckdb(spark, sf_dir):
+    """split_part (1-based AND negative indexes), translate, overlay —
+    same semantics both engines."""
+    _view(spark, sf_dir, "documents", "probe15_docs")
+    got = spark.sql(
+        "SELECT doc_id, split_part(text, ' ', 2) p2,"
+        "       split_part(text, ' ', -1) plast,"
+        "       translate(source, 'src', 'XYZ') tr,"
+        "       overlay(source PLACING '##' FROM 2 FOR 2) ov"
+        " FROM probe15_docs ORDER BY doc_id LIMIT 50"
+    ).collect()
+    # DuckDB has no overlay() — the oracle shape is the substr splice
+    want = _duck(
+        sf_dir,
+        "SELECT doc_id, split_part(text, ' ', 2),"
+        "       split_part(text, ' ', -1),"
+        "       translate(source, 'src', 'XYZ'),"
+        "       substr(source, 1, 1) || '##' || substr(source, 4)"
+        " FROM documents ORDER BY doc_id LIMIT 50",
+    )
+    assert [tuple(r) for r in got] == want
+
+
+def test_sequence_matches_generate_series_for_integers(spark, sf_dir):
+    """Integer sequence() == DuckDB generate_series (both ends
+    inclusive, negative steps agree). DATE sequences differ in element
+    TYPE only (Spark DATE vs DuckDB TIMESTAMP) — cast before hashing."""
+    got = spark.sql(
+        "SELECT sequence(1, 10, 3) a, sequence(10, 1, -4) b"
+    ).collect()[0]
+    want = _duck(
+        sf_dir,
+        "SELECT generate_series(1, 10, 3), generate_series(10, 1, -4)",
+    )[0]
+    assert (got.a, got.b) == (want[0], want[1])
+    d = spark.sql(
+        "SELECT CAST(sequence(DATE '2024-01-30', DATE '2024-02-02')"
+        "  AS ARRAY<STRING>) d"
+    ).collect()[0].d
+    dd = _duck(
+        sf_dir,
+        "SELECT list_transform(generate_series(DATE '2024-01-30',"
+        "  DATE '2024-02-02', INTERVAL 1 DAY),"
+        "  x -> strftime(x, '%Y-%m-%d'))",
+    )[0][0]
+    assert d == dd
+
+
+def test_str_to_map_entries_keep_insertion_order(spark):
+    """map_entries(str_to_map(...)) preserves first-seen key order —
+    pinned so a registered query sorts entries explicitly rather than
+    relying on it (map order is an implementation detail)."""
+    e = spark.sql(
+        "SELECT map_entries(str_to_map('b:2,a:1,c:3', ',', ':')) e"
+    ).collect()[0].e
+    assert [(x.key, x.value) for x in e] == [("b", "2"), ("a", "1"), ("c", "3")]
+
+
+def test_greatest_least_skip_nulls_in_both_engines(spark, sf_dir):
+    """No trap here (scouted because other engines differ): both Spark
+    and DuckDB skip NULL arguments."""
+    got = spark.sql("SELECT greatest(1, NULL, 3) g, least(1, NULL, 3) l")
+    want = _duck(sf_dir, "SELECT greatest(1, NULL, 3), least(1, NULL, 3)")
+    assert tuple(got.collect()[0]) == want[0]
+
+
+def test_any_value_posture_single_valued_domains_only(spark, sf_dir):
+    """any_value is non-deterministic by contract (bare-mode()'s rule):
+    registrable only where the group is single-valued — there it MUST
+    return that value; the ignoreNulls form must skip leading nulls."""
+    _view(spark, sf_dir, "documents", "probe15_docs")
+    rows = spark.sql(
+        "SELECT source, any_value(source) av"
+        " FROM probe15_docs GROUP BY source ORDER BY source"
+    ).collect()
+    assert all(r.av == r.source for r in rows)
+    iv = spark.sql(
+        "SELECT any_value(x, true) v FROM VALUES (NULL), (NULL), (7) t(x)"
+    ).collect()[0].v
+    assert iv == 7
+
+
+def test_months_between_needs_closed_form_replay(spark, sf_dir):
+    """Spark's months_between uses the fractional 31-day convention;
+    DuckDB's datediff('month') is integer-only — an oracle must replay
+    the closed form or stay on whole-month boundaries. Pin the exact
+    convention so a future registered query can replay it: whole months
+    between anchor days, else (day2 - day1)/31 fractional remainder."""
+    got = spark.sql(
+        "SELECT months_between(DATE '2024-03-31', DATE '2024-02-29') a,"
+        "       months_between(DATE '2024-03-30', DATE '2024-02-28') b,"
+        "       months_between(DATE '2024-03-15', DATE '2024-01-15') c"
+    ).collect()[0]
+    # last-day-to-last-day and same-day anchors are WHOLE months; the
+    # 30th-vs-28th case carries the (30-28)/31 remainder
+    assert got.a == 1.0
+    assert got.c == 2.0
+    assert abs(got.b - (1 + 2 / 31)) < 1e-8
