@@ -76,6 +76,14 @@ Second scouting batch (also 2026-08-16):
 19. ``to_char(numeric, fmt)`` RENDERING trap: the group-separator
     format renders '## ###.##' here (locale-space grouping) — never
     hash a to_char numeric rendering cross-engine.
+20. ``dropDuplicatesWithinWatermark`` — the streaming dedup operator
+    (the incremental sibling of q16/q90's batch dedup): works over the
+    docrange source. POSTURE pinned: the kept-row SET depends on
+    micro-batch boundaries and watermark progression (state expires
+    when the watermark passes a kept event's time + delay), so a
+    registered query is rows-only/property-checked, never
+    value-hashed — EXCEPT in the delay ≥ full-event-span regime, where
+    it degenerates to exactly one row per key (oracle-safe).
 """
 
 import duckdb
@@ -496,3 +504,66 @@ def test_months_between_needs_closed_form_replay(spark, sf_dir):
     assert got.a == 1.0
     assert got.c == 2.0
     assert abs(got.b - (1 + 2 / 31)) < 1e-8
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
+    """The streaming dedup operator works over the docrange source, and
+    its two registrable regimes hold: (a) with delay >= the full event
+    span it keeps EXACTLY one row per key (the oracle-safe degenerate
+    case — state never expires mid-stream), and (b) in the general case
+    every pair of kept rows sharing a key is separated by MORE than the
+    delay in event time (duplicates inside the horizon are dropped;
+    re-admissions only after state expiry), while the kept-row COUNT
+    depends on batch boundaries — rows-only posture."""
+    from distributed_map_reduce_spark.sources.pystreamsource import (
+        register_docrange,
+    )
+
+    register_docrange(spark)
+
+    def _drain(name, delay):
+        src = (
+            spark.readStream.format("docrange")
+            .option("path", f"{sf_dir.rstrip('/')}/documents.parquet")
+            .option("rowsPerBatch", "200")
+            .option("progressDir", str(tmp_path / f"prog_{name}"))
+            .load()
+        )
+        dd = (
+            src.withColumn("k", F.expr("doc_id % 100"))
+            .withColumn(
+                "ets",
+                F.expr("timestamp_micros(CAST(doc_id * 1000000 AS BIGINT))"),
+            )
+            .withWatermark("ets", delay)
+            .dropDuplicatesWithinWatermark(["k"])
+        )
+        q = (
+            dd.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(f"SELECT k, ets FROM {name}").collect()
+
+    n_docs = spark.read.parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet"
+    ).count()
+    # (a) delay covers the whole span: exactly one row per key
+    wide = _drain("ddw_wide", f"{n_docs + 10} seconds")
+    assert len(wide) == min(100, n_docs)
+    assert len({r.k for r in wide}) == len(wide)
+    # (b) short delay: per-key kept events are > delay apart
+    short = _drain("ddw_short", "10 seconds")
+    assert len(short) >= min(100, n_docs), "lost keys entirely"
+    by_key = {}
+    for r in short:
+        by_key.setdefault(r.k, []).append(r.ets)
+    for k, times in by_key.items():
+        times.sort()
+        for a, b in zip(times, times[1:]):
+            assert (b - a).total_seconds() > 10, (
+                f"key {k}: two kept rows inside the watermark delay"
+            )
