@@ -661,6 +661,10 @@ def q221_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source aggregate frame. At 100 TB this is the audience-overlap
     recipe: sketch once per segment, intersect any pair later without
     touching rows.
+
+    Reference lineage: the indexer's distinct-document set semantics
+    (/root/reference/src/mrapps/indexer.go:21-25), here as set ALGEBRA
+    over sketched id sets rather than materialized lists.
     """
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("q221_docs")

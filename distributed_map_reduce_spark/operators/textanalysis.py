@@ -1966,6 +1966,14 @@ def q223_try_quality_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: single-pass per-document codegen projections (regexp
     count/extract + guarded arithmetic), then one small hash aggregate
     keyed by source — the q17/q29 shape, zero Python.
+
+    Reference lineage: record-level fault tolerance — the reference
+    tolerates PROCESS crashes and re-runs whole tasks
+    (/root/reference/src/mrapps/crash.go:20-33 maybeCrash, worker
+    re-dispatch);
+    a declarative engine instead tolerates RECORD-level failures
+    in-place: try_* turns the bad record into a NULL and the job never
+    re-runs anything.
     """
     docs = load_table(spark, sf_dir, "documents")
     sent = F.expr("regexp_count(text, '[.!?]')")
