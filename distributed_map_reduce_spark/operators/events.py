@@ -403,11 +403,16 @@ def q32_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via native ``session_window``.
 
     A session = maximal run of a user's events where consecutive gaps are
-    < 6 h; ``session_end`` is Spark's convention, last event + gap. The
-    oracle reproduces it relationally (lag -> gap >= 6h marks a new
+    <= 6 h; ``session_end`` is Spark's convention, last event + gap. The
+    oracle reproduces it relationally (lag -> gap > 6h marks a new
     session -> running sum numbers sessions -> group), which pins the
-    boundary rule: a gap of exactly 6 h starts a NEW session (Spark
-    merges only while ts < previous end).
+    boundary rule: the bound is CLOSED — an event exactly 6 h after the
+    previous one MERGES into the session (Spark merges while ts <=
+    previous end; pinned in
+    tests/properties/test_r15_candidate_probes.py, which is why the
+    replay breaks on strictly > gap — a >= break would split sessions
+    Spark keeps together; hardened at r15, the data never hits an exact
+    6 h gap so every prior green stands).
 
     Scale notes: session_window is a single shuffle on user_id followed
     by a per-key sort-merge of windows — no self-join, no window-function
@@ -449,7 +454,7 @@ def user_sessions_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESS_CTES = """marked AS (
   SELECT user_id, ts, value,
          CASE WHEN LAG(ts) OVER w IS NULL
-              OR ts - LAG(ts) OVER w >= INTERVAL 6 HOUR
+              OR ts - LAG(ts) OVER w > INTERVAL 6 HOUR
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -476,6 +481,79 @@ SELECT user_id, session_start, session_end, n_events, total
 FROM sessions
 ORDER BY user_id, session_start
 """
+
+# --- q226: micro-sessionization, hash-checked at epoch-microsecond grain -----
+
+MICRO_SESSION_GAP = "10 minutes"
+
+
+def q226_micro_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-grained sessionization (10-minute inactivity gap) with the
+    session boundaries hash-checked at EPOCH-MICROSECOND grain — q32
+    re-run where it bites: the 6-hour gap yields a handful of long
+    sessions per user, the 10-minute gap fragments the same stream into
+    visit-level micro-sessions, so the closed-boundary rule and the
+    end = last-event + gap convention are exercised across thousands of
+    boundaries instead of dozens.
+
+    The boundary rule is the one pinned in
+    tests/properties/test_r15_candidate_probes.py: an event exactly
+    GAP after the previous one MERGES (closed bound), so the oracle's
+    gaps-and-islands replay breaks on STRICTLY > gap. Timestamps are
+    extracted as integer microseconds since the NTZ epoch — Spark's
+    ``session_window.start`` is TIMESTAMP_NTZ in this build and
+    ``unix_micros()`` rejects it; ``timestampdiff(MICROSECOND, ...)``
+    is the portable extraction (DuckDB side: ``epoch_us``). Integer
+    microseconds + integer cents make every output column exact.
+
+    Scale shape: identical to q32 — session_window is ONE shuffle on
+    user_id followed by a per-key merge of windows; no self-join, no
+    second window pass. At 100 TB the same expression runs under
+    readStream + watermark with state evicted per watermark.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "q226_events"
+    )
+    return spark.sql(
+        f"""
+SELECT user_id,
+       timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
+                     session_window.start) AS session_start_us,
+       timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
+                     session_window.end) AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM q226_events
+GROUP BY user_id, session_window(ts, '{MICRO_SESSION_GAP}')
+ORDER BY user_id, session_start_us
+"""
+    )
+
+
+Q226_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), i AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM e
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts) + INTERVAL 10 MINUTE) AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM i GROUP BY user_id, island
+ORDER BY user_id, session_start_us
+"""
+
 
 # --- q85: ordered funnel analysis --------------------------------------------
 
@@ -1688,6 +1766,14 @@ def q222_time_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     no time_trunc over TIME, so the oracle replays the trunc
     arithmetically (seconds/minutes zeroed inside make_time).
 
+    Concurrency caveat (ADVICE r14): the set/restore of the
+    session-global conf is NOT reentrant or thread-safe — a concurrent
+    builder on the shared SparkSession could observe the flag flipped
+    or have its own analysis gated by the restore. The suite builds
+    queries sequentially (registry iteration, bench, parity are all
+    single-threaded), which is the assumption this builder relies on;
+    serialize conf-mutating builders before ever parallelizing builds.
+
     Scale shape: identical to q14 — one hash aggregate keyed on
     (hour-of-day, event_type), 24×|types| groups, partial map-side
     combine; the TIME projection is codegen arithmetic on the timestamp
@@ -1745,6 +1831,10 @@ QUERIES = [
               "longest consecutive-day streak per user as a histogram "
               "(gaps-and-islands window idiom)",
               ("events", "window", "stats")),
+    QuerySpec("q226_micro_sessions", q226_micro_sessions, Q226_ORACLE,
+              "10-minute-gap micro-sessions hash-checked at epoch-"
+              "microsecond grain (closed-boundary session_window)",
+              ("events", "window", "temporal")),
     QuerySpec("q139_interval_overlap", q139_interval_overlap,
               _q139_oracle(),
               "session x campaign interval-overlap join with exact "

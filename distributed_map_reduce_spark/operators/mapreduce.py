@@ -181,6 +181,64 @@ GROUP BY lang
 ORDER BY key
 """
 
+def observed_source_report(spark: SparkSession, sf_dir: str):
+    """q229 core, returning ``(DataFrame, Observation)`` so the
+    property suite can assert the metric values — the registered
+    builder returns only the frame.
+
+    ``df.observe`` is the engine-surface analog of the reference's
+    exactly-once invocation counters (src/mrapps/jobcount.go:22-46):
+    accumulator-side metrics delivered with the SAME action that
+    produces the result, no second scan, while the observed frame's
+    ROWS are untouched — so the registered query stays oracle-hashable
+    and the run accounting (groups emitted, documents and characters
+    consumed) rides along for free.
+
+    Placement rule (the trap pinned in
+    tests/properties/test_r15_candidate_probes.py): metrics accumulate
+    once per EXECUTION of the observed subtree, and a sort ABOVE the
+    observe adds a range-partitioner sampling pass that executes the
+    subtree twice, doubling every metric — so the observe node sits
+    ABOVE the orderBy here, measuring the final sorted frame exactly
+    once per action.
+
+    Scale shape: the report is one map-side-combined hash aggregate on
+    source (20 groups); the observe adds a driver-collected accumulator
+    over the 20-row result — zero extra distributed work."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    report = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+    obs = Observation("q229_jobcount")
+    observed = report.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_docs").alias("docs_consumed"),
+        F.sum("total_chars").alias("chars_consumed"),
+    )
+    return observed, obs
+
+
+def q229_observed_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return observed_source_report(spark, sf_dir)[0]
+
+
+Q229_ORACLE = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = [
     QuerySpec("q20_mr_wordcount", q20_mr_wordcount, Q20_ORACLE,
               "map_reduce() compat API running the wc app (A1) — golden twin of q1",
@@ -191,4 +249,8 @@ QUERIES = [
     QuerySpec("q22_mr_sorted_values", q22_mr_sorted_values, Q22_ORACLE,
               "map_reduce() running crash.go's sorted-values join semantics (A3/A4)",
               ("mapreduce", "reference-app")),
+    QuerySpec("q229_observed_report", q229_observed_report, Q229_ORACLE,
+              "df.observe jobcount twin: per-source report with "
+              "accumulator-side run metrics on the same action (A5)",
+              ("mapreduce", "reference-app", "observe")),
 ]

@@ -316,7 +316,79 @@ ORDER BY rule
 
 
 
+def q228_regr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-drift fit with the native linear-regression
+    aggregate family: is document LENGTH trending with ingest order
+    (doc_id as crawl sequence)? ``regr_slope``/``regr_intercept``/
+    ``regr_r2`` give the fitted line per source feed, ``regr_count``
+    the paired-row count, ``regr_avgx``/``regr_avgy`` the centroid —
+    the drift monitor a training-data pipeline runs per feed to catch a
+    crawler that started truncating (slope < 0, r2 up) or a feed whose
+    mix shifted. Complements q87 (events-over-time trend) with the
+    corpus-over-ingest-order axis and the moment members q87 omits.
+
+    The family agrees with DuckDB's same-named aggregates at the
+    established 6-dp rounding (pinned in
+    tests/properties/test_r15_candidate_probes.py — slope/intercept/r2
+    are IEEE quotients of algebraic sums; counts are exact). The
+    second-moment raw sums (regr_sxx/syy/sxy) stay OUT of the hashed
+    output by the q49 float posture: their magnitude grows with n, so a
+    fixed decimal rounding cannot absorb accumulation-order ulps at
+    every scale factor.
+
+    Scale shape: single-pass algebraic aggregate (sums of x, y, xy, x2
+    per group under the hood) — map-side partials, one tiny shuffle on
+    source (20 groups), no window, no second scan.
+
+    Reference lineage: the per-key numeric rollup of
+    src/mrapps/wc.go:24-29 generalized to sufficient-statistics state —
+    the same partial-combine contract, richer merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.expr("regr_count(n_chars, doc_id)").alias("n_pairs"),
+            F.round(F.expr("regr_slope(n_chars, doc_id)"), 6).alias(
+                "slope"
+            ),
+            F.round(F.expr("regr_intercept(n_chars, doc_id)"), 6).alias(
+                "intercept"
+            ),
+            F.round(F.expr("regr_r2(n_chars, doc_id)"), 6).alias("r2"),
+            F.round(F.expr("regr_avgx(n_chars, doc_id)"), 6).alias(
+                "avg_doc_id"
+            ),
+            F.round(F.expr("regr_avgy(n_chars, doc_id)"), 6).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+Q228_ORACLE = """
+SELECT source,
+       regr_count(n_chars, doc_id) AS n_pairs,
+       ROUND(regr_slope(n_chars, doc_id), 6) AS slope,
+       ROUND(regr_intercept(n_chars, doc_id), 6) AS intercept,
+       ROUND(regr_r2(n_chars, doc_id), 6) AS r2,
+       ROUND(regr_avgx(n_chars, doc_id), 6) AS avg_doc_id,
+       ROUND(regr_avgy(n_chars, doc_id), 6) AS avg_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "q228_regr_drift",
+        q228_regr_drift,
+        Q228_ORACLE,
+        "per-source regr_* drift fit of n_chars over ingest order "
+        "(slope/intercept/r2/count/centroid, 6-dp oracle)",
+        ("profile", "stats", "regression"),
+    ),
     QuerySpec(
         "q178_expectation_checks",
         q178_expectation_checks,

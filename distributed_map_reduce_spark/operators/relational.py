@@ -4697,6 +4697,54 @@ ORDER BY ALL
 """
 
 
+def q227_conditional_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation report in one pass: ``count_if`` (count
+    under a predicate), ``bool_and``/``bool_or`` (universal/existential
+    tests as aggregates), and the ANSI ``FILTER (WHERE ...)`` aggregate
+    clause composed with COUNT and an integer-cents SUM — the idiom
+    that replaces N self-joins ("orders, of which open, of which
+    high-value, and did every one clear?") with one aggregate over one
+    scan. All five surfaces are value-identical in DuckDB (pinned in
+    tests/properties/test_r15_candidate_probes.py), so Spark and oracle
+    run the same statement text. The one dtype wrinkle: DuckDB's
+    count_if returns DOUBLE where Spark returns BIGINT, so the shared
+    text CASTs it (values identical either way).
+
+    Determinism: counts, bools, and integer cents only; the
+    FILTER-gated SUM is NULL for a group with no qualifying row in both
+    engines.
+
+    Scale shape: ONE hash aggregate keyed on o_orderpriority (5
+    groups), every conditional folded into the same partial-aggregate
+    state map-side — no second scan, no join, shuffle carries 5 rows
+    per map task. The FILTER clause compiles to the same
+    codegen-conditional accumulation a CASE WHEN inside the aggregate
+    would, with the predicate visible to the optimizer.
+
+    Reference lineage: the multi-counter shape of
+    src/mrapps/jobcount.go:22-46 (several counters advanced in one
+    pass) expressed declaratively."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q227_orders")
+    return spark.sql(_Q227_STMT.format(t="__q227_orders"))
+
+
+_Q227_STMT = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 0) AS all_pos,
+       bool_or(o_orderstatus = 'F') AS any_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cents
+FROM {t}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+Q227_ORACLE = _Q227_STMT.format(t="orders")
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -4977,5 +5025,10 @@ QUERIES = [
               Q224_ORACLE,
               "GROUP BY ALL + lateral alias + SELECT * EXCEPT + ORDER BY "
               "ALL reporting shorthand (resolver sugar, longhand plan)",
+              ("relational", "agg", "sql-surface")),
+    QuerySpec("q227_conditional_report", q227_conditional_report,
+              Q227_ORACLE,
+              "count_if / bool_and / bool_or / FILTER (WHERE ...) "
+              "conditional aggregates in one single-scan report",
               ("relational", "agg", "sql-surface")),
 ]

@@ -26,6 +26,7 @@ from distributed_map_reduce_spark.registry import (
 )
 from tools.rotation import (
     ANCHORS,
+    FORCE_RECHECK,
     REPO_ROOT,
     ROWS_ONLY_QUOTA,
     advise_if_newer,
@@ -118,8 +119,16 @@ def test_window_fill_is_stalest_first():
         for n, s in qs.items()
         if s.oracle is not None and n not in window and n in green
     ]
+    # FORCE_RECHECK entries ride the window despite a RECENT green —
+    # their code/oracle changed after it, so the green is stale-by-edit
+    # rather than stale-by-round (first non-empty use: r15's SESS_CTES
+    # boundary hardening). They must not trip the stalest-first check.
     inside = [
-        green[n] for n in window if n in green and n not in set(ANCHORS)
+        green[n]
+        for n in window
+        if n in green
+        and n not in set(ANCHORS)
+        and n not in set(FORCE_RECHECK)
     ]
     if outside and inside:
         assert min(outside) >= max(inside), (

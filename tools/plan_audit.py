@@ -169,6 +169,11 @@ DEFAULT_AUDIT = [
     "q222_time_of_day_profile",
     "q223_try_quality_guards",
     "q224_report_group_by_all",
+    "q225_levenshtein_neardup",
+    "q226_micro_sessions",
+    "q227_conditional_report",
+    "q228_regr_drift",
+    "q229_observed_report",
 ]
 
 

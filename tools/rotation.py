@@ -77,12 +77,19 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # treat it as never-green so it re-enters the very next window. Entries
 # are pruned once the next CORRECTNESS artifact records a green row for
 # them (a stamped round newer than when they were added).
-FORCE_RECHECK: list[str] = []
+FORCE_RECHECK: list[str] = [
+    # r15: SESS_CTES boundary hardened (>= -> > gap break per the pinned
+    # closed-bound session_window semantics) — both oracles changed text,
+    # so their greens predate the current oracle. Prune once a stamped
+    # round newer than r14 records greens for them.
+    "q32_user_sessions",
+    "q139_interval_overlap",
+]
 
 # Rows-only rotation (VERDICT r13 item 3): at most this many
 # never-driver-checked rows-only entries ride each window, family-ordered
-# ann_* -> sketch_* -> everything else so the similarity/sketch families
-# the verdict called out surface first. The pool drains to empty (each
+# ann_* -> sketch_* -> multimodal_* -> everything else so the
+# similarity/sketch families the verdict called out surface first. The pool drains to empty (each
 # entry needs exactly one driver row, ever) and the quota then costs
 # nothing.
 ROWS_ONLY_QUOTA = 6
