@@ -592,21 +592,36 @@ def q220_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference lineage: the indexer's manual distinct-document fold,
     /root/reference/src/mrapps/indexer.go:21-25.
     """
+    buckets = bitmap_bucket_frame(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    return _rollup_from_buckets(buckets)
+
+
+def bitmap_bucket_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q220's (l_returnflag, bkt, bitmap) bucket frame, unpinned — the
+    ONE scan of the base rows that every distinct-count consumer
+    amortizes. Factored so q220 (inline, localCheckpoint-pinned) and
+    the persisted rollup store (``sinks.write_distinct_rollup``,
+    bucketed on ``bkt`` with persist-grade durability) share the one
+    definition."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_partkey"
     )
-    buckets = (
-        li.groupBy(
-            "l_returnflag",
-            F.expr("bitmap_bucket_number(l_partkey)").alias("bkt"),
-        )
-        .agg(
-            F.expr(
-                "bitmap_construct_agg(bitmap_bit_position(l_partkey))"
-            ).alias("b")
-        )
-        .localCheckpoint(eager=False)
+    return li.groupBy(
+        "l_returnflag",
+        F.expr("bitmap_bucket_number(l_partkey)").alias("bkt"),
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(l_partkey))"
+        ).alias("b")
     )
+
+
+def _rollup_from_buckets(buckets: DataFrame) -> DataFrame:
+    """Both consumption levels of the bucket frame (q220's output
+    shape): per-flag distinct via SUM of bucket cardinalities, all-flags
+    distinct via bitmap OR-merge — never rescanning base rows."""
     per_flag = buckets.groupBy("l_returnflag").agg(
         F.sum(F.expr("bitmap_count(b)")).cast("bigint").alias("distinct_parts")
     )
@@ -620,6 +635,46 @@ def q220_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_flag.crossJoin(F.broadcast(merged)).orderBy("l_returnflag")
+
+
+def q230_stored_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q220 rollup consumed THROUGH the persisted bucket-bitmap
+    store (``sinks.write_distinct_rollup``) — the materialize-once/
+    slice-forever pattern exercised end to end: write the (group,
+    bucket) bitmap frame bucketed on ``bkt`` once per corpus snapshot
+    (idempotent: a fresh store is reused, a stale one rewritten —
+    freshness via the lineitem fingerprint sidecar, the pair-store
+    contract), then answer BOTH distinct-count slices from the stored
+    frame with no base-table scan. Same rows as q220 by construction,
+    so the driver hash-checks the whole store round trip against the
+    same COUNT(DISTINCT) oracle.
+
+    Scale shape: the write is q220's one scan + one narrow bitmap
+    shuffle; every subsequent consumer is a popcount over the tiny
+    stored frame, and the ``bkt`` bucketing makes the OR-merge group-by
+    read pre-partitioned buckets with no Exchange (mirrors q90's
+    stored-side-shuffle-free pin; pinned in
+    tests/properties/test_round15_properties.py). This is the 100 TB
+    dashboard posture: the store is written by the ingest pipeline,
+    every distinct-count query after that touches kilobytes.
+
+    Reference lineage: the indexer's distinct fold
+    (/root/reference/src/mrapps/indexer.go:21-25) materialized as a
+    reusable warehouse artifact."""
+    from ..sinks import (
+        dataset_fingerprint,
+        default_distinct_rollup_table,
+        stored_table_if_fresh,
+        write_distinct_rollup,
+    )
+
+    table = default_distinct_rollup_table(sf_dir)
+    fp = dataset_fingerprint(sf_dir, "lineitem")
+    stored = stored_table_if_fresh(spark, table, fp)
+    if stored is None:
+        write_distinct_rollup(spark, sf_dir, table=table)
+        stored = spark.table(table)
+    return _rollup_from_buckets(stored)
 
 
 Q220_ORACLE = """
@@ -719,6 +774,11 @@ QUERIES = [
               "bucket-bitmap EXACT mergeable distinct counts per returnflag "
               "+ OR-merged all-flags rollup without rescanning rows",
               ("sketch", "exact", "mergeable", "relational")),
+    QuerySpec("q230_stored_distinct_rollup", q230_stored_distinct_rollup,
+              Q220_ORACLE,
+              "q220's rollup answered from the persisted bucketed bitmap "
+              "store (write-once, popcount-forever; bkt-bucketed OR-merge)",
+              ("sketch", "exact", "mergeable", "store")),
     QuerySpec("q221_theta_audience_overlap", q221_theta_audience_overlap,
               Q221_ORACLE,
               "DataSketches theta union/intersection/difference per source "

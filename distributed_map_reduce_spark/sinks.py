@@ -1,4 +1,4 @@
-"""Sinks: training-shard writer.
+"""Sinks: training-shard writer + materialized-store machinery.
 
 The reference's only sink is the ``key value`` text file pair
 (/root/reference/src/mr/worker.go:183-216, covered by
@@ -16,11 +16,248 @@ without an extra repartition job, and parquet stats give row-group
 pushdown within each shard. The value is the pinned contract, tested in
 ``tests/test_sinks.py``: layout on disk, lossless read-back, and
 pruned reads.
+
+The materialized-store helpers (``dataset_fingerprint`` /
+``materialize_bucketed_store`` / ``stored_table_if_fresh`` /
+``write_distinct_rollup``) generalize the pair-store pattern
+(operators/dedup.py ``write_pair_store``, VERDICT r6 item 5): compute
+an expensive derived frame ONCE per corpus snapshot, write it bucketed
+on its consumer join/group key, stamp a freshness sidecar, and let
+every later consumer read pre-partitioned buckets instead of
+recomputing — with a stale store falling back to inline recompute
+rather than serving wrong rows into a hash-checked query.
 """
 
 from __future__ import annotations
 
+import os
+import warnings
+
 from pyspark.sql import DataFrame
+
+# Sidecar filename shared with the pair store (dedup._FP_SIDECAR is the
+# historical spelling; both write the same token format).
+FP_SIDECAR = "_corpus_fp"
+
+
+def dataset_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Cheap freshness token for one corpus table — a driver-side
+    stat()-only pass, no Spark job and no data read (a content hash of
+    a 100 TB corpus is not a freshness check, it's a job). The test
+    corpus is REGENERATED between rounds; a persisted store that
+    outlives its corpus must fall back to inline recompute, not serve
+    stale rows into a hash-checked query.
+
+    Token = size + NANOSECOND mtime of every file under the dataset
+    path (whole-second mtime let a same-size regeneration within one
+    second collide — ADVICE r7); multi-file parquet directories include
+    every part file, so a partial rewrite changes the token too.
+    Generalizes dedup's documents-only ``_corpus_fingerprint`` to any
+    table (the distinct rollup fingerprints ``lineitem``)."""
+    root = os.path.join(sf_dir.rstrip("/"), f"{table}.parquet")
+    st = os.stat(root)
+    if not os.path.isdir(root):
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    parts = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+        for name in sorted(filenames):
+            fst = os.stat(os.path.join(dirpath, name))
+            parts.append(f"{name}:{fst.st_size}:{fst.st_mtime_ns}")
+    return ";".join(parts) or f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def table_location(spark, table: str) -> str | None:
+    """Local filesystem location of a catalog table, or None."""
+    try:
+        loc = next(
+            (
+                r["data_type"]
+                for r in spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {table}"
+                ).collect()
+                if r["col_name"] == "Location"
+            ),
+            None,
+        )
+    except Exception:
+        return None
+    if loc and loc.startswith("file:"):
+        loc = loc[5:]
+    return loc
+
+
+def clear_orphan_managed_location(spark, table: str) -> None:
+    """Local-catalog amnesia, write side (pair-store pattern): a fresh
+    JVM's in-memory catalog has no entry for ``table``, but the MANAGED
+    location under the warehouse (or under a custom database LOCATION)
+    may survive from an earlier session — ``saveAsTable`` then fails
+    with LOCATION_ALREADY_EXISTS. A materialized store is a derived
+    cache (reproducible from the corpus by construction), so an
+    orphaned managed location is safe to clear before the overwrite."""
+    import shutil
+
+    dbname, tname = table.split(".", 1)
+    db_loc = next(
+        (
+            r["info_value"]
+            for r in spark.sql(f"DESCRIBE DATABASE {dbname}").collect()
+            if r["info_name"] == "Location"
+        ),
+        None,
+    )
+    if db_loc:
+        if db_loc.startswith("file:"):
+            db_loc = db_loc[5:]
+        orphan = os.path.join(db_loc, tname)
+        if os.path.isdir(orphan):
+            shutil.rmtree(orphan)
+
+
+def materialize_bucketed_store(
+    spark,
+    df: DataFrame,
+    table: str,
+    *,
+    buckets: int,
+    bucket_cols: tuple[str, ...],
+    sort_cols: tuple[str, ...] = (),
+    fingerprint: str | None = None,
+    location: str | None = None,
+) -> str:
+    """Write ``df`` as a bucketed catalog table + freshness sidecar.
+
+    The one-time write pays the frame's shuffles; afterwards every
+    consumer keyed on ``bucket_cols`` reads pre-partitioned buckets
+    with no Exchange (the q90 stored-side pin). ``table`` must be
+    db-qualified: with a bare name the CREATE DATABASE below would make
+    a database named after the table while ``saveAsTable`` wrote into
+    the CURRENT database — silently dropping the ``location`` request."""
+    if "." not in table:
+        raise ValueError(
+            f"store table must be db-qualified ('db.table'), got {table!r}"
+        )
+    db = table.split(".", 1)[0]
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")
+    if not spark.catalog.tableExists(table):
+        clear_orphan_managed_location(spark, table)
+    w = df.write.mode("overwrite").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+    if fingerprint is not None:
+        # sidecar next to the data: survives JVM restarts (the local
+        # in-memory catalog does not), so path-based readers in a LATER
+        # session can still trust-and-read the store.
+        tloc = table_location(spark, table)
+        if tloc and os.path.isdir(tloc):
+            with open(os.path.join(tloc, FP_SIDECAR), "w") as f:
+                f.write(fingerprint)
+        else:
+            # Without the sidecar a fresh session can never trust the
+            # store, so the default read path would silently recompute
+            # forever (ADVICE r7) — make the degradation loud, not an
+            # error: a non-local table location (object store via a
+            # real metastore) is a legitimate deployment that simply
+            # doesn't need the local-catalog-amnesia workaround.
+            warnings.warn(
+                f"store {table}: no local directory location ({tloc!r})"
+                " — freshness sidecar not written; cross-session readers"
+                " will fall back to inline recompute",
+                stacklevel=2,
+            )
+    return table
+
+
+def stored_table_if_fresh(
+    spark, table: str, fingerprint: str
+) -> DataFrame | None:
+    """The catalog table, iff it exists AND its sidecar fingerprint
+    still matches ``fingerprint``; None otherwise (read side of the
+    pair-store freshness contract — same-session catalog reads keep
+    bucket metadata, so bucket-keyed consumers stay shuffle-free)."""
+    if not spark.catalog.tableExists(table):
+        return None
+    loc = table_location(spark, table)
+    if not loc:
+        return None
+    try:
+        with open(os.path.join(loc, FP_SIDECAR)) as f:
+            if f.read().strip() != fingerprint:
+                return None
+    except OSError:
+        return None
+    return spark.table(table)
+
+
+DISTINCT_ROLLUP_BUCKETS = 8
+
+
+def default_distinct_rollup_table(sf_dir: str) -> str:
+    """Per-corpus rollup table name (db-qualified, like the pair store):
+    one store per sf_dir, so different scale factors never collide."""
+    tag = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").split("/")[-1]
+    )
+    return f"rollup_store.bitmap_distinct_{tag}"
+
+
+def write_distinct_rollup(
+    spark,
+    sf_dir: str,
+    *,
+    table: str | None = None,
+    buckets: int = DISTINCT_ROLLUP_BUCKETS,
+    location: str | None = None,
+) -> str:
+    """Materialize q220's (group, bucket) bitmap frame as a bucketed
+    table — the Snowflake-style materialize-once/slice-forever distinct
+    rollup (VERDICT r14 item 7). The write pays the ONE scan of the
+    base rows; afterwards every distinct-count consumer (per-group SUM
+    of bucket cardinalities, any coarser slice via bitmap OR-merge) is
+    a popcount over the tiny stored frame, no base-table scan — and the
+    ``bkt`` bucketing makes the OR-merge group-by shuffle-free (the q90
+    stored-side pin, tests/test_bucketing.py's discipline). Durable
+    storage replaces the in-plan ``localCheckpoint`` pinning here —
+    persist-grade fault tolerance per the ADVICE r13 q182 note.
+
+    Freshness: the sidecar fingerprints ``lineitem`` (the rollup's base
+    table), so a regenerated corpus invalidates the store and consumers
+    fall back to inline recompute rather than serving stale counts."""
+    from .operators.sketches import bitmap_bucket_frame
+
+    if table is None:
+        table = default_distinct_rollup_table(sf_dir)
+    return materialize_bucketed_store(
+        spark,
+        bitmap_bucket_frame(spark, sf_dir),
+        table,
+        buckets=buckets,
+        bucket_cols=("bkt",),
+        fingerprint=dataset_fingerprint(sf_dir, "lineitem"),
+        location=location,
+    )
+
+
+def resolve_distinct_rollup(
+    spark, sf_dir: str, rollup: DataFrame | None = None
+) -> DataFrame:
+    """``rollup=`` hook for bitmap-rollup consumers, in priority order:
+    a caller-provided frame; else the persisted per-corpus store when
+    present AND fresh; else the inline bucket frame (pinned with
+    localCheckpoint for multi-consumer plans, the q220 posture)."""
+    if rollup is not None:
+        return rollup
+    stored = stored_table_if_fresh(
+        spark,
+        default_distinct_rollup_table(sf_dir),
+        dataset_fingerprint(sf_dir, "lineitem"),
+    )
+    if stored is not None:
+        return stored
+    from .operators.sketches import bitmap_bucket_frame
+
+    return bitmap_bucket_frame(spark, sf_dir).localCheckpoint(eager=False)
 
 
 def write_training_shards(

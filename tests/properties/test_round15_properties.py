@@ -275,6 +275,58 @@ def test_q228_regr_identities(spark, sf_dir):
         assert 0.0 <= r.r2 <= 1.0
 
 
+# --- q230: persisted distinct-rollup store -------------------------------------
+
+
+def test_q230_store_round_trip_and_freshness(spark, sf_dir):
+    """The stored rollup must answer EXACTLY what the inline q220 path
+    answers (the materialize-once contract), the write must be
+    idempotent (a fresh store is reused, not rewritten), and a
+    fingerprint mismatch must disqualify the store (stale stores fall
+    back to inline recompute, never serve stale counts)."""
+    from distributed_map_reduce_spark.operators.sketches import (
+        q220_bitmap_distinct_rollup,
+        q230_stored_distinct_rollup,
+    )
+    from distributed_map_reduce_spark.sinks import (
+        dataset_fingerprint,
+        default_distinct_rollup_table,
+        stored_table_if_fresh,
+    )
+
+    stored_rows = [
+        tuple(r) for r in q230_stored_distinct_rollup(spark, sf_dir).collect()
+    ]
+    inline_rows = [
+        tuple(r) for r in q220_bitmap_distinct_rollup(spark, sf_dir).collect()
+    ]
+    assert stored_rows == inline_rows
+    table = default_distinct_rollup_table(sf_dir)
+    fp = dataset_fingerprint(sf_dir, "lineitem")
+    assert stored_table_if_fresh(spark, table, fp) is not None
+    assert stored_table_if_fresh(spark, table, fp + ":stale") is None
+
+
+def test_q230_stored_or_merge_is_shuffle_free(spark, sf_dir):
+    """The q90 stored-side pin, rollup edition: the store is bucketed on
+    ``bkt``, so the OR-merge group-by reads pre-partitioned buckets
+    with ZERO Exchange — the reason a dashboard query over the store
+    touches kilobytes and shuffles nothing at 100 TB."""
+    from distributed_map_reduce_spark.plans.inspect import formatted_plan
+    from distributed_map_reduce_spark.sinks import write_distinct_rollup
+
+    table = write_distinct_rollup(spark, sf_dir)
+    merged = (
+        spark.table(table)
+        .groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(b)").alias("mb"))
+    )
+    plan = formatted_plan(merged)
+    assert "SelectedBucketsCount" in plan, plan  # bucketed read used
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 0, tree
+
+
 # --- q229: observe() metrics --------------------------------------------------
 
 

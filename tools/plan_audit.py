@@ -174,6 +174,7 @@ DEFAULT_AUDIT = [
     "q227_conditional_report",
     "q228_regr_drift",
     "q229_observed_report",
+    "q230_stored_distinct_rollup",
 ]
 
 
