@@ -1780,11 +1780,23 @@ def q225_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = docs.select(F.col("doc_id").alias("ad"), F.col("text").alias("ta"))
     tb = docs.select(F.col("doc_id").alias("bd"), F.col("text").alias("tb"))
+    # 3-arg levenshtein early-abandons past the threshold (returns -1):
+    # O(k*min(len)) instead of O(len_a*len_b) per candidate — the
+    # verify-stage perf lever at 100 TB, where background candidates
+    # (anchor collisions that are NOT near-dups) dominate the verify
+    # bill. Returns the TRUE distance at or under the threshold, so the
+    # kept rows are identical to the 2-arg spelling (pinned in
+    # tests/properties/test_r16_candidate_probes.py); the oracle keeps
+    # the CASE-free 2-arg form DuckDB has.
     return (
         cand.join(ta, "ad")
         .join(tb, "bd")
-        .select("ad", "bd", F.levenshtein("ta", "tb").alias("dist"))
-        .filter(F.col("dist") <= LEV_DOC_MAX)
+        .select(
+            "ad",
+            "bd",
+            F.expr(f"levenshtein(ta, tb, {LEV_DOC_MAX})").alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
         .orderBy("ad", "bd")
     )
 
