@@ -82,6 +82,23 @@ def main() -> int:
     if dedup._stored_pairs_if_fresh(spark, sf_dir) is None:
         dedup.write_pair_store(spark, sf_dir)
     timings["pair_store_build"] = round(time.perf_counter() - t0, 3)
+    # Same posture for the bitmap distinct-rollup store (q230): write
+    # once per corpus snapshot, bill the build as its own line item so
+    # q230's timing shows the CONSUMER cost (popcount over the stored
+    # frame), not a hidden rebuild.
+    from distributed_map_reduce_spark import sinks
+
+    t0 = time.perf_counter()
+    if (
+        sinks.stored_table_if_fresh(
+            spark,
+            sinks.default_distinct_rollup_table(sf_dir),
+            sinks.dataset_fingerprint(sf_dir, "lineitem"),
+        )
+        is None
+    ):
+        sinks.write_distinct_rollup(spark, sf_dir)
+    timings["rollup_store_build"] = round(time.perf_counter() - t0, 3)
     for name, spec in all_queries().items():
         t0 = time.perf_counter()
         df = spec.build(spark, sf_dir)
