@@ -89,15 +89,7 @@ def main() -> int:
     from distributed_map_reduce_spark import sinks
 
     t0 = time.perf_counter()
-    if (
-        sinks.stored_table_if_fresh(
-            spark,
-            sinks.default_distinct_rollup_table(sf_dir),
-            sinks.dataset_fingerprint(sf_dir, "lineitem"),
-        )
-        is None
-    ):
-        sinks.write_distinct_rollup(spark, sf_dir)
+    sinks.ensure_distinct_rollup(spark, sf_dir)
     timings["rollup_store_build"] = round(time.perf_counter() - t0, 3)
     for name, spec in all_queries().items():
         t0 = time.perf_counter()

@@ -266,56 +266,34 @@ def default_pair_store_table(sf_dir: str) -> str:
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
-    """Cheap freshness token for the documents corpus — a driver-side
-    stat()-only pass, no Spark job and no data read (a content hash of
-    a 100 TB corpus is not a freshness check, it's a job). The test
-    corpus is REGENERATED between rounds; a persisted store that
-    outlives its corpus must fall back to inline recompute, not serve
-    stale pairs into a hash-checked query.
+    """Freshness token for the documents corpus the pair store derives
+    from. The mechanism (nanosecond-mtime stat token, ADVICE r7) lives
+    in :func:`sinks.dataset_fingerprint` since r15 — ONE implementation
+    keeps the pair store's and the distinct-rollup store's freshness
+    semantics from drifting; this wrapper only pins the table."""
+    from ..sinks import dataset_fingerprint
 
-    Token = size + NANOSECOND mtime of every file under the dataset
-    path (whole-second mtime let a same-size regeneration within one
-    second collide — ADVICE r7); multi-file parquet directories include
-    every part file, so a partial rewrite changes the token too."""
-    import os
-
-    root = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
-    st = os.stat(root)
-    if not os.path.isdir(root):
-        return f"{st.st_size}:{st.st_mtime_ns}"
-    parts = []
-    for dirpath, _dirnames, filenames in sorted(os.walk(root)):
-        for name in sorted(filenames):
-            fst = os.stat(os.path.join(dirpath, name))
-            parts.append(f"{name}:{fst.st_size}:{fst.st_mtime_ns}")
-    return ";".join(parts) or f"{st.st_size}:{st.st_mtime_ns}"
+    return dataset_fingerprint(sf_dir, "documents")
 
 
-_FP_SIDECAR = "_corpus_fp"
+# Same sidecar name as every other materialized store (sinks.FP_SIDECAR
+# is the canonical constant).
+from ..sinks import FP_SIDECAR as _FP_SIDECAR  # noqa: E402
 
 
 def _table_location(spark: SparkSession, table: str) -> str | None:
-    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
-        if row["col_name"] == "Location":
-            loc = row["data_type"]
-            return loc[5:] if loc.startswith("file:") else loc
-    return None
+    from ..sinks import table_location
+
+    return table_location(spark, table)
 
 
 def _default_store_path(spark: SparkSession, sf_dir: str) -> str:
-    """On-disk location the default store lands at under the session
-    warehouse — the cross-session handle: the local in-memory catalog
-    forgets saveAsTable metadata on JVM exit (a production deployment
-    has a real metastore and doesn't), so freshness rides a sidecar
-    file next to the data and readers fall back to the path when the
-    catalog has no entry."""
-    import os
+    """On-disk location the default pair store lands at under the
+    session warehouse (cross-session handle; rationale in
+    :func:`sinks.default_store_path`, the shared implementation)."""
+    from ..sinks import default_store_path
 
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    if wh.startswith("file:"):
-        wh = wh[5:]
-    name = default_pair_store_table(sf_dir).split(".", 1)
-    return os.path.join(wh, f"{name[0]}.db", name[1])
+    return default_store_path(spark, default_pair_store_table(sf_dir))
 
 
 def write_pair_store(
@@ -340,78 +318,24 @@ def write_pair_store(
     ``saveAsTable`` wrote into the CURRENT database — silently dropping
     the ``location`` request.
     """
+    from ..sinks import materialize_bucketed_store
+
     if table is None:
         table = default_pair_store_table(sf_dir)
-    if "." not in table:
-        raise ValueError(
-            f"pair-store table must be db-qualified ('db.table'), got {table!r}"
-        )
-    db = table.split(".", 1)[0]
-    loc = f" LOCATION '{location}'" if location else ""
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")
-    if not spark.catalog.tableExists(table):
-        # Local-catalog amnesia, write side: a fresh JVM's in-memory
-        # catalog has no entry for the table, but the MANAGED location
-        # under the warehouse (or under a custom database LOCATION —
-        # DESCRIBE DATABASE below resolves either) may survive from an
-        # earlier session —
-        # saveAsTable then fails with LOCATION_ALREADY_EXISTS. The
-        # store is a derived cache (reproducible from the corpus by
-        # construction), so an orphaned managed location is safe to
-        # clear before the overwrite.
-        import os
-        import shutil
-
-        dbname, tname = table.split(".", 1)
-        # the DATABASE may carry a custom location (CREATE DATABASE ...
-        # LOCATION), so resolve the managed path from the catalog, not
-        # from the warehouse conf
-        db_loc = next(
-            (
-                r["info_value"]
-                for r in spark.sql(f"DESCRIBE DATABASE {dbname}").collect()
-                if r["info_name"] == "Location"
-            ),
-            None,
-        )
-        if db_loc:
-            if db_loc.startswith("file:"):
-                db_loc = db_loc[5:]
-            orphan = os.path.join(db_loc, tname)
-            if os.path.isdir(orphan):
-                shutil.rmtree(orphan)
-    (
-        q24_ngram_jaccard_dedup(spark, sf_dir)
-        .write.mode("overwrite")
-        .bucketBy(buckets, "ad")
-        .sortBy("ad", "bd")
-        .saveAsTable(table)
+    # The catalog-amnesia orphan clearing, db-qualification contract and
+    # sidecar warn-fallback all live in the shared store machinery
+    # (sinks.materialize_bucketed_store) since r15 — one implementation
+    # for the pair store and the distinct rollup.
+    return materialize_bucketed_store(
+        spark,
+        q24_ngram_jaccard_dedup(spark, sf_dir),
+        table,
+        buckets=buckets,
+        bucket_cols=("ad",),
+        sort_cols=("ad", "bd"),
+        fingerprint=_corpus_fingerprint(sf_dir),
+        location=location,
     )
-    # freshness sidecar next to the data: survives JVM restarts (the
-    # local in-memory catalog does not), so path-based readers in a
-    # LATER session can still trust-and-read the store.
-    import os
-
-    tloc = _table_location(spark, table)
-    if tloc and os.path.isdir(tloc):
-        with open(os.path.join(tloc, _FP_SIDECAR), "w") as f:
-            f.write(_corpus_fingerprint(sf_dir))
-    else:
-        # Without the sidecar a fresh session can never trust the store,
-        # so the default read path would silently recompute forever
-        # (ADVICE r7) — make the degradation loud, not an error: a
-        # non-local table location (object store via a real metastore)
-        # is a legitimate deployment that simply doesn't need the
-        # local-catalog-amnesia workaround the sidecar exists for.
-        import warnings
-
-        warnings.warn(
-            f"pair store {table}: no local directory location "
-            f"({tloc!r}) — freshness sidecar not written; cross-session "
-            "readers will fall back to inline recompute",
-            stacklevel=2,
-        )
-    return table
 
 
 def read_pair_store(spark: SparkSession, table: str = PAIR_STORE_TABLE) -> DataFrame:
@@ -426,28 +350,13 @@ def _stored_pairs_if_fresh(
     Two rungs: the catalog table (same session / real metastore —
     keeps bucket metadata, so per-`ad` consumers stay shuffle-free),
     else the bare parquet path (fresh local session — bucket info is
-    lost but the q24 recompute is still saved)."""
-    import os
+    lost but the q24 recompute is still saved). The rung logic is the
+    shared store machinery (sinks.stored_table_if_fresh)."""
+    from ..sinks import stored_table_if_fresh
 
-    def _fresh(loc: str | None) -> bool:
-        if not loc:
-            return False
-        sidecar = os.path.join(loc, _FP_SIDECAR)
-        try:
-            with open(sidecar) as f:
-                return f.read().strip() == _corpus_fingerprint(sf_dir)
-        except OSError:
-            return False
-
-    table = default_pair_store_table(sf_dir)
-    if spark.catalog.tableExists(table):
-        if _fresh(_table_location(spark, table)):
-            return spark.table(table)
-        return None
-    path = _default_store_path(spark, sf_dir)
-    if _fresh(path if os.path.isdir(path) else None):
-        return spark.read.parquet(path)
-    return None
+    return stored_table_if_fresh(
+        spark, default_pair_store_table(sf_dir), _corpus_fingerprint(sf_dir)
+    )
 
 
 def resolve_pairs(
@@ -1749,20 +1658,7 @@ def q225_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars"
     )
-    anchors = F.array(
-        *[
-            F.concat(
-                F.lit(f"A{i}:"),
-                F.substring("text", off, LEV_DOC_ANCHOR_LEN),
-            )
-            for i, off in enumerate(LEV_DOC_ANCHOR_OFFSETS, 1)
-        ]
-    )
-    # length > 3 = non-empty fragment after the 3-char "Ai:" tag
-    sig = (
-        docs.select("doc_id", "n_chars", F.explode(anchors).alias("anchor"))
-        .filter(F.length("anchor") > 3)
-    )
+    sig = _q225_signature(docs)
     a = sig.select(
         F.col("doc_id").alias("ad"), F.col("n_chars").alias("la"), "anchor"
     )
@@ -1799,6 +1695,29 @@ def q225_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") >= 0)
         .orderBy("ad", "bd")
     )
+
+
+def _q225_signature(docs: DataFrame) -> DataFrame:
+    """q225's (doc_id, n_chars, anchor) blocking signature over any
+    (doc_id, text, n_chars) frame. Anchors whose text fragment is empty
+    (doc shorter than the offset) are DROPPED — without the filter,
+    every short doc would share the bare "Ai:" key and one bucket would
+    hold the whole short stratum, the degenerate-key skew bomb at
+    100 TB. Factored module-level so the property suite pins the guard
+    on the PRODUCTION frame, not a test-local reconstruction."""
+    anchors = F.array(
+        *[
+            F.concat(
+                F.lit(f"A{i}:"),
+                F.substring("text", off, LEV_DOC_ANCHOR_LEN),
+            )
+            for i, off in enumerate(LEV_DOC_ANCHOR_OFFSETS, 1)
+        ]
+    )
+    # length > 3 = non-empty fragment after the 3-char "Ai:" tag
+    return docs.select(
+        "doc_id", "n_chars", F.explode(anchors).alias("anchor")
+    ).filter(F.length("anchor") > 3)
 
 
 def _q225_oracle() -> str:

@@ -484,7 +484,12 @@ ORDER BY user_id, session_start
 
 # --- q226: micro-sessionization, hash-checked at epoch-microsecond grain -----
 
-MICRO_SESSION_GAP = "10 minutes"
+# ONE constant drives the Spark gap string, the oracle's INTERVAL and
+# the property suite's microsecond bound — so a recalibration can never
+# leave the oracle sessionizing at a different gap than the query
+# (they'd only diverge at the next driver parity run otherwise).
+MICRO_SESSION_GAP_MINUTES = 10
+MICRO_SESSION_GAP = f"{MICRO_SESSION_GAP_MINUTES} minutes"
 
 
 def q226_micro_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,11 +536,11 @@ ORDER BY user_id, session_start_us
     )
 
 
-Q226_ORACLE = """
+Q226_ORACLE = f"""
 WITH e AS (
   SELECT user_id, ts, value,
          CASE WHEN LAG(ts) OVER w IS NULL
-              OR ts - LAG(ts) OVER w > INTERVAL 10 MINUTE
+              OR ts - LAG(ts) OVER w > INTERVAL {MICRO_SESSION_GAP_MINUTES} MINUTE
               THEN 1 ELSE 0 END AS brk
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), i AS (
@@ -546,7 +551,8 @@ WITH e AS (
 )
 SELECT user_id,
        epoch_us(MIN(ts)) AS session_start_us,
-       epoch_us(MAX(ts) + INTERVAL 10 MINUTE) AS session_end_us,
+       epoch_us(MAX(ts) + INTERVAL {MICRO_SESSION_GAP_MINUTES} MINUTE)
+         AS session_end_us,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS total_cents

@@ -661,20 +661,9 @@ def q230_stored_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference lineage: the indexer's distinct fold
     (/root/reference/src/mrapps/indexer.go:21-25) materialized as a
     reusable warehouse artifact."""
-    from ..sinks import (
-        dataset_fingerprint,
-        default_distinct_rollup_table,
-        stored_table_if_fresh,
-        write_distinct_rollup,
-    )
+    from ..sinks import ensure_distinct_rollup
 
-    table = default_distinct_rollup_table(sf_dir)
-    fp = dataset_fingerprint(sf_dir, "lineitem")
-    stored = stored_table_if_fresh(spark, table, fp)
-    if stored is None:
-        write_distinct_rollup(spark, sf_dir, table=table)
-        stored = spark.table(table)
-    return _rollup_from_buckets(stored)
+    return _rollup_from_buckets(ensure_distinct_rollup(spark, sf_dir))
 
 
 Q220_ORACLE = """

@@ -19,7 +19,8 @@ pruned reads.
 
 The materialized-store helpers (``dataset_fingerprint`` /
 ``materialize_bucketed_store`` / ``stored_table_if_fresh`` /
-``write_distinct_rollup``) generalize the pair-store pattern
+``write_distinct_rollup`` / ``ensure_distinct_rollup``) generalize the
+pair-store pattern
 (operators/dedup.py ``write_pair_store``, VERDICT r6 item 5): compute
 an expensive derived frame ONCE per corpus snapshot, write it bucketed
 on its consumer join/group key, stamp a freshness sidecar, and let
@@ -169,25 +170,52 @@ def materialize_bucketed_store(
     return table
 
 
+def default_store_path(spark, table: str) -> str:
+    """On-disk location a managed ``db.table`` lands at under the
+    session warehouse — the cross-session handle: the local in-memory
+    catalog forgets saveAsTable metadata on JVM exit (a production
+    deployment has a real metastore and doesn't), so freshness rides
+    the sidecar file next to the data and readers fall back to the
+    path when the catalog has no entry (the dedup._default_store_path
+    contract, generalized)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[5:]
+    db, tname = table.split(".", 1)
+    return os.path.join(wh, f"{db}.db", tname)
+
+
 def stored_table_if_fresh(
     spark, table: str, fingerprint: str
 ) -> DataFrame | None:
-    """The catalog table, iff it exists AND its sidecar fingerprint
+    """The stored frame, iff it exists AND its sidecar fingerprint
     still matches ``fingerprint``; None otherwise (read side of the
-    pair-store freshness contract — same-session catalog reads keep
-    bucket metadata, so bucket-keyed consumers stay shuffle-free)."""
-    if not spark.catalog.tableExists(table):
+    pair-store freshness contract). Two rungs, exactly as
+    dedup._stored_pairs_if_fresh: the catalog table (same session /
+    real metastore — keeps bucket metadata, so bucket-keyed consumers
+    stay shuffle-free), else the bare parquet path under the warehouse
+    (fresh local session — bucket info is lost but the base-table
+    rescan is still saved; without this rung every new JVM would
+    distrust, clear and rebuild the store, turning write-once into
+    write-per-session)."""
+
+    def _fresh(loc: str | None) -> bool:
+        if not loc:
+            return False
+        try:
+            with open(os.path.join(loc, FP_SIDECAR)) as f:
+                return f.read().strip() == fingerprint
+        except OSError:
+            return False
+
+    if spark.catalog.tableExists(table):
+        if _fresh(table_location(spark, table)):
+            return spark.table(table)
         return None
-    loc = table_location(spark, table)
-    if not loc:
-        return None
-    try:
-        with open(os.path.join(loc, FP_SIDECAR)) as f:
-            if f.read().strip() != fingerprint:
-                return None
-    except OSError:
-        return None
-    return spark.table(table)
+    path = default_store_path(spark, table)
+    if _fresh(path if os.path.isdir(path) else None):
+        return spark.read.parquet(path)
+    return None
 
 
 DISTINCT_ROLLUP_BUCKETS = 8
@@ -239,25 +267,21 @@ def write_distinct_rollup(
     )
 
 
-def resolve_distinct_rollup(
-    spark, sf_dir: str, rollup: DataFrame | None = None
-) -> DataFrame:
-    """``rollup=`` hook for bitmap-rollup consumers, in priority order:
-    a caller-provided frame; else the persisted per-corpus store when
-    present AND fresh; else the inline bucket frame (pinned with
-    localCheckpoint for multi-consumer plans, the q220 posture)."""
-    if rollup is not None:
-        return rollup
+def ensure_distinct_rollup(spark, sf_dir: str) -> DataFrame:
+    """The persisted bucket-bitmap frame, written if absent or stale —
+    the ONE place that pairs the rollup's table name with its
+    fingerprint source (lineitem), shared by the q230 builder and
+    bench's provisioning step so the two can never disagree on
+    freshness (a disagreement would silently rebuild the store inside
+    a timed query and corrupt the consumer-cost-only bench contract)."""
+    table = default_distinct_rollup_table(sf_dir)
     stored = stored_table_if_fresh(
-        spark,
-        default_distinct_rollup_table(sf_dir),
-        dataset_fingerprint(sf_dir, "lineitem"),
+        spark, table, dataset_fingerprint(sf_dir, "lineitem")
     )
     if stored is not None:
         return stored
-    from .operators.sketches import bitmap_bucket_frame
-
-    return bitmap_bucket_frame(spark, sf_dir).localCheckpoint(eager=False)
+    write_distinct_rollup(spark, sf_dir, table=table)
+    return spark.table(table)
 
 
 def write_training_shards(

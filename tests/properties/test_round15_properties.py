@@ -74,8 +74,7 @@ def test_q225_blocking_has_full_recall_here(spark, sf_dir):
 def test_q225_plan_is_blocked_not_nested_loop(spark, sf_dir):
     """The candidate join must be an equi-join on the anchor key —
     never a nested-loop/cartesian pair scan (the brute force above is
-    test-only). Also pin that no degenerate empty-anchor key survives
-    the signature filter (the 100 TB skew guard)."""
+    test-only)."""
     from distributed_map_reduce_spark.operators.dedup import (
         q225_levenshtein_neardup,
     )
@@ -85,25 +84,44 @@ def test_q225_plan_is_blocked_not_nested_loop(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q225_signature_drops_empty_anchors(spark, sf_dir):
+    """The 100 TB skew guard, pinned on the PRODUCTION signature
+    builder: a doc shorter than an anchor offset must not emit the bare
+    'Ai:' key (one shared bucket holding the whole short stratum).
+    Checked two ways — on a synthetic short doc where the dropped
+    anchors are known exactly, and on the real corpus where the kept
+    frame must contain no empty fragments while the doc's own real
+    anchors all survive."""
     from distributed_map_reduce_spark.operators.dedup import (
         LEV_DOC_ANCHOR_OFFSETS,
+        _q225_signature,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    anchors = docs.select(
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"A{i}:"), F.substring("text", off, 24)
-                    )
-                    for i, off in enumerate(LEV_DOC_ANCHOR_OFFSETS, 1)
-                ]
+    short = spark.createDataFrame(
+        [(1, "0123456789", 10)], "doc_id LONG, text STRING, n_chars LONG"
+    )
+    kept = _q225_signature(short).collect()
+    # a 10-char doc reaches only the first offset (1) — exactly one
+    # anchor survives, and it carries the real fragment
+    assert [r.anchor for r in kept] == ["A1:0123456789"]
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+    sig = _q225_signature(docs)
+    assert sig.filter(F.length("anchor") <= 3).count() == 0
+    # every doc emits exactly one anchor per offset it reaches
+    n_expected = docs.select(
+        F.sum(
+            sum(
+                (F.col("n_chars") >= off).cast("int")
+                for off in LEV_DOC_ANCHOR_OFFSETS
             )
-        ).alias("anchor")
-    ).filter(F.length("anchor") > 3)
-    n_empty = anchors.filter(F.length("anchor") <= 3).count()
-    assert n_empty == 0
+        )
+    ).collect()[0][0]
+    assert sig.count() == n_expected
 
 
 # --- q226: micro-sessions under the closed gap bound ---------------------------
@@ -117,10 +135,11 @@ def test_q226_sessions_tile_with_strict_gaps(spark, sf_dir):
     closed-bound merge rule — a >= separation would indicate the open
     bound this build does not implement."""
     from distributed_map_reduce_spark.operators.events import (
+        MICRO_SESSION_GAP_MINUTES,
         q226_micro_sessions,
     )
 
-    gap_us = 600_000_000  # 10 minutes
+    gap_us = MICRO_SESSION_GAP_MINUTES * 60 * 1_000_000
     rows = q226_micro_sessions(spark, sf_dir).collect()
     assert rows, "no sessions produced"
     by_user = {}

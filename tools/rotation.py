@@ -79,10 +79,13 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # them (a stamped round newer than when they were added).
 FORCE_RECHECK: list[str] = [
     # r15: SESS_CTES boundary hardened (>= -> > gap break per the pinned
-    # closed-bound session_window semantics) — both oracles changed text,
-    # so their greens predate the current oracle. Prune once a stamped
-    # round newer than r14 records greens for them.
+    # closed-bound session_window semantics) — all three oracles changed
+    # text (q32_streaming_twin imports Q32_ORACLE,
+    # streaming/events_stream.py _build_queries), so their greens
+    # predate the current oracle. Prune once a stamped round newer than
+    # r14 records greens for them.
     "q32_user_sessions",
+    "q32_streaming_twin",
     "q139_interval_overlap",
 ]
 
