@@ -293,6 +293,168 @@ def test_bround_half_even_has_no_duckdb_builtin(spark):
     assert (float(want[0]), float(want[1])) == (3.0, 4.0)
 
 
+# --- second scouting batch (also 2026-08-16) ----------------------------------
+#
+# 15. UTF-8 length trio: length (chars) / octet_length==strlen (bytes) /
+#     bit_length agree on multibyte text — the byte-budget surfaces a
+#     tokenizer-cost estimator needs are portable.
+# 16. luhn_check — no DuckDB builtin, but the check is pure arithmetic
+#     and the digit-sum replay is exact (pinned on valid + invalid +
+#     non-card inputs): registrable with a replay oracle.
+# 17. json_array_length / json_object_keys — same names in DuckDB and
+#     the KEY ORDER agrees (document insertion order, both engines).
+# 18. stack(n, ...) == UNNEST-of-pairs replay.
+# 19. element_at negative index and try_element_at out-of-bounds agree
+#     with DuckDB list indexing ([-1] from the end, NULL past the end).
+#     (The known trap — element_at with a runtime-NULL index returns
+#     the LAST element in this build — is documented in
+#     training.py _mix_keep; nullable indexes use CASE chains.)
+# 20. map_filter / transform_values / map_concat work; registrable only
+#     through sorted map_entries projections (map order is an
+#     implementation detail — the str_to_map pin, r15 probe file).
+# 21. chr/ascii/lpad(multi-char pad)/repeat — all value-identical.
+# 22. to_json preserves struct FIELD order identically in both engines
+#     (hashable for integer/string payloads; float rendering inside
+#     JSON stays out per the q49 posture).
+# Rule-outs / postures: initcap and soundex have NO DuckDB twin
+# (replay-less — Spark-side only); format_number renders with locale
+# group separators (the to_char trap, r15) — never hash it;
+# try_validate_utf8 returns NULL on invalid bytes (error-safe family).
+
+
+def test_utf8_length_trio_agrees(spark):
+    got = spark.sql(
+        "SELECT length('héllo') c, octet_length('héllo') o,"
+        "       bit_length('héllo') b"
+    ).collect()[0]
+    want = _duck(
+        "SELECT length('héllo'), strlen('héllo'), bit_length('héllo')"
+    )[0]
+    assert tuple(got) == want == (5, 6, 48)
+
+
+def test_luhn_check_arithmetic_replay(spark):
+    cases = ["79927398713", "79927398714", "4539148803436467", "1234"]
+    vals = ", ".join(f"('{c}')" for c in cases)
+    got = {
+        r.s: r.ok
+        for r in spark.sql(
+            f"SELECT s, luhn_check(s) AS ok FROM VALUES {vals} t(s)"
+        ).collect()
+    }
+    want = dict(
+        _duck(
+            f"""
+WITH nums(s) AS (VALUES {vals}),
+digits AS (
+  SELECT s, u.i, CAST(substr(reverse(s), u.i, 1) AS INT) AS dgt
+  FROM nums, UNNEST(range(1, len(s) + 1)) u(i)
+),
+scored AS (
+  SELECT s, CASE WHEN i % 2 = 0
+                 THEN CASE WHEN dgt * 2 > 9 THEN dgt * 2 - 9
+                      ELSE dgt * 2 END
+                 ELSE dgt END AS v
+  FROM digits
+)
+SELECT s, SUM(v) % 10 = 0 FROM scored GROUP BY s
+"""
+        )
+    )
+    assert got == want
+    assert got["79927398713"] is True and got["79927398714"] is False
+
+
+def test_json_shape_functions_match_duckdb(spark):
+    got = spark.sql(
+        "SELECT json_array_length('[1,2,3]') l,"
+        "       json_object_keys('{\"b\":1,\"a\":2}') k"
+    ).collect()[0]
+    want = _duck(
+        "SELECT json_array_length('[1,2,3]'),"
+        "       json_keys('{\"b\":1,\"a\":2}')"
+    )[0]
+    assert (got.l, got.k) == want
+    assert got.k == ["b", "a"]  # insertion order, both engines
+
+
+def test_stack_matches_unnest_replay(spark):
+    got = spark.sql(
+        "SELECT k, v FROM (SELECT stack(2, 'a', 1, 'b', 2) AS (k, v))"
+        " ORDER BY k"
+    ).collect()
+    want = _duck(
+        "SELECT u.x.k, u.x.v FROM UNNEST("
+        "[{'k':'a','v':1}, {'k':'b','v':2}]) u(x) ORDER BY 1"
+    )
+    assert [tuple(r) for r in got] == want
+
+
+def test_element_at_edges_match_duckdb(spark):
+    got = spark.sql(
+        "SELECT element_at(array(1,2,3), -1) a,"
+        "       try_element_at(array(1,2,3), 5) b"
+    ).collect()[0]
+    want = _duck("SELECT ([1,2,3])[-1], list_extract([1,2,3], 5)")[0]
+    assert (got.a, got.b) == want == (3, None)
+
+
+def test_map_higher_order_functions_work(spark):
+    r = spark.sql(
+        "SELECT map_filter(map('a',1,'b',2), (k,v) -> v > 1) f,"
+        "       transform_values(map('a',1), (k,v) -> v*10) t,"
+        "       map_concat(map('a',1), map('b',2)) c"
+    ).collect()[0]
+    assert r.f == {"b": 2} and r.t == {"a": 10} and r.c == {"a": 1, "b": 2}
+
+
+def test_string_scalar_batch_agrees(spark):
+    got = spark.sql(
+        "SELECT char(65) c, ascii('A') a, lpad('7', 4, 'ab') p,"
+        "       repeat('ab', 3) r"
+    ).collect()[0]
+    want = _duck(
+        "SELECT chr(65), ascii('A'), lpad('7', 4, 'ab'), repeat('ab', 3)"
+    )[0]
+    assert tuple(got) == want
+
+
+def test_to_json_preserves_field_order_both_engines(spark):
+    got = spark.sql(
+        "SELECT to_json(named_struct('b', 1, 'a', 'x')) j"
+    ).collect()[0].j
+    want = _duck("SELECT to_json({'b': 1, 'a': 'x'})")[0][0]
+    assert got == want == '{"b":1,"a":"x"}'
+
+
+def test_initcap_soundex_have_no_duckdb_twin(spark):
+    """Rule-out: both work in Spark, neither exists in DuckDB —
+    Spark-side only (no replay worth its complexity for initcap's
+    word-boundary rules; soundex is algorithmic but niche)."""
+    r = spark.sql(
+        "SELECT initcap('hello wORLD') i, soundex('Robert') s"
+    ).collect()[0]
+    assert (r.i, r.s) == ("Hello World", "R163")
+    import duckdb as _d
+
+    con = _d.connect()
+    try:
+        with pytest.raises(_d.CatalogException):
+            con.execute("SELECT initcap('x')")
+        with pytest.raises(_d.CatalogException):
+            con.execute("SELECT soundex('x')")
+    finally:
+        con.close()
+
+
+def test_try_validate_utf8_error_safe(spark):
+    r = spark.sql(
+        "SELECT is_valid_utf8('abc') v, try_validate_utf8(x'C3') bad,"
+        "       try_validate_utf8('ok') good"
+    ).collect()[0]
+    assert (r.v, r.bad, r.good) == (True, None, "ok")
+
+
 def test_crc32_xxhash64_are_spark_internal_only(spark):
     """POSTURE pin: crc32/xxhash64 work in Spark but have no DuckDB
     twin — usable as Spark-internal fingerprints (shuffle keys, salts)
