@@ -276,24 +276,9 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     return dataset_fingerprint(sf_dir, "documents")
 
 
-# Same sidecar name as every other materialized store (sinks.FP_SIDECAR
-# is the canonical constant).
-from ..sinks import FP_SIDECAR as _FP_SIDECAR  # noqa: E402
-
-
-def _table_location(spark: SparkSession, table: str) -> str | None:
-    from ..sinks import table_location
-
-    return table_location(spark, table)
-
-
-def _default_store_path(spark: SparkSession, sf_dir: str) -> str:
-    """On-disk location the default pair store lands at under the
-    session warehouse (cross-session handle; rationale in
-    :func:`sinks.default_store_path`, the shared implementation)."""
-    from ..sinks import default_store_path
-
-    return default_store_path(spark, default_pair_store_table(sf_dir))
+# Sidecar name, table-location and default-path helpers all live in
+# the shared store machinery (sinks.FP_SIDECAR / table_location /
+# default_store_path) since r15 — the pair store keeps no local copies.
 
 
 def write_pair_store(

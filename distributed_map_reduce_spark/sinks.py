@@ -197,7 +197,16 @@ def stored_table_if_fresh(
     (fresh local session — bucket info is lost but the base-table
     rescan is still saved; without this rung every new JVM would
     distrust, clear and rebuild the store, turning write-once into
-    write-per-session)."""
+    write-per-session).
+
+    SCOPE: the path rung probes only the DEFAULT warehouse location —
+    a store written with a custom database LOCATION is cross-session
+    findable only through a catalog that remembers it (a real
+    metastore). Under the local in-memory catalog, custom-location
+    stores degrade to write-per-session; the default-location stores
+    (everything bench / q230 / the pair store write) amortize fully.
+    Same constraint as dedup's original two-rung reader — stated here
+    because ``location=`` is a public knob on the writers."""
 
     def _fresh(loc: str | None) -> bool:
         if not loc:
@@ -237,6 +246,7 @@ def write_distinct_rollup(
     table: str | None = None,
     buckets: int = DISTINCT_ROLLUP_BUCKETS,
     location: str | None = None,
+    fingerprint: str | None = None,
 ) -> str:
     """Materialize q220's (group, bucket) bitmap frame as a bucketed
     table — the Snowflake-style materialize-once/slice-forever distinct
@@ -251,18 +261,23 @@ def write_distinct_rollup(
 
     Freshness: the sidecar fingerprints ``lineitem`` (the rollup's base
     table), so a regenerated corpus invalidates the store and consumers
-    fall back to inline recompute rather than serving stale counts."""
+    fall back to inline recompute rather than serving stale counts.
+    ``fingerprint`` lets :func:`ensure_distinct_rollup` stamp the exact
+    token it just checked against (one computation, no check/stamp
+    divergence); standalone callers omit it."""
     from .operators.sketches import bitmap_bucket_frame
 
     if table is None:
         table = default_distinct_rollup_table(sf_dir)
+    if fingerprint is None:
+        fingerprint = dataset_fingerprint(sf_dir, "lineitem")
     return materialize_bucketed_store(
         spark,
         bitmap_bucket_frame(spark, sf_dir),
         table,
         buckets=buckets,
         bucket_cols=("bkt",),
-        fingerprint=dataset_fingerprint(sf_dir, "lineitem"),
+        fingerprint=fingerprint,
         location=location,
     )
 
@@ -275,12 +290,14 @@ def ensure_distinct_rollup(spark, sf_dir: str) -> DataFrame:
     freshness (a disagreement would silently rebuild the store inside
     a timed query and corrupt the consumer-cost-only bench contract)."""
     table = default_distinct_rollup_table(sf_dir)
-    stored = stored_table_if_fresh(
-        spark, table, dataset_fingerprint(sf_dir, "lineitem")
-    )
+    fp = dataset_fingerprint(sf_dir, "lineitem")
+    stored = stored_table_if_fresh(spark, table, fp)
     if stored is not None:
         return stored
-    write_distinct_rollup(spark, sf_dir, table=table)
+    # stamp the SAME token just checked — computing it independently in
+    # the writer could check one token and stamp another if the
+    # fingerprint source ever changed between the two sites
+    write_distinct_rollup(spark, sf_dir, table=table, fingerprint=fp)
     return spark.table(table)
 
 

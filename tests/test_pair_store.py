@@ -18,6 +18,7 @@ Pins:
 import pyspark.sql.functions as F
 import pytest
 
+from distributed_map_reduce_spark import sinks
 from distributed_map_reduce_spark.operators import dedup, graph, retrieval, training
 from distributed_map_reduce_spark.operators.dedup import (
     q24_ngram_jaccard_dedup,
@@ -99,10 +100,12 @@ def test_default_resolution_prefers_fresh_store(spark, sf_dir, tmp_path_factory)
     import os
 
     from distributed_map_reduce_spark.operators.dedup import (
-        _FP_SIDECAR,
-        _table_location,
         default_pair_store_table,
         resolve_pairs,
+    )
+    from distributed_map_reduce_spark.sinks import (
+        FP_SIDECAR as _FP_SIDECAR,
+        table_location as _table_location,
     )
 
     table = default_pair_store_table(sf_dir)
@@ -146,12 +149,16 @@ def test_path_fallback_serves_fresh_store_without_catalog(spark, sf_dir):
     import shutil
 
     from distributed_map_reduce_spark.operators.dedup import (
-        _FP_SIDECAR,
         _corpus_fingerprint,
-        _default_store_path,
         default_pair_store_table,
         resolve_pairs,
     )
+    from distributed_map_reduce_spark.sinks import FP_SIDECAR as _FP_SIDECAR
+
+    def _default_store_path(spark, sf_dir):
+        return sinks.default_store_path(
+            spark, default_pair_store_table(sf_dir)
+        )
 
     assert not spark.catalog.tableExists(default_pair_store_table(sf_dir))
     path = _default_store_path(spark, sf_dir)
@@ -221,7 +228,7 @@ def test_write_recovers_from_orphaned_managed_location(spark, sf_dir):
 
     table = default_pair_store_table(sf_dir)
     write_pair_store(spark, sf_dir)  # ensure table + location exist
-    loc = dedup._table_location(spark, table)
+    loc = sinks.table_location(spark, table)
     assert loc and os.path.isdir(loc)
     # DROP TABLE on a managed table also deletes its directory, so
     # recreate the path by hand afterwards — exactly the on-disk state
@@ -251,7 +258,7 @@ def test_write_recovers_orphan_under_custom_location(
     loc = str(tmp_path_factory.mktemp("pair_store_custom_wh"))
     table = "pair_store_custom.neardup_pairs"
     write_pair_store(spark, sf_dir, table=table, location=loc)
-    tloc = dedup._table_location(spark, table)
+    tloc = sinks.table_location(spark, table)
     assert tloc and os.path.isdir(tloc) and tloc.startswith(loc)
     spark.sql(f"DROP TABLE {table}")
     os.makedirs(tloc, exist_ok=True)
