@@ -36,8 +36,8 @@ import warnings
 
 from pyspark.sql import DataFrame
 
-# Sidecar filename shared with the pair store (dedup._FP_SIDECAR is the
-# historical spelling; both write the same token format).
+# Sidecar filename shared by every materialized store (pair store and
+# distinct rollup write the same token format).
 FP_SIDECAR = "_corpus_fp"
 
 
@@ -176,7 +176,7 @@ def default_store_path(spark, table: str) -> str:
     catalog forgets saveAsTable metadata on JVM exit (a production
     deployment has a real metastore and doesn't), so freshness rides
     the sidecar file next to the data and readers fall back to the
-    path when the catalog has no entry (the dedup._default_store_path
+    path when the catalog has no entry (the pair store's original
     contract, generalized)."""
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     if wh.startswith("file:"):
