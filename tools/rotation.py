@@ -78,15 +78,10 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # are pruned once the next CORRECTNESS artifact records a green row for
 # them (a stamped round newer than when they were added).
 FORCE_RECHECK: list[str] = [
-    # r15: SESS_CTES boundary hardened (>= -> > gap break per the pinned
-    # closed-bound session_window semantics) — all three oracles changed
-    # text (q32_streaming_twin imports Q32_ORACLE,
-    # streaming/events_stream.py _build_queries), so their greens
-    # predate the current oracle. Prune once a stamped round newer than
-    # r14 records greens for them.
-    "q32_user_sessions",
-    "q32_streaming_twin",
-    "q139_interval_overlap",
+    # (empty) r15's entries — q32_user_sessions / q32_streaming_twin /
+    # q139_interval_overlap after the SESS_CTES boundary hardening —
+    # recorded post-change greens in CORRECTNESS_r15.json and were
+    # pruned at r16 start per the policy above.
 ]
 
 # Rows-only rotation (VERDICT r13 item 3): at most this many
