@@ -1622,11 +1622,11 @@ def q225_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Recall posture: anchors are a heuristic block with q25-LSH's
     probabilistic-recall posture (a pair whose edits touch all three
-    anchor regions escapes); when a soundness guarantee is needed, the
-    count-filter q-gram path (:func:`fuzzy_blocked_pairs_frame`, q57)
-    is the complete variant — at document length it costs more than
-    anchors buy back on this corpus. The oracle replays the SAME
-    blocking, so parity is exact by construction either way.
+    anchor regions escapes); the registered sound-and-complete twin is
+    :func:`q235_levenshtein_complete` (count-filter q-gram blocking at
+    document length — ~10^3x more candidates, guaranteed recall). The
+    oracle replays the SAME blocking, so parity is exact by
+    construction either way.
 
     Scale shape: the anchor self-join is q25's band-bucket shape —
     explode is map-side, the join hash-partitions on the anchor key,
@@ -1732,6 +1732,195 @@ ORDER BY ad, bd
 """
 
 
+# --- q235: q225's sound-and-complete twin (count-filter q-gram block) --------
+
+# q-gram width for the document-length complete block. The corpus
+# alphabet is small (~114 distinct 2-grams), so rarity ordering is a
+# weak discriminator here — candidates run ~10^5 per 10^4 docs — but
+# the guarantee is the point: NO qualifying pair can escape (VERDICT
+# r15 item 3, closing the q225 docstring's recall caveat).
+QGRAM_DOC_Q = 2
+
+
+def qgram_complete_pairs_frame(
+    docs: DataFrame, q: int = QGRAM_DOC_Q, k: int = LEV_DOC_MAX
+) -> DataFrame:
+    """Edit-distance pairs (dist <= k) over any (doc_id, text) frame via
+    count-filter q-gram blocking — SOUND AND COMPLETE, the guarantee
+    :func:`fuzzy_blocked_pairs_frame` carries for part names, restated
+    at document length with three scale levers that variant does not
+    need at name length:
+
+    * **rarity-ordered prefixes** (the q104 AllPairs trick): the global
+      element order is (document frequency asc, hash, elem) instead of
+      bare hash, so each doc's prefix holds its RAREST elements and
+      bucket occupancy tracks the df tail, not the df mean. Any
+      consistent total order preserves the count-filter guarantee
+      (Gravano et al.'s bound is order-free; the prefix-intersection
+      argument only needs both sides sorted the same way).
+    * **length-band join keys**: a qualifying pair has
+      |len(a)-len(b)| <= k < k+1, so both docs' bands
+      (floor(len/(k+1))) differ by at most 1 — the probe side emits
+      bands {b-1, b, b+1} and the equi-join key becomes (elem, band),
+      splitting hot element buckets by length locality without cutting
+      any qualifying pair.
+    * **early-abandon verification**: the 3-arg ``levenshtein(a, b, k)``
+      returns -1 past the threshold at O(k*min(len)) instead of
+      O(len^2) — same kept rows as the 2-arg form (pinned in
+      tests/properties/test_r16_candidate_probes.py), and the text
+      lookup joins broadcast the doc table (candidates outnumber docs
+      ~100:1, so shipping texts to candidates beats shuffling
+      candidates to texts).
+
+    Completeness inventory (the q57-frame argument, restated): elements
+    are (gram, occurrence#) so duplicate grams count separately; docs
+    with len >= q emit their kq+1 rarest elements; docs shorter than
+    q*(k+1) ADDITIONALLY emit two length-band elements (width k+1,
+    bands b and b+1), which by pigeonhole cover every pair whose count
+    bound is vacuous. One shuffle aggregates (doc, gram) counts, the
+    df table is bounded by |alphabet|^q * max_occ and broadcast, and
+    prefix selection is a row-local sort-and-slice after ONE
+    collect_list groupBy — no per-element windows.
+
+    Reference lineage: src/mrapps/indexer.go:21-25 via q225 (near-equal
+    keys instead of equal keys, blocked so the pair space never
+    materializes)."""
+    prefix_len = k * q + 1
+    min_long = q * (k + 1)
+    band_w = k + 1
+
+    gcnt = (
+        docs.filter(F.length("text") >= q)
+        .select(
+            "doc_id",
+            F.length("text").alias("len"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {q} + 1),"
+                    f" i -> substring(text, i, {q}))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "len", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    elems = gcnt.select(
+        "doc_id",
+        "len",
+        "gram",
+        F.explode(F.expr("sequence(1, cnt)")).alias("occ"),
+    ).select(
+        "doc_id",
+        "len",
+        F.concat_ws("#", "gram", F.col("occ").cast("string")).alias("elem"),
+    )
+    df_tbl = elems.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
+    pref = (
+        elems.join(F.broadcast(df_tbl), "elem")
+        .groupBy("doc_id", "len")
+        .agg(
+            F.expr(
+                f"slice(array_sort(collect_list(named_struct("
+                f"'df', df, 'h', xxhash64(elem), 'elem', elem)))"
+                f", 1, {prefix_len})"
+            ).alias("ks")
+        )
+    )
+    gram_side = pref.select(
+        "doc_id",
+        "len",
+        F.floor(F.col("len") / band_w).alias("band"),
+        F.explode("ks").alias("s"),
+    ).select("doc_id", "len", "band", F.col("s.elem").alias("elem"))
+    band_side = (
+        docs.select("doc_id", F.length("text").alias("len"))
+        .filter(F.col("len") < min_long)
+        .select(
+            "doc_id",
+            "len",
+            F.floor(F.col("len") / band_w).alias("band"),
+            F.explode(
+                F.array(
+                    F.concat(
+                        F.lit("LEN:"),
+                        F.floor(F.col("len") / band_w).cast("string"),
+                    ),
+                    F.concat(
+                        F.lit("LEN:"),
+                        (F.floor(F.col("len") / band_w) + 1).cast("string"),
+                    ),
+                )
+            ).alias("elem"),
+        )
+    )
+    sig = gram_side.unionByName(band_side)
+
+    a = sig.select(
+        F.col("doc_id").alias("ad"), F.col("len").alias("la"), "band", "elem"
+    )
+    b = sig.select(
+        F.col("doc_id").alias("bd"),
+        F.col("len").alias("lb"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band"),
+        "elem",
+    )
+    cand = (
+        a.join(b, ["elem", "band"])
+        .filter(
+            (F.col("ad") < F.col("bd"))
+            & (F.abs(F.col("la") - F.col("lb")) <= k)
+        )
+        .select("ad", "bd")
+        .distinct()
+    )
+    ta = docs.select(F.col("doc_id").alias("ad"), F.col("text").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("bd"), F.col("text").alias("tb"))
+    return (
+        cand.join(F.broadcast(ta), "ad")
+        .join(F.broadcast(tb), "bd")
+        .select(
+            "ad",
+            "bd",
+            F.expr(f"levenshtein(ta, tb, {k})").alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+        .orderBy("ad", "bd")
+    )
+
+
+def q235_levenshtein_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q225's SOUND-AND-COMPLETE twin: the same edit-distance near-dup
+    pairs (dist <= 16 over ``documents``), found by count-filter q-gram
+    blocking (:func:`qgram_complete_pairs_frame`) instead of q225's
+    heuristic anchors. q225's recall posture is probabilistic (a pair
+    whose edits touch all three anchor regions escapes); this rung's
+    blocking provably admits every qualifying pair, so running both
+    driver-checks the claim q225's docstring makes in prose: on this
+    corpus the anchor block loses nothing (the two return identical
+    pairs at sf0.001/0.01/0.1 — verified at registration and pinned as
+    a superset property on an anchor-evading synthetic corpus in
+    tests/properties/test_round16_properties.py).
+
+    The oracle is q225's (anchor replay): honest BECAUSE complete ⊇
+    anchors always and the corpus equality makes them equal — if a
+    future corpus plants an anchor-evading pair, this query returns the
+    extra pair, the hash diverges, and the divergence IS the finding.
+
+    Scale shape: one (doc, gram) count aggregate, a broadcast df join,
+    one collect_list groupBy (row-local prefix sort — no per-element
+    windows), a hash join on (elem, length-band) whose buckets are
+    bounded by the rarity tail, and early-abandon levenshtein on
+    broadcast texts. Candidates run ~10^5 per 10^4 docs on this
+    corpus's 114-gram alphabet — the price of the guarantee vs q225's
+    ~10^2; both scale linearly in docs at fixed rarity distribution,
+    never |docs|^2. When recall can be traded for cost, q225 is the
+    default; this is the audit rung."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return qgram_complete_pairs_frame(docs)
+
+
 QUERIES = [
     QuerySpec("q24_ngram_jaccard_dedup", q24_ngram_jaccard_dedup, Q24_ORACLE,
               "exact 3-gram shingle Jaccard near-dup pairs (J >= 0.5)",
@@ -1795,4 +1984,10 @@ QUERIES = [
               "edit-distance near-dup pairs over documents (anchor "
               "blocking + length bound, full-text levenshtein verify)",
               ("dedup", "fuzzy", "blocking")),
+    QuerySpec("q235_levenshtein_complete", q235_levenshtein_complete,
+              _q225_oracle(),
+              "q225's pairs via sound-and-complete count-filter q-gram "
+              "blocking (rarity prefixes, length-band keys, guaranteed "
+              "recall)",
+              ("dedup", "fuzzy", "blocking", "complete")),
 ]

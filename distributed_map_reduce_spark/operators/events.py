@@ -1819,6 +1819,77 @@ ORDER BY tod, event_type
 """
 
 
+def q232_try_timestamp_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe temporal ingestion census with ``try_to_timestamp`` —
+    the q223 try_* family's TEMPORAL member (VERDICT r15 item 2b): a
+    raw string feed is rebuilt from the events table (each timestamp
+    rendered 'yyyy-MM-dd HH:mm:ss'; every 13th event deterministically
+    corrupted with a '??' prefix — the malformed stratum a real crawler
+    feed carries), then re-parsed with the NULL-on-error form and
+    audited per event type: volume, parse-failure count, and the
+    first/last successfully parsed timestamps.
+
+    The plain to_timestamp would throw on the first corrupt row and
+    kill the job; try_to_timestamp quarantines record-level faults as
+    NULLs so one bad row costs one row, not the pipeline — the
+    record-level analog of the reference's process-level fault
+    tolerance (crash.go:20-33 dies and the task is rescheduled; here
+    the datum "dies" and the audit counts it). NULL semantics pinned in
+    tests/properties/test_r16_candidate_probes.py; the DuckDB twin is
+    ``try_strptime``, and both render via the engine's own formatter
+    (second-truncated, so the round trip is bit-stable).
+
+    Scale shape: render, corrupt, and parse are row-local codegen
+    expressions; ONE hash aggregate keyed on event_type (4 groups) with
+    COUNT/MIN/MAX partial state map-side — shuffle carries a few rows
+    per task at any corpus size."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q232_events"
+    )
+    return spark.sql(
+        """
+WITH feed AS (
+  SELECT event_type,
+         CASE WHEN event_id % 13 = 0
+              THEN concat('??', date_format(ts, 'yyyy-MM-dd HH:mm:ss'))
+              ELSE date_format(ts, 'yyyy-MM-dd HH:mm:ss') END AS ts_raw
+  FROM __q232_events
+), parsed AS (
+  SELECT event_type,
+         try_to_timestamp(ts_raw, 'yyyy-MM-dd HH:mm:ss') AS ts_ok
+  FROM feed
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE ts_ok IS NULL) AS n_bad,
+       MIN(ts_ok) AS first_ok,
+       MAX(ts_ok) AS last_ok
+FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+    )
+
+
+Q232_ORACLE = """
+WITH feed AS (
+  SELECT event_type,
+         CASE WHEN event_id % 13 = 0
+              THEN '??' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+              ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_raw
+  FROM events
+), parsed AS (
+  SELECT event_type,
+         try_strptime(ts_raw, '%Y-%m-%d %H:%M:%S') AS ts_ok
+  FROM feed
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE ts_ok IS NULL) AS n_bad,
+       MIN(ts_ok) AS first_ok,
+       MAX(ts_ok) AS last_ok
+FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = [
     QuerySpec("q191_trailing_hour_avg", q191_trailing_hour_avg,
               Q191_ORACLE,
@@ -1933,4 +2004,10 @@ QUERIES = [
               "wall-clock time-of-day rollup on the conf-gated ANSI TIME "
               "type (make_time + time_trunc, date-less seasonality)",
               ("events", "time", "sql-surface")),
+    QuerySpec("q232_try_timestamp_census", q232_try_timestamp_census,
+              Q232_ORACLE,
+              "try_to_timestamp error-safe temporal census: corrupt-feed "
+              "re-parse audited per event type (NULL-on-error, q223's "
+              "temporal member)",
+              ("events", "temporal", "error-safe")),
 ]

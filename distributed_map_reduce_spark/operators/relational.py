@@ -4745,6 +4745,137 @@ ORDER BY o_orderpriority
 Q227_ORACLE = _Q227_STMT.format(t="orders")
 
 
+def q233_percentile_disc_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact DISCRETE percentiles via ``percentile_disc(p) WITHIN GROUP``
+    — the discrete sibling of q45's interpolated report: every returned
+    value is an ACTUAL order price (the smallest element whose
+    cumulative share reaches p), never an interpolation, which is the
+    right statistic when the value must be exhibitable (an order you
+    can point at) rather than synthetic. DuckDB's twin is
+    ``quantile_disc``; the element-selection rule agrees across group
+    sizes (pinned by a 1..40 sweep at registration) and the one dtype
+    wrinkle is TYPE not value: Spark widens the result to DOUBLE where
+    DuckDB keeps the element type, so the oracle casts (pinned in
+    tests/properties/test_r16_candidate_probes.py).
+
+    Determinism: each output is one element of the group — bit-identical
+    in both engines with no arithmetic; the ROUND is rendering-safety
+    only, applied to already-identical doubles.
+
+    Scale shape: like q45 — a holistic per-group sort, safe at 5 groups;
+    the documented big-data path for unbounded group counts is the
+    approximate sketch twin (sketch_price_quantiles). This is the
+    correctness anchor of the discrete-quantile rung."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q233_orders")
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       ROUND(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2)
+         AS p25,
+       ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
+         AS p50,
+       ROUND(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2)
+         AS p90
+FROM __q233_orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+    )
+
+
+Q233_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       ROUND(CAST(quantile_disc(o_totalprice, 0.25) AS DOUBLE), 2) AS p25,
+       ROUND(CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE), 2) AS p50,
+       ROUND(CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE), 2) AS p90
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q234_array_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-surgery sweep over document token-length
+    arrays — extends q116 (which covered filter/aggregate/transform
+    over embeddings) with the boolean quantifiers and list-editing
+    surfaces staged in the r16 probe file: ``forall`` (universal test),
+    ``exists`` (existential test), ``filter``-size, ``array_compact``
+    (NULL removal — 1-char token lengths are nulled with nullif to
+    exercise it), ``array_insert`` (prepend the token count to the
+    sorted 3-smallest lengths), and the sorted ``array_distinct``
+    vocabulary.
+
+    DuckDB replays (all pinned in
+    tests/properties/test_r16_candidate_probes.py): forall/exists via
+    ``list_filter`` lengths, array_compact via a not-NULL filter,
+    array_insert-at-1 via ``list_prepend``. ORDER TRAP honored: Spark's
+    array_distinct preserves first-seen order while DuckDB's
+    list_distinct does not, so the vocabulary is array_sort'ed on BOTH
+    sides before serialization. Output contract: scalars only (the
+    q116 rule — the driver cannot hash list cells), arrays serialized
+    as comma-joined strings of integers. Tokenization is the shared
+    SPARK_TOKS_EXPR/DUCK_TOKS_EXPR pair, so both engines see identical
+    arrays by construction.
+
+    Scale shape: entirely row-local whole-stage codegen over one
+    documents scan — no explode, no shuffle before the final
+    sort of |docs| rows; the per-row arrays are token counts (~100
+    elements), so every higher-order function is a bounded in-register
+    loop."""
+    from ..functions.text import SPARK_TOKS_EXPR
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__q234_documents"
+    )
+    return spark.sql(
+        f"""
+WITH lens AS (
+  SELECT doc_id,
+         transform({SPARK_TOKS_EXPR}, x -> length(x)) AS ls
+  FROM __q234_documents
+)
+SELECT doc_id,
+       forall(ls, x -> x < 40) AS all_short,
+       exists(ls, x -> x >= 12) AS has_long,
+       CAST(size(filter(ls, x -> x >= 6)) AS BIGINT) AS n_big,
+       CAST(size(array_compact(transform(ls, x -> nullif(x, 1))))
+            AS BIGINT) AS n_multi,
+       concat_ws(',', transform(
+         array_insert(slice(array_sort(ls), 1, 3), 1,
+                      CAST(size(ls) AS INT)),
+         x -> CAST(x AS STRING))) AS head3,
+       concat_ws(',', transform(array_sort(array_distinct(ls)),
+                                x -> CAST(x AS STRING))) AS vocab
+FROM lens ORDER BY doc_id
+"""
+    )
+
+
+def _q234_oracle() -> str:
+    from ..functions.text import DUCK_TOKS_EXPR
+
+    return f"""
+WITH lens AS (
+  SELECT doc_id,
+         list_transform({DUCK_TOKS_EXPR}, x -> length(x)) AS ls
+  FROM documents
+)
+SELECT doc_id,
+       len(list_filter(ls, x -> x < 40)) = len(ls) AS all_short,
+       len(list_filter(ls, x -> x >= 12)) > 0 AS has_long,
+       CAST(len(list_filter(ls, x -> x >= 6)) AS BIGINT) AS n_big,
+       CAST(len(list_filter(ls, x -> x != 1)) AS BIGINT) AS n_multi,
+       array_to_string(list_prepend(len(ls), list_sort(ls)[1:3]), ',')
+         AS head3,
+       array_to_string(list_sort(list_distinct(ls)), ',') AS vocab
+FROM lens ORDER BY doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -5031,4 +5162,14 @@ QUERIES = [
               "count_if / bool_and / bool_or / FILTER (WHERE ...) "
               "conditional aggregates in one single-scan report",
               ("relational", "agg", "sql-surface")),
+    QuerySpec("q233_percentile_disc_report", q233_percentile_disc_report,
+              Q233_ORACLE,
+              "percentile_disc WITHIN GROUP discrete-quantile report "
+              "(actual elements, q45's discrete sibling)",
+              ("relational", "agg", "sql-surface")),
+    QuerySpec("q234_array_surgery", q234_array_surgery, _q234_oracle(),
+              "forall/exists/filter + array_compact/array_insert + "
+              "sorted array_distinct over token-length arrays (q116's "
+              "quantifier/list-editing extension)",
+              ("relational", "array", "sql-surface")),
 ]

@@ -680,6 +680,71 @@ ORDER BY f.l_returnflag
 """
 
 
+# --- q231: bitwise-aggregate flag-mask rollup ---------------------------------
+
+
+def q231_bitmask_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag-mask rollup via the bitwise aggregates ``bit_and`` /
+    ``bit_or`` / ``bit_xor`` — the permission-audit / feature-flag
+    coverage shape next to q220's bucket bitmaps: each order folds four
+    predicates into one BIGINT mask (CASE arithmetic, identical in both
+    engines), then per priority class one aggregate answers "which
+    flags does EVERY order carry" (bit_and), "which flags does ANY
+    order carry" (bit_or), the parity word (bit_xor — the XOR-fold
+    integrity check), and the coverage count
+    (``bit_count`` of the OR word).
+
+    Value-identical in DuckDB (pinned in
+    tests/properties/test_r15_candidate_probes.py), so Spark and oracle
+    run the same statement text. Convention pins honored in the shared
+    text: the mask and every bitwise aggregate are CAST to BIGINT
+    (DuckDB widens bit_and/or/xor inputs per declared type, and
+    bit_count counts the declared width — the r16 probe file's 32-vs-64
+    trap), so both engines fold 64-bit words.
+
+    Scale shape: ONE hash aggregate keyed on o_orderpriority (5
+    groups); bitwise aggregates carry fixed-size (8-byte) mergeable
+    state, partial-combined map-side exactly like q220's bitmaps —
+    shuffle traffic is 5 rows x 4 words per map task regardless of
+    corpus size. This is the cheapest mergeable-rollup rung of the
+    sketch family: no bucket frame, no popcount map, one machine word
+    per group.
+
+    Reference lineage: the multi-counter single-pass shape of
+    src/mrapps/jobcount.go:22-46, folded into machine words instead of
+    named counters."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__q231_orders"
+    )
+    return spark.sql(_Q231_STMT.format(t="__q231_orders"))
+
+
+_Q231_STMT = """
+WITH flags AS (
+  SELECT o_orderpriority,
+         CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+            + CASE WHEN o_totalprice > 200000 THEN 2 ELSE 0 END
+            + CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   THEN 4 ELSE 0 END
+            + CASE WHEN o_custkey % 2 = 0 THEN 8 ELSE 0 END AS BIGINT)
+           AS mask
+  FROM {t}
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(bit_and(mask) AS BIGINT) AS flags_all,
+       CAST(bit_or(mask) AS BIGINT) AS flags_any,
+       CAST(bit_xor(mask) AS BIGINT) AS flags_parity,
+       CAST(bit_count(CAST(bit_or(mask) AS BIGINT)) AS BIGINT)
+         AS n_flags_seen
+FROM flags
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+Q231_ORACLE = _Q231_STMT.format(t="orders")
+
+
 # --- q221: DataSketches theta set operations in the exact regime ---------------
 
 
@@ -768,6 +833,10 @@ QUERIES = [
               "q220's rollup answered from the persisted bucketed bitmap "
               "store (write-once, popcount-forever; bkt-bucketed OR-merge)",
               ("sketch", "exact", "mergeable", "store")),
+    QuerySpec("q231_bitmask_rollup", q231_bitmask_rollup, Q231_ORACLE,
+              "bit_and/bit_or/bit_xor flag-mask rollup per priority "
+              "(fixed-size mergeable word state + bit_count coverage)",
+              ("sketch", "exact", "mergeable", "bitwise")),
     QuerySpec("q221_theta_audience_overlap", q221_theta_audience_overlap,
               Q221_ORACLE,
               "DataSketches theta union/intersection/difference per source "

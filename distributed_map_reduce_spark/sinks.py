@@ -68,7 +68,16 @@ def dataset_fingerprint(sf_dir: str, table: str = "documents") -> str:
 
 
 def table_location(spark, table: str) -> str | None:
-    """Local filesystem location of a catalog table, or None."""
+    """Local filesystem location of a catalog table, or None.
+
+    Only the EXPECTED miss — the table/database not existing yet
+    (AnalysisException) — maps to None; any other error propagates.
+    A blanket except here would turn a genuine catalog outage into a
+    silent 'no location', making every session quietly rebuild the
+    store forever with only the write-side warning as a signal
+    (ADVICE r15)."""
+    from pyspark.errors import AnalysisException
+
     try:
         loc = next(
             (
@@ -80,7 +89,7 @@ def table_location(spark, table: str) -> str | None:
             ),
             None,
         )
-    except Exception:
+    except AnalysisException:
         return None
     if loc and loc.startswith("file:"):
         loc = loc[5:]

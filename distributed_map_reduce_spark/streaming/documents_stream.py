@@ -557,6 +557,110 @@ ORDER BY source, lang
 """
 
 
+# Dedup-key modulus for q236: small enough that every key repeats many
+# times across the drain's micro-batches, large enough to exercise
+# hundreds of state rows.
+Q236_KEY_MOD = 100
+
+
+def q236_watermark_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` in its ORACLE-SAFE regime — the
+    streaming sibling of q16/q90's batch dedup (VERDICT r15 item 4):
+    the documents parquet streams through the docrange source in ~3
+    rate-limited micro-batches, each row keyed ``doc_id % 100``, and
+    the operator keeps the first arrival per key while the watermark
+    delay (an hour) exceeds the whole event span (100 s) — so state
+    never expires mid-stream and the kept-row SET degenerates to
+    exactly one row per distinct key, hash-checkable against a plain
+    batch DISTINCT oracle.
+
+    Two determinism choices make the hash safe where the general
+    operator is not (regime pinned in
+    tests/properties/test_r15_candidate_probes.py, promoted to
+    tests/properties/test_round16_properties.py):
+
+    * every projected column (k, and the event time itself) is derived
+      from the KEY, so whichever duplicate wins a micro-batch race
+      yields the identical output row;
+    * the delay >= span regime removes the batch-boundary dependence —
+      in the general (short-delay) regime the kept-row set depends on
+      micro-batch boundaries and watermark progression, which is why
+      that regime stays property-checked (per-key gaps > delay), never
+      value-hashed.
+
+    The drain uses the default trigger + processAllAvailable (the
+    Python-DataSource availableNow trap, q219's note) so the dedup
+    state is genuinely exercised ACROSS batches: batch 1 admits every
+    key, batches 2-3 are entirely duplicates the state store must
+    swallow.
+
+    Scale shape: state is one row per distinct key (bounded by the key
+    domain, not the corpus), hash-partitioned by key across the
+    stream's shuffle partitions; each micro-batch shuffles only its own
+    rows. This is how a 100 TB append-only crawl run deduplicates
+    in-flight without a batch backfill — the delay knob bounds state by
+    TIME instead of corpus size, and this query pins the regime where
+    that bound is lossless.
+
+    Reference lineage: duplicate-completion suppression in the
+    coordinator (a finished task re-reported by a rescued worker is
+    dropped, /root/reference/src/mr/coordinator.go) — here as a
+    key-scoped, watermark-bounded stream operator."""
+    from ..sources.pystreamsource import register_docrange
+
+    import pyarrow.parquet as pq
+
+    register_docrange(spark)
+    doc_path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    total = pq.ParquetFile(doc_path).metadata.num_rows
+    run = uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="dmrs_q236_stream_ckpt_")
+    src = (
+        spark.readStream.format("docrange")
+        .option("path", doc_path)
+        .option("rowsPerBatch", str(max(1, (total + 2) // 3)))
+        .option("progressDir", ckpt)
+        .load()
+    )
+    deduped = (
+        src.select(
+            (F.col("doc_id") % Q236_KEY_MOD).alias("k"),
+        )
+        # day-one base: a query's INITIAL watermark is epoch 0, and a
+        # row landing exactly on the watermark is dropped as late — at
+        # base 0 the k=0 row vanished (observed at registration). Any
+        # base above the delay keeps the whole key domain admissible.
+        .withColumn(
+            "ets",
+            F.expr(
+                "timestamp_micros(CAST((86400 + k) * 1000000 AS BIGINT))"
+            ),
+        )
+        .withWatermark("ets", "3600 seconds")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    table = f"stream_q236_{run}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(table).orderBy("k")
+
+
+Q236_ORACLE = f"""
+SELECT DISTINCT CAST(doc_id % {Q236_KEY_MOD} AS BIGINT) AS k,
+       make_timestamp(
+         CAST((86400 + doc_id % {Q236_KEY_MOD}) * 1000000 AS BIGINT))
+         AS ets
+FROM documents
+ORDER BY k
+"""
+
+
 def _build_queries():
     from ..operators.retrieval import Q93_ORACLE
     from ..operators.textanalysis import Q91_ORACLE
@@ -611,6 +715,15 @@ def _build_queries():
             "docrange drain re-read from committed files (== the batch "
             "oracle; sink-side exactly-once)",
             ("streaming", "documents", "sink", "exactly-once"),
+        ),
+        QuerySpec(
+            "q236_watermark_dedup_twin",
+            q236_watermark_dedup_twin,
+            Q236_ORACLE,
+            "dropDuplicatesWithinWatermark in the oracle-safe delay >= "
+            "span regime: multi-batch drain keeps one key-derived row "
+            "per key (== batch DISTINCT oracle)",
+            ("streaming", "documents", "dedup", "state"),
         ),
     ]
 

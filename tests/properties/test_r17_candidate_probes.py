@@ -1,0 +1,246 @@
+"""Watch-list probes de-risking the round-17 intake candidates.
+
+Same discipline as the r13–r16 probe files: before a surface becomes a
+registry query, pin how THIS Spark build behaves — the working form,
+the trap, and the oracle-matchability evidence. Scouted 2026-08-16 on
+pyspark 4.1.2 / DuckDB; nine candidates + four convention/rule-out
+pins. (Still-unlanded strong candidates from the r15/r16 files remain
+staged THERE: md5/sha2/base64 fingerprints, split_part/translate/
+overlay, integer sequence(), posexplode, IS DISTINCT FROM/equal_null,
+nth_value, regexp_count/regexp_substr, luhn_check, json shape fns,
+stack, UTF-8 length trio, chr/ascii/lpad/repeat, to_json field order —
+this file pins only NEW surfaces.)
+
+1.  ``try_add`` / ``try_subtract`` / ``try_multiply`` — NULL on BIGINT
+    overflow (the q223/q232 error-safe family's arithmetic members);
+    the DuckDB oracle shape is a HUGEINT range-check CASE.
+2.  ``hex`` / ``unhex`` / ``to_binary(s, 'hex')`` / ``try_to_binary`` —
+    binary codec round trip; DuckDB twins hex/from_hex; try_ form
+    NULLs on non-hex input.
+3.  Calendar extensions ``last_day`` / ``weekofyear`` / ``dayofyear`` /
+    ``make_date`` — value-identical (INT casts on the DuckDB side).
+    DAYOFWEEK TRAP: Spark counts Sunday=1..Saturday=7, DuckDB counts
+    Sunday=0..Saturday=6 — the replay is dayofweek+1.
+4.  Array set algebra ``array_union`` / ``array_except`` /
+    ``array_intersect`` / ``arrays_overlap`` / ``array_position`` /
+    ``array_remove`` / ``flatten`` — all replayable; the set-producing
+    ones are registrable ONLY through array_sort on both sides (the
+    q234/array_distinct order rule).
+5.  ``max_by`` / ``min_by`` — value-identical on a UNIQUE-argmax
+    domain; tie behavior is nondeterministic by contract in BOTH
+    engines (the any_value posture: restrict the domain or don't hash).
+6.  ``substring_index`` — no DuckDB twin by name; exact replay via
+    string_split + list slice + array_to_string (negative counts take
+    from the end — replay slices from the back).
+7.  ``format_string`` == DuckDB ``printf`` — hashable rendering
+    (locale-independent, unlike to_char/format_number). TRAP: a bare
+    decimal literal (2.5) is DECIMAL and ``%f`` raises
+    IllegalFormatConversionException — CAST AS DOUBLE first.
+8.  Window ``IGNORE NULLS`` — Spark spells it AFTER the call
+    (``lead(v) IGNORE NULLS OVER``), DuckDB INSIDE the parens
+    (``lead(v IGNORE NULLS) OVER``); values agree. The gap-fill /
+    LOCF surface (asof.py already uses the DataFrame ignorenulls form).
+9.  ``left`` / ``right`` / ``space`` — identical (space replays as
+    repeat(' ', n)).
+
+Rule-outs / postures:
+
+10. ``product()`` — NO SQL routine in this build (UNRESOLVED_ROUTINE);
+    only the DataFrame ``F.product`` exists. DuckDB has product();
+    registrable only via the DataFrame API on an integer-valued domain
+    (fp-exact), or not at all.
+11. ``url_encode`` / ``url_decode`` / ``parse_url`` — work in Spark,
+    NO DuckDB twins (and Spark renders space as '+', the
+    form-encoding convention) — Spark-side only.
+12. ``dayofweek`` cross-engine divergence is pinned in the calendar
+    probe (item 3) — never emit raw dayofweek without the +1 replay.
+13. ``bin()`` — value-identical in DuckDB (free candidate rider on
+    the hex sweep).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def test_try_arithmetic_null_on_overflow(spark):
+    got = spark.sql(
+        "SELECT try_add(9223372036854775807L, 1L) a,"
+        "       try_subtract(-9223372036854775807L, 2L) s,"
+        "       try_multiply(9223372036854775807L, 2L) m,"
+        "       try_add(1L, 2L) ok"
+    ).collect()[0]
+    want = _duck(
+        "SELECT CASE WHEN 9223372036854775807::HUGEINT + 1"
+        "            > 9223372036854775807 THEN NULL END,"
+        "       CASE WHEN -9223372036854775807::HUGEINT - 2"
+        "            < -9223372036854775808 THEN NULL END,"
+        "       CASE WHEN 9223372036854775807::HUGEINT * 2"
+        "            > 9223372036854775807 THEN NULL END,"
+        "       CAST(3 AS BIGINT)"
+    )[0]
+    assert tuple(got) == want == (None, None, None, 3)
+
+
+def test_hex_codec_round_trip(spark):
+    got = spark.sql(
+        "SELECT hex('abc') h,"
+        "       CAST(unhex('616263') AS STRING) u,"
+        "       CAST(to_binary('616263', 'hex') AS STRING) tb,"
+        "       try_to_binary('zz', 'hex') bad,"
+        "       bin(10) b"
+    ).collect()[0]
+    want = _duck(
+        "SELECT hex('abc'), CAST(from_hex('616263') AS VARCHAR),"
+        "       CAST(from_hex('616263') AS VARCHAR), NULL, bin(10)"
+    )[0]
+    assert tuple(got) == want == ("616263", "abc", "abc", None, "1010")
+
+
+def test_calendar_extensions_and_dayofweek_trap(spark):
+    got = spark.sql(
+        "SELECT last_day(DATE '2024-02-05') ld,"
+        "       weekofyear(DATE '2024-01-04') w,"
+        "       dayofyear(DATE '2024-03-01') dy,"
+        "       make_date(2024, 2, 29) md,"
+        "       dayofweek(DATE '2024-08-16') dw"
+    ).collect()[0]
+    want = _duck(
+        "SELECT last_day(DATE '2024-02-05'),"
+        "       CAST(weekofyear(DATE '2024-01-04') AS INT),"
+        "       CAST(dayofyear(DATE '2024-03-01') AS INT),"
+        "       make_date(2024, 2, 29),"
+        "       CAST(dayofweek(DATE '2024-08-16') + 1 AS INT)"
+    )[0]
+    assert tuple(got) == want
+    # the trap itself: raw dayofweek diverges (Spark Sunday=1, DuckDB 0)
+    raw = _duck("SELECT dayofweek(DATE '2024-08-16')")[0][0]
+    assert got.dw == raw + 1 == 6
+
+
+def test_array_set_algebra_replays(spark):
+    got = spark.sql(
+        "SELECT array_sort(array_union(array(3,1), array(1,2))) u,"
+        "       array_sort(array_except(array(3,1,2), array(2))) e,"
+        "       array_sort(array_intersect(array(3,1,2), array(2,3))) i,"
+        "       arrays_overlap(array(1,2), array(2,9)) o,"
+        "       array_position(array(7,8,9), 8) p,"
+        "       array_sort(array_remove(array(1,2,1,3), 1)) r,"
+        "       flatten(array(array(1,2), array(3))) f"
+    ).collect()[0]
+    assert (got.u, got.e, got.i, got.o, got.p, got.r, got.f) == (
+        [1, 2, 3], [1, 3], [2, 3], True, 2, [2, 3], [1, 2, 3],
+    )
+    want = _duck(
+        "SELECT [1,2,3], [1,3], [2,3], true, CAST(2 AS BIGINT),"
+        " [2,3], [1,2,3]"
+    )[0]
+    assert (got.u, got.e, got.i, got.o, got.p, got.r, got.f) == want
+
+
+def test_max_by_min_by_unique_argmax(spark):
+    got = spark.sql(
+        "SELECT max_by(k, v) mx, min_by(k, v) mn"
+        " FROM VALUES ('a', 1), ('b', 5), ('c', 3) t(k, v)"
+    ).collect()[0]
+    want = _duck(
+        "SELECT max_by(k, v), min_by(k, v)"
+        " FROM (VALUES ('a', 1), ('b', 5), ('c', 3)) t(k, v)"
+    )[0]
+    assert tuple(got) == want == ("b", "a")
+
+
+def test_substring_index_replay(spark):
+    got = spark.sql(
+        "SELECT substring_index('a.b.c', '.', 2) x,"
+        "       substring_index('a.b.c', '.', -1) y"
+    ).collect()[0]
+    want = _duck(
+        "SELECT array_to_string(string_split('a.b.c', '.')[1:2], '.'),"
+        "       array_to_string(string_split('a.b.c', '.')[-1:], '.')"
+    )[0]
+    assert tuple(got) == want == ("a.b", "c")
+
+
+def test_format_string_matches_printf_with_double_cast(spark):
+    """TRAP: format_string('%.3f', 2.5) raises (DECIMAL literal is not
+    a Java double) — CAST AS DOUBLE first; then it matches printf."""
+    got = spark.sql(
+        "SELECT format_string('%05d|%s|%.3f', 42, 'x',"
+        " CAST(2.5 AS DOUBLE)) f"
+    ).collect()[0].f
+    want = _duck("SELECT printf('%05d|%s|%.3f', 42, 'x', 2.5)")[0][0]
+    assert got == want == "00042|x|2.500"
+    with pytest.raises(Exception, match="Format|format|DOUBLE|Decimal"):
+        spark.sql("SELECT format_string('%.3f', 2.5)").collect()
+
+
+def test_window_ignore_nulls_spellings_agree(spark):
+    """Spark: lead(v) IGNORE NULLS OVER; DuckDB: lead(v IGNORE NULLS)
+    OVER — different grammar positions, same values."""
+    got = spark.sql(
+        "SELECT x, lead(v) IGNORE NULLS OVER (ORDER BY x) nxt"
+        " FROM VALUES (1, 'a'), (2, NULL), (3, 'c') t(x, v) ORDER BY x"
+    ).collect()
+    want = _duck(
+        "SELECT x, lead(v IGNORE NULLS) OVER (ORDER BY x)"
+        " FROM (VALUES (1, 'a'), (2, NULL), (3, 'c')) t(x, v) ORDER BY x"
+    )
+    assert [tuple(r) for r in got] == want == [
+        (1, "c"), (2, "c"), (3, None),
+    ]
+
+
+def test_left_right_space(spark):
+    got = spark.sql(
+        "SELECT left('hello', 2) l, right('hello', 2) r, space(3) s"
+    ).collect()[0]
+    want = _duck(
+        "SELECT left('hello', 2), right('hello', 2), repeat(' ', 3)"
+    )[0]
+    assert tuple(got) == want == ("he", "lo", "   ")
+
+
+def test_product_is_dataframe_only(spark):
+    """Rule-out pin: no SQL routine `product` in this build — the
+    DataFrame F.product is the only spelling (and DuckDB has a native
+    product() for the oracle, fp-exact on integer-valued domains)."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="UNRESOLVED_ROUTINE"):
+        spark.sql("SELECT product(x) FROM VALUES (1.0) t(x)").collect()
+    got = (
+        spark.sql("SELECT * FROM VALUES (2.0), (3.0), (4.0) t(x)")
+        .agg(F.product("x").alias("p"))
+        .collect()[0]
+        .p
+    )
+    want = _duck(
+        "SELECT product(x) FROM (VALUES (2.0::DOUBLE), (3.0), (4.0)) t(x)"
+    )[0][0]
+    assert got == want == 24.0
+
+
+def test_url_functions_have_no_duckdb_twin(spark):
+    """Rule-out: url_encode/url_decode/parse_url work Spark-side (note
+    the form-encoding space -> '+') but DuckDB has no url_* scalar
+    functions — Spark-internal only."""
+    r = spark.sql(
+        "SELECT url_encode('a b&c') e, url_decode('a%20b%26c') d,"
+        "       parse_url('https://h/p?q=1', 'HOST') h"
+    ).collect()[0]
+    assert (r.e, r.d, r.h) == ("a+b%26c", "a b&c", "h")
+    con = duckdb.connect()
+    try:
+        with pytest.raises(duckdb.CatalogException):
+            con.execute("SELECT url_encode('x')")
+    finally:
+        con.close()

@@ -175,6 +175,11 @@ DEFAULT_AUDIT = [
     "q228_regr_drift",
     "q229_observed_report",
     "q230_stored_distinct_rollup",
+    "q231_bitmask_rollup",
+    "q232_try_timestamp_census",
+    "q233_percentile_disc_report",
+    "q234_array_surgery",
+    "q235_levenshtein_complete",
 ]
 
 
