@@ -1804,6 +1804,11 @@ def qgram_complete_pairs_frame(
         .groupBy("doc_id", "len", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # elems feeds BOTH the df table and the prefix join, and sig feeds
+    # both self-join sides — Spark does not deduplicate identical
+    # subtrees, so without pinning the scan + gram explode + count
+    # aggregate would run ~4x per action (the q166/q182 rule; at real
+    # cluster scale persist() is the fault-tolerant spelling).
     elems = gcnt.select(
         "doc_id",
         "len",
@@ -1813,7 +1818,7 @@ def qgram_complete_pairs_frame(
         "doc_id",
         "len",
         F.concat_ws("#", "gram", F.col("occ").cast("string")).alias("elem"),
-    )
+    ).localCheckpoint(eager=False)
     df_tbl = elems.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
     pref = (
         elems.join(F.broadcast(df_tbl), "elem")
@@ -1853,7 +1858,7 @@ def qgram_complete_pairs_frame(
             ).alias("elem"),
         )
     )
-    sig = gram_side.unionByName(band_side)
+    sig = gram_side.unionByName(band_side).localCheckpoint(eager=False)
 
     a = sig.select(
         F.col("doc_id").alias("ad"), F.col("len").alias("la"), "band", "elem"

@@ -561,6 +561,13 @@ ORDER BY source, lang
 # times across the drain's micro-batches, large enough to exercise
 # hundreds of state rows.
 Q236_KEY_MOD = 100
+# Event-time base (seconds): a query's INITIAL watermark is epoch 0,
+# and a row landing exactly ON the watermark is dropped as late — at
+# base 0 the k=0 row vanished (observed at registration; pinned in
+# test_round16_properties.py). Any base above the delay keeps the whole
+# key domain admissible. Shared by the builder, the oracle, and the
+# property test so a future change stays one edit.
+Q236_TS_BASE = 86400
 
 
 def q236_watermark_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,14 +633,13 @@ def q236_watermark_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.select(
             (F.col("doc_id") % Q236_KEY_MOD).alias("k"),
         )
-        # day-one base: a query's INITIAL watermark is epoch 0, and a
-        # row landing exactly on the watermark is dropped as late — at
-        # base 0 the k=0 row vanished (observed at registration). Any
-        # base above the delay keeps the whole key domain admissible.
+        # Q236_TS_BASE: see the constant's comment (initial-watermark
+        # late-drop at base 0).
         .withColumn(
             "ets",
             F.expr(
-                "timestamp_micros(CAST((86400 + k) * 1000000 AS BIGINT))"
+                f"timestamp_micros(CAST(({Q236_TS_BASE} + k) * 1000000"
+                " AS BIGINT))"
             ),
         )
         .withWatermark("ets", "3600 seconds")
@@ -654,8 +660,8 @@ def q236_watermark_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q236_ORACLE = f"""
 SELECT DISTINCT CAST(doc_id % {Q236_KEY_MOD} AS BIGINT) AS k,
        make_timestamp(
-         CAST((86400 + doc_id % {Q236_KEY_MOD}) * 1000000 AS BIGINT))
-         AS ets
+         CAST(({Q236_TS_BASE} + doc_id % {Q236_KEY_MOD}) * 1000000
+              AS BIGINT)) AS ets
 FROM documents
 ORDER BY k
 """

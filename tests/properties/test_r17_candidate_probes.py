@@ -78,16 +78,30 @@ def test_try_arithmetic_null_on_overflow(spark):
         "       try_multiply(9223372036854775807L, 2L) m,"
         "       try_add(1L, 2L) ok"
     ).collect()[0]
+    # each CASE carries an ELSE with the actual HUGEINT result so a
+    # wrong range check returns a VALUE (mismatch), not a vacuous NULL
     want = _duck(
         "SELECT CASE WHEN 9223372036854775807::HUGEINT + 1"
-        "            > 9223372036854775807 THEN NULL END,"
+        "            > 9223372036854775807 THEN NULL"
+        "            ELSE CAST(9223372036854775807::HUGEINT + 1"
+        "                      AS BIGINT) END,"
         "       CASE WHEN -9223372036854775807::HUGEINT - 2"
-        "            < -9223372036854775808 THEN NULL END,"
+        "            < -9223372036854775808 THEN NULL"
+        "            ELSE CAST(-9223372036854775807::HUGEINT - 2"
+        "                      AS BIGINT) END,"
         "       CASE WHEN 9223372036854775807::HUGEINT * 2"
-        "            > 9223372036854775807 THEN NULL END,"
+        "            > 9223372036854775807 THEN NULL"
+        "            ELSE CAST(9223372036854775807::HUGEINT * 2"
+        "                      AS BIGINT) END,"
         "       CAST(3 AS BIGINT)"
     )[0]
     assert tuple(got) == want == (None, None, None, 3)
+    # the ELSE rungs are live: an in-range sum takes them
+    ok = _duck(
+        "SELECT CASE WHEN 2::HUGEINT + 3 > 9223372036854775807 THEN NULL"
+        "            ELSE CAST(2::HUGEINT + 3 AS BIGINT) END"
+    )[0][0]
+    assert ok == 5
 
 
 def test_hex_codec_round_trip(spark):
@@ -139,9 +153,17 @@ def test_array_set_algebra_replays(spark):
     assert (got.u, got.e, got.i, got.o, got.p, got.r, got.f) == (
         [1, 2, 3], [1, 3], [2, 3], True, 2, [2, 3], [1, 2, 3],
     )
+    # the replays run DuckDB's actual list machinery, not literals
     want = _duck(
-        "SELECT [1,2,3], [1,3], [2,3], true, CAST(2 AS BIGINT),"
-        " [2,3], [1,2,3]"
+        "SELECT list_sort(list_distinct(list_concat([3,1], [1,2]))),"
+        "       list_sort(list_filter([3,1,2],"
+        "                 x -> NOT list_contains([2], x))),"
+        "       list_sort(list_filter([3,1,2],"
+        "                 x -> list_contains([2,3], x))),"
+        "       list_has_any([1,2], [2,9]),"
+        "       CAST(list_position([7,8,9], 8) AS BIGINT),"
+        "       list_sort(list_filter([1,2,1,3], x -> x != 1)),"
+        "       flatten([[1,2], [3]])"
     )[0]
     assert (got.u, got.e, got.i, got.o, got.p, got.r, got.f) == want
 

@@ -148,19 +148,26 @@ def test_q236_one_key_derived_row_per_key(spark, sf_dir):
     duplicate race)."""
     from distributed_map_reduce_spark.streaming.documents_stream import (
         Q236_KEY_MOD,
+        Q236_TS_BASE,
         q236_watermark_dedup_twin,
     )
 
-    rows = q236_watermark_dedup_twin(spark, sf_dir).collect()
+    df = q236_watermark_dedup_twin(spark, sf_dir)
+    # key-derivation checked Spark-side in epoch micros: collect()
+    # renders timestamps in the HOST timezone, which would skew a
+    # driver-side datetime subtraction on any non-UTC machine
+    rows = df.select(
+        "k",
+        F.expr(
+            f"unix_micros(ets) = ({Q236_TS_BASE} + k) * 1000000"
+        ).alias("derived"),
+    ).collect()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(rows) == min(Q236_KEY_MOD, n_docs)
     assert len({r.k for r in rows}) == len(rows)
     for r in rows:
         assert 0 <= r.k < Q236_KEY_MOD
-        epoch = (
-            r.ets - __import__("datetime").datetime(1970, 1, 1)
-        ).total_seconds()
-        assert epoch == 86400 + r.k, "output column not key-derived"
+        assert r.derived, "output column not key-derived"
 
 
 def test_initial_watermark_drops_epoch_zero_row(spark, sf_dir, tmp_path):
