@@ -4,7 +4,10 @@ Same discipline as the r13–r16 probe files: before a surface becomes a
 registry query, pin how THIS Spark build behaves — the working form,
 the trap, and the oracle-matchability evidence. Scouted 2026-08-16 on
 pyspark 4.1.2 / DuckDB; nine candidates + four convention/rule-out
-pins. (Still-unlanded strong candidates from the r15/r16 files remain
+pins, plus a second batch (items 14-20 below the first tests: dynamic-
+gap session_window, try_parse_json, date_diff units, from_utc_timestamp
+replay, dayname/monthname rendering, aes-ECB posture, from_csv/sha1).
+(Still-unlanded strong candidates from the r15/r16 files remain
 staged THERE: md5/sha2/base64 fingerprints, split_part/translate/
 overlay, integer sequence(), posexplode, IS DISTINCT FROM/equal_null,
 nth_value, regexp_count/regexp_substr, luhn_check, json shape fns,
@@ -266,3 +269,127 @@ def test_url_functions_have_no_duckdb_twin(spark):
             con.execute("SELECT url_encode('x')")
     finally:
         con.close()
+
+
+# --- second scouting batch (also 2026-08-16) ----------------------------------
+#
+# 14. DYNAMIC-GAP ``session_window(ts, CASE ...)`` — the per-key gap
+#     expression form works in this build (per-class session policies:
+#     bots vs humans); oracle shape is q32's islands replay with the
+#     gap CASE folded into the lag comparison. The q226 extension.
+# 15. ``try_parse_json`` — NULL-on-error VARIANT parse, the error-safe
+#     family's VARIANT member; DuckDB twin is a json_valid CASE.
+# 16. ``date_diff(UNIT, a, b)`` — value-identical to DuckDB's
+#     date_diff('unit', a, b) for HOUR/DAY/MINUTE (BIGINT cast pin).
+# 17. ``from_utc_timestamp(ts, tz)`` == DuckDB
+#     ``CAST(timezone(tz, ts AT TIME ZONE 'UTC') AS TIMESTAMP)`` —
+#     the exact replay spelling matters (two TZ hops).
+# 18. ``date_format`` 'EEEE'/'MMMM' == DuckDB dayname/monthname
+#     (both engines render English names under this build's default
+#     locale — a locale-pinned rendering, unlike to_char's separators).
+# 19. ``aes_encrypt``/``aes_decrypt`` ECB POSTURE: deterministic
+#     ciphertext (stable base64) and exact round trip, but NO DuckDB
+#     twin — registrable only as a Spark-side round-trip property or
+#     with the plaintext hashed, never the ciphertext alone.
+# 20. ``from_csv`` with an explicit schema — works (typed struct);
+#     DuckDB replay is split_part + CASTs. ``sha1`` works Spark-side
+#     with NO DuckDB twin (md5/sha256 are the portable pair — r15 pin).
+
+
+def test_dynamic_gap_session_window(spark):
+    """Per-key gap expressions: key 'a' sessions break at >10 s, key
+    'b' merges across 45 s under its 100 s gap."""
+    rows = spark.sql(
+        "SELECT session_window(ts, CASE WHEN k = 'a' THEN '10 seconds'"
+        " ELSE '100 seconds' END) w, k, COUNT(*) n"
+        " FROM VALUES (TIMESTAMP '2024-01-01 00:00:00', 'a'),"
+        " (TIMESTAMP '2024-01-01 00:00:15', 'a'),"
+        " (TIMESTAMP '2024-01-01 00:00:15', 'b'),"
+        " (TIMESTAMP '2024-01-01 00:01:00', 'b') t(ts, k)"
+        " GROUP BY w, k ORDER BY k, w.start"
+    ).collect()
+    assert [(r.k, r.n) for r in rows] == [("a", 1), ("a", 1), ("b", 2)]
+
+
+def test_try_parse_json_null_on_error(spark):
+    got = spark.sql(
+        "SELECT try_parse_json('{\"a\":1}') IS NULL ok_null,"
+        "       try_parse_json('nope{') IS NULL bad_null"
+    ).collect()[0]
+    want = _duck(
+        "SELECT NOT json_valid('{\"a\":1}'), NOT json_valid('nope{')"
+    )[0]
+    assert tuple(got) == want == (False, True)
+
+
+def test_date_diff_units_match(spark):
+    got = spark.sql(
+        "SELECT date_diff(HOUR, TIMESTAMP '2024-01-01 00:00:00',"
+        " TIMESTAMP '2024-01-02 03:30:00') h,"
+        " date_diff(DAY, DATE '2024-01-01', DATE '2024-03-05') d,"
+        " date_diff(MINUTE, TIMESTAMP '2024-01-01 00:00:00',"
+        " TIMESTAMP '2024-01-01 01:30:30') m"
+    ).collect()[0]
+    want = _duck(
+        "SELECT CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',"
+        " TIMESTAMP '2024-01-02 03:30:00') AS BIGINT),"
+        " CAST(date_diff('day', DATE '2024-01-01', DATE '2024-03-05')"
+        " AS BIGINT),"
+        " CAST(date_diff('minute', TIMESTAMP '2024-01-01 00:00:00',"
+        " TIMESTAMP '2024-01-01 01:30:30') AS BIGINT)"
+    )[0]
+    assert tuple(got) == want == (27, 64, 90)
+
+
+def test_from_utc_timestamp_replay(spark):
+    got = spark.sql(
+        "SELECT from_utc_timestamp(TIMESTAMP '2024-01-01 12:00:00',"
+        " 'America/New_York') t"
+    ).collect()[0].t
+    want = _duck(
+        "SELECT CAST(timezone('America/New_York',"
+        " TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE 'UTC')"
+        " AS TIMESTAMP)"
+    )[0][0]
+    assert got == want
+
+
+def test_date_format_names_match_dayname_monthname(spark):
+    got = spark.sql(
+        "SELECT date_format(DATE '2024-08-16', 'EEEE') dn,"
+        "       date_format(DATE '2024-08-16', 'MMMM') mn"
+    ).collect()[0]
+    want = _duck(
+        "SELECT dayname(DATE '2024-08-16'), monthname(DATE '2024-08-16')"
+    )[0]
+    assert tuple(got) == want == ("Friday", "August")
+
+
+def test_aes_ecb_round_trip_posture(spark):
+    """ECB is deterministic (same key + plaintext -> same ciphertext,
+    pinned on the literal), and the decrypt round trip is exact. No
+    DuckDB twin — Spark-side posture only."""
+    r = spark.sql(
+        "SELECT CAST(aes_decrypt(aes_encrypt('secret',"
+        " '0123456789abcdef', 'ECB'), '0123456789abcdef', 'ECB')"
+        " AS STRING) rt,"
+        " base64(aes_encrypt('secret', '0123456789abcdef', 'ECB')) ct"
+    ).collect()[0]
+    assert r.rt == "secret"
+    assert r.ct == "iNo+4RE7nEnpk338CYGhcw=="
+
+
+def test_from_csv_and_sha1_spark_side(spark):
+    r = spark.sql(
+        "SELECT from_csv('7,x,2.5', 'a INT, b STRING, c DOUBLE') s,"
+        "       sha1('abc') h"
+    ).collect()[0]
+    assert (r.s.a, r.s.b, r.s.c) == (7, "x", 2.5)
+    assert r.h == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    # the typed-field values replay in DuckDB via split_part + CASTs
+    want = _duck(
+        "SELECT CAST(split_part('7,x,2.5', ',', 1) AS INT),"
+        "       split_part('7,x,2.5', ',', 2),"
+        "       CAST(split_part('7,x,2.5', ',', 3) AS DOUBLE)"
+    )[0]
+    assert (r.s.a, r.s.b, r.s.c) == want
