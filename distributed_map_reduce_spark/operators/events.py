@@ -1890,6 +1890,343 @@ FROM parsed GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- q239: calendar-extension month-end report --------------------------------
+
+
+def q239_calendar_eom_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end calendar census with the calendar extensions staged in
+    the r17 probe file: ``last_day`` buckets every event to its
+    month-end settlement date, ``dayofweek`` flags weekend traffic,
+    ``dayofyear``/``weekofyear`` carry the intra-year coordinates, and
+    ``make_date(year, month, day)`` re-derives the event date from its
+    extracted parts as a live identity check (n_rebuilt == n proves the
+    part-extraction round trip on every row, not a sample).
+
+    DAYOFWEEK TRAP honored (pinned in
+    tests/properties/test_r17_candidate_probes.py): Spark counts
+    Sunday=1..Saturday=7 while DuckDB counts Sunday=0..Saturday=6, so
+    the oracle replays the weekend test as ``dayofweek(ts) + 1 IN
+    (1,7)``; make_date's INT parts are CAST to BIGINT on the DuckDB
+    side (its year()/month() return BIGINT).
+
+    Scale shape: every calendar function is a row-local codegen
+    expression on the scan; ONE hash aggregate keyed on (month_end,
+    event_type) — a few dozen groups per year of data regardless of
+    corpus size, COUNT/MIN/MAX partials map-side. The distinct-user
+    count is the only holistic term and shuffles (month_end, type,
+    user) triples — bounded by active users per month, the same
+    cardinality class q149 already carries.
+
+    Reference lineage: the multi-counter census shape of
+    /root/reference/src/mrapps/jobcount.go:22-46, keyed by derived
+    calendar buckets instead of task ids."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q239_events"
+    )
+    return spark.sql(
+        """
+SELECT last_day(CAST(ts AS DATE)) AS month_end, event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) FILTER (WHERE dayofweek(ts) IN (1, 7)) AS n_weekend,
+       CAST(MAX(dayofyear(ts)) AS BIGINT) AS max_doy,
+       CAST(MIN(weekofyear(ts)) AS BIGINT) AS min_week,
+       COUNT(*) FILTER (WHERE make_date(year(ts), month(ts), day(ts))
+                              = CAST(ts AS DATE)) AS n_rebuilt
+FROM __q239_events
+GROUP BY month_end, event_type ORDER BY month_end, event_type
+"""
+    )
+
+
+Q239_ORACLE = """
+SELECT last_day(CAST(ts AS DATE)) AS month_end, event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) FILTER (WHERE dayofweek(ts) + 1 IN (1, 7)) AS n_weekend,
+       CAST(MAX(dayofyear(ts)) AS BIGINT) AS max_doy,
+       CAST(MIN(weekofyear(ts)) AS BIGINT) AS min_week,
+       COUNT(*) FILTER (WHERE make_date(CAST(year(ts) AS BIGINT),
+                              CAST(month(ts) AS BIGINT),
+                              CAST(day(ts) AS BIGINT))
+                              = CAST(ts AS DATE)) AS n_rebuilt
+FROM events
+GROUP BY month_end, event_type ORDER BY month_end, event_type
+"""
+
+
+# --- q241: LOCF gap-fill via IGNORE NULLS windows ------------------------------
+
+
+def q241_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap-fill audit with window
+    ``IGNORE NULLS`` — the SQL surface of the LOCF idiom asof.py uses
+    through the DataFrame API (``F.last(ignorenulls=True)``): a sensor
+    feed with a deterministic missing stratum (every 5th event's cents
+    value nulled) is repaired per user from the nearest earlier
+    non-NULL reading (``lag(cents) IGNORE NULLS``), falling back to the
+    next later one (``lead``), and audited per event type: gap volume,
+    how many gaps LOCF could fill, orphans no direction could fill, and
+    the exact repaired-cents mass.
+
+    GRAMMAR PIN (tests/properties/test_r17_candidate_probes.py): Spark
+    spells the modifier after the call — ``lag(v) IGNORE NULLS OVER`` —
+    while DuckDB puts it inside the parens — ``lag(v IGNORE NULLS)
+    OVER``; values agree. Cents use the suite's exact-integer idiom
+    (``floor(value*100 + 0.5)``) so the repaired mass hashes bit-stable.
+
+    Scale shape: ONE shuffle on user_id with a per-partition sort
+    (ts, event_id) serving both window directions — Spark evaluates
+    lag and lead over the same sorted run, no second exchange — then a
+    4-group hash aggregate with COUNT/SUM partials map-side. The state
+    per row is one machine word each direction; at 100 TB this is the
+    canonical time-series repair pass, and the same expression runs
+    incrementally under the streaming state operators.
+
+    Reference lineage: the ordered merge-fold the reference applies to
+    sorted intermediate keys (/root/reference/src/mr/worker.go:197-212)
+    — here the fold carries the last-seen value forward instead of
+    reducing a group."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q241_events"
+    )
+    return spark.sql(
+        """
+WITH feed AS (
+  SELECT event_type, user_id, ts, event_id,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+  FROM __q241_events
+), filled AS (
+  SELECT event_type, cents,
+         lag(cents) IGNORE NULLS OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_known,
+         lead(cents) IGNORE NULLS OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS next_known
+  FROM feed
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE cents IS NULL) AS n_gap,
+       COUNT(*) FILTER (WHERE cents IS NULL AND prev_known IS NOT NULL)
+         AS n_locf,
+       COUNT(*) FILTER (WHERE cents IS NULL AND prev_known IS NULL
+                          AND next_known IS NULL) AS n_orphan,
+       CAST(SUM(coalesce(cents, prev_known, next_known, 0)) AS BIGINT)
+         AS filled_cents
+FROM filled GROUP BY event_type ORDER BY event_type
+"""
+    )
+
+
+Q241_ORACLE = """
+WITH feed AS (
+  SELECT event_type, user_id, ts, event_id,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+  FROM events
+), filled AS (
+  SELECT event_type, cents,
+         lag(cents IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_known,
+         lead(cents IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS next_known
+  FROM feed
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE cents IS NULL) AS n_gap,
+       COUNT(*) FILTER (WHERE cents IS NULL AND prev_known IS NOT NULL)
+         AS n_locf,
+       COUNT(*) FILTER (WHERE cents IS NULL AND prev_known IS NULL
+                          AND next_known IS NULL) AS n_orphan,
+       CAST(SUM(coalesce(cents, prev_known, next_known, 0)) AS BIGINT)
+         AS filled_cents
+FROM filled GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- q242: civil-time rollout report -------------------------------------------
+
+
+def q242_local_time_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Civil-time traffic report: UTC event times are converted to
+    America/New_York wall-clock with ``from_utc_timestamp`` (two DST
+    regimes inside any multi-month corpus), bucketed by rendered
+    weekday and month names (``date_format`` 'EEEE'/'MMMM' — the
+    locale-pinned rendering surface, unlike to_char's ruled-out
+    separators), and spanned with the unit form ``date_diff(MINUTE|
+    HOUR, ...)``.
+
+    Two cross-engine pins from tests/properties/test_r17_candidate_probes.py:
+    (1) the from_utc_timestamp replay needs BOTH timezone hops on the
+    DuckDB side — ``CAST(timezone(tz, ts AT TIME ZONE 'UTC') AS
+    TIMESTAMP)``; (2) Spark's ``date_diff(UNIT, a, b)`` returns
+    COMPLETE elapsed units (floor of the difference) while DuckDB's
+    ``date_diff`` counts BOUNDARY CROSSINGS — on unaligned timestamps
+    they differ by one (probed: 1 vs 2 across a 1m59s span), so the
+    oracle replays the spans as floor(epoch_us delta / unit), never
+    DuckDB's own date_diff.
+
+    Scale shape: timezone conversion and name rendering are row-local
+    codegen; ONE hash aggregate on (event_type, dow_name, month_name)
+    — at most 7 x 12 x |types| groups ever, MIN/MAX partials map-side.
+    The group-then-span shape is how a 100 TB ops dashboard slices
+    traffic by civil time without a second scan.
+
+    Reference lineage: the wall-clock instrumentation of
+    /root/reference/src/mrapps/mtiming.go:54-65, promoted from
+    process-local time.Now() samples to corpus-wide civil-time
+    analytics."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q242_events"
+    )
+    return spark.sql(
+        """
+WITH loc AS (
+  SELECT event_type,
+         from_utc_timestamp(ts, 'America/New_York') AS lts, ts
+  FROM __q242_events
+)
+SELECT event_type,
+       date_format(lts, 'EEEE') AS dow_name,
+       date_format(lts, 'MMMM') AS month_name,
+       COUNT(*) AS n,
+       CAST(date_diff(MINUTE, MIN(ts), MAX(ts)) AS BIGINT) AS span_min,
+       CAST(date_diff(HOUR, MIN(lts), MAX(lts)) AS BIGINT) AS span_h
+FROM loc GROUP BY event_type, dow_name, month_name
+ORDER BY event_type, dow_name, month_name
+"""
+    )
+
+
+Q242_ORACLE = """
+WITH loc AS (
+  SELECT event_type,
+         CAST(timezone('America/New_York', ts AT TIME ZONE 'UTC')
+              AS TIMESTAMP) AS lts, ts
+  FROM events
+)
+SELECT event_type,
+       dayname(lts) AS dow_name,
+       monthname(lts) AS month_name,
+       COUNT(*) AS n,
+       CAST(floor((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 60000000)
+            AS BIGINT) AS span_min,
+       CAST(floor((epoch_us(MAX(lts)) - epoch_us(MIN(lts))) / 3600000000)
+            AS BIGINT) AS span_h
+FROM loc GROUP BY event_type, dow_name, month_name
+ORDER BY event_type, dow_name, month_name
+"""
+
+
+# --- q244: per-class dynamic-gap session policy --------------------------------
+
+# Interactive event classes session out quickly; everything else gets the
+# long-tail policy. Shared by the Spark statement and the oracle replay.
+FAST_SESSION_TYPES = ("click", "view")
+FAST_SESSION_GAP_MINUTES = 10
+SLOW_SESSION_GAP_MINUTES = 40
+
+
+def q244_session_policy_dynamic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-class session policies via the DYNAMIC-GAP form of
+    ``session_window(ts, CASE ...)`` — q226 generalized from one global
+    inactivity gap to a gap expression evaluated per key: interactive
+    classes (click/view) session out after 10 minutes, everything else
+    after 40. The form was pinned working in
+    tests/properties/test_r17_candidate_probes.py (per-key gap
+    expressions merge/split exactly as the per-class constant would).
+
+    Because the gap expression depends only on grouping columns, the
+    oracle replays it as q226's gaps-and-islands with the same CASE
+    folded into the lag comparison — the closed-boundary rule
+    (break on STRICTLY > gap) and the end = last-event + gap convention
+    carry over unchanged. Durations and window masses are integer
+    epoch-microseconds, so every column hashes exactly.
+
+    Scale shape: identical to q226 — ONE shuffle on (user_id,
+    event_type) followed by the per-key window merge; no self-join, no
+    second pass. The dynamic gap costs nothing extra: it's a row-local
+    CASE evaluated before the merge. At 100 TB the same expression runs
+    under readStream + watermark with per-class state eviction — the
+    policy table could equally be a broadcast dim.
+
+    Reference lineage: none — the reference has no temporal operators
+    at all (SURVEY §2.3); this is the Spark-native capability the
+    non-port argument rests on, extended to heterogeneous policies."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q244_events"
+    )
+    fast = ", ".join(f"'{t}'" for t in FAST_SESSION_TYPES)
+    return spark.sql(
+        f"""
+WITH sess AS (
+  SELECT user_id, event_type,
+         timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
+                       session_window.start) AS s_us,
+         timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
+                       session_window.end) AS e_us,
+         COUNT(*) AS n_in_session,
+         timestampdiff(MICROSECOND, MIN(ts), MAX(ts)) AS dur_us
+  FROM __q244_events
+  GROUP BY user_id, event_type,
+           session_window(ts, CASE WHEN event_type IN ({fast})
+                                   THEN '{FAST_SESSION_GAP_MINUTES} minutes'
+                                   ELSE '{SLOW_SESSION_GAP_MINUTES} minutes'
+                              END)
+)
+SELECT event_type,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_in_session) AS BIGINT) AS n_events,
+       CAST(MAX(n_in_session) AS BIGINT) AS max_events,
+       CAST(SUM(dur_us) AS BIGINT) AS dur_mass_us,
+       CAST(SUM(e_us - s_us) AS BIGINT) AS win_mass_us
+FROM sess GROUP BY event_type ORDER BY event_type
+"""
+    )
+
+
+def _q244_oracle() -> str:
+    fast = ", ".join(f"'{t}'" for t in FAST_SESSION_TYPES)
+    gap_case = (
+        f"CASE WHEN event_type IN ({fast})"
+        f" THEN INTERVAL {FAST_SESSION_GAP_MINUTES} MINUTE"
+        f" ELSE INTERVAL {SLOW_SESSION_GAP_MINUTES} MINUTE END"
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, ts, {gap_case} AS gap,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > ({gap_case})
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+), i AS (
+  SELECT user_id, event_type, ts, gap,
+         SUM(brk) OVER (PARTITION BY user_id, event_type ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM e
+), sess AS (
+  SELECT user_id, event_type,
+         epoch_us(MIN(ts)) AS s_us,
+         epoch_us(MAX(ts) + ANY_VALUE(gap)) AS e_us,
+         COUNT(*) AS n_in_session,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+  FROM i GROUP BY user_id, event_type, island
+)
+SELECT event_type,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_in_session) AS BIGINT) AS n_events,
+       CAST(MAX(n_in_session) AS BIGINT) AS max_events,
+       CAST(SUM(dur_us) AS BIGINT) AS dur_mass_us,
+       CAST(SUM(e_us - s_us) AS BIGINT) AS win_mass_us
+FROM sess GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = [
     QuerySpec("q191_trailing_hour_avg", q191_trailing_hour_avg,
               Q191_ORACLE,
@@ -2010,4 +2347,23 @@ QUERIES = [
               "re-parse audited per event type (NULL-on-error, q223's "
               "temporal member)",
               ("events", "temporal", "error-safe")),
+    QuerySpec("q239_calendar_eom_report", q239_calendar_eom_report,
+              Q239_ORACLE,
+              "last_day/dayofweek/dayofyear/weekofyear/make_date month-end "
+              "census with the dayofweek +1 oracle replay",
+              ("events", "temporal", "calendar")),
+    QuerySpec("q241_locf_gapfill", q241_locf_gapfill, Q241_ORACLE,
+              "IGNORE NULLS lag/lead LOCF gap-fill audit per event type "
+              "(exact repaired-cents mass, one shuffle both directions)",
+              ("events", "window", "timeseries")),
+    QuerySpec("q242_local_time_report", q242_local_time_report,
+              Q242_ORACLE,
+              "from_utc_timestamp civil-time report by rendered weekday/"
+              "month names with floor-of-unit span replays",
+              ("events", "temporal", "timezone")),
+    QuerySpec("q244_session_policy_dynamic", q244_session_policy_dynamic,
+              _q244_oracle(),
+              "dynamic-gap session_window: per-class inactivity policies "
+              "(10m interactive / 40m other) hash-checked at micro grain",
+              ("events", "window", "temporal")),
 ]

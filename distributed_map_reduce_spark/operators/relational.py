@@ -4876,6 +4876,167 @@ FROM lens ORDER BY doc_id
 """
 
 
+# --- q237: try_* arithmetic overflow census ------------------------------------
+
+
+def q237_try_arithmetic_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BIGINT overflow census via ``try_add`` / ``try_subtract`` /
+    ``try_multiply`` — the q223/q232/q238 error-safe family's
+    ARITHMETIC members (r17 probe pin 1): revenue-scaled words built
+    from lineitem's integer keys are pushed deliberately against the
+    int64 range, and the NULL-on-overflow strata are audited per
+    returnflag together with the surviving min/max words. A plain +/-/*
+    under ANSI mode would kill the job on the first overflowing row;
+    the try_ forms quarantine record-level faults as NULLs — the datum
+    dies, not the pipeline (the record-level analog of
+    /root/reference/src/mrapps/crash.go:20-33's process-level story,
+    same posture as q232).
+
+    The operand design makes every stratum deterministic and integer-
+    exact: a = (l_orderkey%7-3)*1.6e18 and b = (l_partkey%5-2)*2.4e18
+    stay in-range individually, their sum/difference overflows exactly
+    when both sit at the rim; c = try_multiply(l_linenumber, 1.537e18)
+    overflows precisely at l_linenumber == 7 (6*1537228672809129301 =
+    9223372036854775806 is the largest in-range multiple). The DuckDB
+    oracle replays the range check in HUGEINT (128-bit) arithmetic —
+    compute wide, NULL outside [-2^63, 2^63), cast back.
+
+    Scale shape: all three try_ ops are row-local codegen on the scan;
+    ONE 3-group hash aggregate with COUNT/MIN/MAX partials map-side.
+    Zero extra shuffle vs a plain census — fault tolerance priced at
+    one CASE per word."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__q237_lineitem"
+    )
+    return spark.sql(
+        """
+WITH big AS (
+  SELECT l_returnflag,
+         (l_orderkey % 7 - 3) * 1600000000000000000 AS a,
+         (l_partkey % 5 - 2) * 2400000000000000000 AS b,
+         try_multiply(CAST(l_linenumber AS BIGINT), 1537228672809129301)
+           AS c
+  FROM __q237_lineitem
+), t AS (
+  SELECT l_returnflag, c,
+         try_add(a, b) AS s, try_subtract(a, b) AS d
+  FROM big
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE s IS NULL) AS n_add_over,
+       COUNT(*) FILTER (WHERE d IS NULL) AS n_sub_over,
+       COUNT(*) FILTER (WHERE c IS NULL) AS n_mul_over,
+       MIN(s) AS min_sum, MAX(s) AS max_sum, MAX(c) AS max_prod
+FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+    )
+
+
+Q237_ORACLE = """
+WITH big AS (
+  SELECT l_returnflag,
+         CAST(l_orderkey % 7 - 3 AS HUGEINT) * 1600000000000000000 AS a,
+         CAST(l_partkey % 5 - 2 AS HUGEINT) * 2400000000000000000 AS b,
+         CAST(l_linenumber AS HUGEINT) * 1537228672809129301 AS ch
+  FROM lineitem
+), t AS (
+  SELECT l_returnflag,
+         CASE WHEN a + b BETWEEN -9223372036854775808 AND 9223372036854775807
+              THEN CAST(a + b AS BIGINT) END AS s,
+         CASE WHEN a - b BETWEEN -9223372036854775808 AND 9223372036854775807
+              THEN CAST(a - b AS BIGINT) END AS d,
+         CASE WHEN ch BETWEEN -9223372036854775808 AND 9223372036854775807
+              THEN CAST(ch AS BIGINT) END AS c
+  FROM big
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE s IS NULL) AS n_add_over,
+       COUNT(*) FILTER (WHERE d IS NULL) AS n_sub_over,
+       COUNT(*) FILTER (WHERE c IS NULL) AS n_mul_over,
+       MIN(s) AS min_sum, MAX(s) AS max_sum, MAX(c) AS max_prod
+FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- q243: string-surgery rendering report -------------------------------------
+
+
+def q243_string_surgery_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Structured-identifier surgery over customer names with the
+    string surfaces staged in the r17 probe file: ``substring_index``
+    splits the 'Customer#000000001' convention at its '#' spine from
+    both ends (positive count = prefix, negative count = take from the
+    end — no DuckDB twin by name, replayed as string_split + list
+    slices), ``format_string`` re-renders a fixed-width audit line
+    (== DuckDB ``printf`` — the hashable rendering surface; to_char/
+    format_number are ruled out as locale-dependent), and ``left`` /
+    ``right`` / ``space`` assemble a tail tag (space replays as
+    repeat(' ', n)).
+
+    FP-safety: the rendered line is %s/%09d only — the probe pinned
+    that %f needs a DOUBLE cast and Java HALF_UP vs C half-even diverge
+    on exact ties, so no floating-point ever reaches a formatter here.
+
+    Scale shape: all surgery is row-local codegen; ONE 5-group hash
+    aggregate (segment) with COUNT/COUNT DISTINCT/MIN/MAX partials.
+    The distinct-prefix count shuffles (segment, prefix) pairs — 5
+    values total. This is the id-normalization pass a 100 TB entity
+    table runs during ingest.
+
+    Reference lineage: /root/reference/src/mr/worker.go:209 — the
+    reference renders every output record with fmt.Fprintf("%v %v");
+    format_string is that surface made deterministic and auditable."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__q243_customer"
+    )
+    return spark.sql(
+        """
+WITH s AS (
+  SELECT c_mktsegment,
+         substring_index(c_name, '#', 1) AS prefix,
+         substring_index(c_name, '#', -1) AS id_part,
+         format_string('%s|%09d|%s', c_mktsegment, c_custkey,
+                       left(c_name, 8)) AS rendered,
+         concat(right(c_name, 3), space(2), left(c_mktsegment, 2)) AS tail
+  FROM __q243_customer
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       COUNT(DISTINCT prefix) AS n_prefix,
+       CAST(SUM(length(id_part)) AS BIGINT) AS id_len_mass,
+       MAX(rendered) AS max_render,
+       MIN(tail) AS min_tail
+FROM s GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+    )
+
+
+Q243_ORACLE = """
+WITH s AS (
+  SELECT c_mktsegment,
+         array_to_string(string_split(c_name, '#')[1:1], '#') AS prefix,
+         array_to_string(string_split(c_name, '#')[-1:], '#') AS id_part,
+         printf('%s|%09d|%s', c_mktsegment, c_custkey,
+                left(c_name, 8)) AS rendered,
+         right(c_name, 3) || repeat(' ', 2) || left(c_mktsegment, 2) AS tail
+  FROM customer
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       COUNT(DISTINCT prefix) AS n_prefix,
+       CAST(SUM(length(id_part)) AS BIGINT) AS id_len_mass,
+       MAX(rendered) AS max_render,
+       MIN(tail) AS min_tail
+FROM s GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -5172,4 +5333,14 @@ QUERIES = [
               "sorted array_distinct over token-length arrays (q116's "
               "quantifier/list-editing extension)",
               ("relational", "array", "sql-surface")),
+    QuerySpec("q237_try_arithmetic_census", q237_try_arithmetic_census,
+              Q237_ORACLE,
+              "try_add/try_subtract/try_multiply NULL-on-overflow census "
+              "per returnflag (HUGEINT range-check oracle)",
+              ("relational", "error-safe", "sql-surface")),
+    QuerySpec("q243_string_surgery_report", q243_string_surgery_report,
+              Q243_ORACLE,
+              "substring_index/format_string/left/right/space identifier "
+              "surgery per segment (printf-replay rendering)",
+              ("relational", "scalar", "sql-surface")),
 ]

@@ -2027,6 +2027,174 @@ ORDER BY source
 """
 
 
+# --- q238: hex-codec content fingerprints --------------------------------------
+
+
+def q238_hex_codec_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary-codec fingerprint census with the hex surfaces staged in
+    the r17 probe file: every document is rendered to its hex byte
+    string (``hex``), round-tripped back through ``unhex`` (n_rt == n
+    proves the codec is lossless on every row), re-ingested through
+    ``try_to_binary(_, 'hex')`` against a deterministically corrupted
+    feed (every 9th doc gets a non-hex 'zz' prefix — the NULL-on-error
+    posture of the q223/q232/q237 family applied to binary decode), and
+    content-addressed two ways: a 12-hex-char (48-bit) prefix
+    fingerprint and the full ``md5`` (the portable content-address
+    surface pinned in the r15 probe file; crc32/xxhash64 are ruled out
+    as Spark-internal). ``bin(doc_id)``'s max length rides along as the
+    integer-radix sibling (value-identical in DuckDB, r17 pin 13).
+
+    Oracle replays: ``from_hex`` for unhex; the try_to_binary feed
+    check as a hex-charset regexp (NULL iff the string contains a
+    non-hex character — exactly Spark's try_ semantics for 'hex').
+
+    Scale shape: every codec call is row-local codegen on the scan —
+    the hex render doubles bytes in flight but only inside one
+    projection; ONE hash aggregate on source with COUNT/COUNT
+    DISTINCT/MAX partials. The two distinct-fingerprint counts shuffle
+    (source, fp) pairs — bounded by corpus cardinality, the exact-dedup
+    cardinality class q16 already carries at scale.
+
+    Reference lineage: /root/reference/src/mr/worker.go:273-276 —
+    ihash(key) content-addresses every intermediate record to its
+    reduce bucket; here the same content-address idea is the dedup
+    fingerprint itself, with an explicit codec round-trip proof."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__q238_documents"
+    )
+    return spark.sql(
+        """
+WITH fp AS (
+  SELECT source, text, doc_id,
+         hex(text) AS hx,
+         CASE WHEN doc_id % 9 = 0 THEN concat('zz', hex(text))
+              ELSE hex(text) END AS hx_feed
+  FROM __q238_documents
+)
+SELECT source,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE CAST(unhex(hx) AS STRING) = text) AS n_rt,
+       COUNT(*) FILTER (WHERE try_to_binary(hx_feed, 'hex') IS NULL)
+         AS n_corrupt,
+       COUNT(DISTINCT substr(hx, 1, 12)) AS n_fp12,
+       COUNT(DISTINCT md5(text)) AS n_md5,
+       MAX(length(bin(doc_id))) AS max_bits
+FROM fp GROUP BY source ORDER BY source
+"""
+    )
+
+
+Q238_ORACLE = """
+WITH fp AS (
+  SELECT source, text, doc_id,
+         hex(text) AS hx,
+         CASE WHEN doc_id % 9 = 0 THEN 'zz' || hex(text)
+              ELSE hex(text) END AS hx_feed
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE CAST(from_hex(hx) AS VARCHAR) = text) AS n_rt,
+       COUNT(*) FILTER (WHERE NOT regexp_matches(hx_feed, '^[0-9a-fA-F]*$'))
+         AS n_corrupt,
+       COUNT(DISTINCT substr(hx, 1, 12)) AS n_fp12,
+       COUNT(DISTINCT md5(text)) AS n_md5,
+       CAST(MAX(length(bin(doc_id))) AS BIGINT) AS max_bits
+FROM fp GROUP BY source ORDER BY source
+"""
+
+
+# --- q240: token set algebra against the stopword dimension --------------------
+
+
+def q240_token_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra over document token sets vs the module's
+    shared STOPWORDS dimension — the r17-staged surfaces ``array_union``
+    / ``array_except`` / ``array_intersect`` / ``arrays_overlap`` /
+    ``array_position`` / ``array_remove`` / ``flatten`` as one
+    stopword-budget report per language: kept-vocabulary mass after
+    stopword removal, stopword vocabulary hits, docs touching any
+    stopword, union cardinality mass, the positional mass of 'the'
+    (where in each doc it first appears), and raw-minus-'the' lengths.
+
+    ORDER TRAP honored twice (r16 pin 11 + this round's scouting):
+    set-producing results only ever feed ``size()`` (order-free), and
+    ``array_position`` runs on the RAW token array — never on
+    ``array_distinct`` output, whose element ORDER differs between
+    engines (Spark keeps first-seen, DuckDB does not: position-on-
+    distinct mismatched in the sf0.001 scout and is pinned in the
+    round-16 wave-2 property file). NULL pin: DuckDB ``list_position``
+    is NULL on a miss where Spark returns 0 — the oracle coalesces.
+
+    Scale shape: the stopword side is a constant literal array (a
+    broadcast dim degenerated to a literal — no join at all); every
+    set operation is a bounded in-register loop over ~100-token
+    arrays inside whole-stage codegen; ONE 5-group hash aggregate.
+    This is the row-local algebra a 100 TB stopword-budget audit runs
+    in a single scan.
+
+    Reference lineage: /root/reference/src/mrapps/indexer.go:21-25 —
+    the indexer's per-document distinct token set, here with the full
+    set-algebra toolkit instead of membership only."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__q240_documents"
+    )
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return spark.sql(
+        f"""
+WITH toks AS (
+  SELECT lang, {SPARK_TOKS_EXPR} AS raw,
+         array_distinct({SPARK_TOKS_EXPR}) AS tk
+  FROM __q240_documents
+), alg AS (
+  SELECT lang, raw, tk, array({stop}) AS stop
+  FROM toks
+)
+SELECT lang,
+       COUNT(*) AS n,
+       CAST(SUM(size(array_except(tk, stop))) AS BIGINT) AS n_kept,
+       CAST(SUM(size(array_intersect(tk, stop))) AS BIGINT) AS n_stop,
+       COUNT(*) FILTER (WHERE arrays_overlap(tk, stop)) AS n_hit,
+       CAST(SUM(size(array_union(tk, stop))) AS BIGINT) AS n_union,
+       CAST(SUM(array_position(raw, 'the')) AS BIGINT) AS pos_mass,
+       CAST(SUM(size(array_remove(raw, 'the'))) AS BIGINT) AS n_nothe,
+       CAST(SUM(size(flatten(array(tk, stop)))) AS BIGINT) AS n_flat
+FROM alg GROUP BY lang ORDER BY lang
+"""
+    )
+
+
+def _q240_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT lang, {DUCK_TOKS_EXPR} AS raw,
+         list_distinct({DUCK_TOKS_EXPR}) AS tk
+  FROM documents
+), alg AS (
+  SELECT lang, raw, tk, [{stop}] AS stop
+  FROM toks
+)
+SELECT lang,
+       COUNT(*) AS n,
+       CAST(SUM(len(list_filter(tk, x -> NOT list_contains(stop, x))))
+            AS BIGINT) AS n_kept,
+       CAST(SUM(len(list_filter(tk, x -> list_contains(stop, x))))
+            AS BIGINT) AS n_stop,
+       COUNT(*) FILTER (WHERE list_has_any(tk, stop)) AS n_hit,
+       CAST(SUM(len(list_distinct(list_concat(tk, stop)))) AS BIGINT)
+         AS n_union,
+       CAST(SUM(coalesce(list_position(raw, 'the'), 0)) AS BIGINT)
+         AS pos_mass,
+       CAST(SUM(len(list_filter(raw, x -> x != 'the'))) AS BIGINT)
+         AS n_nothe,
+       CAST(SUM(len(flatten([tk, stop]))) AS BIGINT) AS n_flat
+FROM alg GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = [
     QuerySpec("q195_ngram_novelty", q195_ngram_novelty, _q195_oracle(),
               "held-out bigram novelty rate per source (val occurrences "
@@ -2116,4 +2284,14 @@ QUERIES = [
               "error-safe curation metrics via try_divide/try_to_number "
               "(NULL-on-error census + guarded integer aggregates)",
               ("textanalysis", "quality", "sql-surface")),
+    QuerySpec("q238_hex_codec_fingerprint", q238_hex_codec_fingerprint,
+              Q238_ORACLE,
+              "hex/unhex/try_to_binary codec round-trip census with "
+              "48-bit prefix + md5 content fingerprints per source",
+              ("textanalysis", "fingerprint", "error-safe")),
+    QuerySpec("q240_token_set_algebra", q240_token_set_algebra,
+              _q240_oracle(),
+              "array set algebra vs the stopword dim: except/intersect/"
+              "union/overlap/position/remove/flatten budget report",
+              ("textanalysis", "array", "curation")),
 ]

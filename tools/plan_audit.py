@@ -180,6 +180,14 @@ DEFAULT_AUDIT = [
     "q233_percentile_disc_report",
     "q234_array_surgery",
     "q235_levenshtein_complete",
+    "q237_try_arithmetic_census",
+    "q238_hex_codec_fingerprint",
+    "q239_calendar_eom_report",
+    "q240_token_set_algebra",
+    "q241_locf_gapfill",
+    "q242_local_time_report",
+    "q243_string_surgery_report",
+    "q244_session_policy_dynamic",
 ]
 
 
