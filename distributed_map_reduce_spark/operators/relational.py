@@ -5037,6 +5037,344 @@ FROM s GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+# --- q247: integer sequence expansion ------------------------------------------
+
+
+def q247_sequence_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generation via ``sequence`` + ``posexplode`` — the r15-
+    staged pair as one expansion census: each order fans out into a
+    deterministic 1..(1 + key % 5) integer sequence (the retry-
+    schedule / installment-plan shape), and the generator's ordinal
+    and value masses are folded back per order status.
+
+    Cross-engine pins from the r15 probe file: integer ``sequence`` ==
+    DuckDB ``generate_series`` (both ends inclusive); ``posexplode``
+    ordinals are 0-BASED while DuckDB's range-UNNEST subscripts are
+    1-based — the oracle replays pos as ``u.i - 1``. DATE sequences
+    stay out (element-type divergence pinned there too).
+
+    Scale shape: the expansion is a generator inside whole-stage
+    codegen — Spark's Generate node streams the fan-out without
+    materializing arrays; average fan-out is 3x, bounded by 5, so the
+    exploded row count is O(|orders|) with a known constant. ONE hash
+    aggregate per status downstream. The 100 TB posture for bounded
+    fan-outs: generate-then-fold in one stage, never a join against a
+    numbers table.
+
+    Reference lineage: the reference's map phase fans one input record
+    into many intermediate records (/root/reference/src/mr/worker.go:
+    226-238, flatMap's contract); sequence+posexplode is that fan-out
+    as a declarative generator."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q247_orders")
+    return spark.sql(
+        """
+WITH s AS (
+  SELECT o_orderstatus AS st, o_orderkey,
+         sequence(1, CAST(1 + o_orderkey % 5 AS INT)) AS sq
+  FROM __q247_orders
+)
+SELECT st, COUNT(*) AS n_rows,
+       CAST(SUM(pos) AS BIGINT) AS pos_mass,
+       CAST(SUM(val) AS BIGINT) AS val_mass,
+       CAST(SUM(size(sq)) AS BIGINT) AS size_mass
+FROM s LATERAL VIEW posexplode(sq) AS pos, val
+GROUP BY st ORDER BY st
+"""
+    )
+
+
+Q247_ORACLE = """
+WITH s AS (
+  SELECT o_orderstatus AS st, o_orderkey,
+         generate_series(1, CAST(1 + o_orderkey % 5 AS INT)) AS sq
+  FROM orders
+)
+SELECT st, COUNT(*) AS n_rows,
+       CAST(SUM(u.i - 1) AS BIGINT) AS pos_mass,
+       CAST(SUM(sq[u.i]) AS BIGINT) AS val_mass,
+       CAST(SUM(len(sq)) AS BIGINT) AS size_mass
+FROM s, UNNEST(range(1, len(sq) + 1)) u(i)
+GROUP BY st ORDER BY st
+"""
+
+
+# --- q248: ranked-extreme report (nth_value / max_by / min_by) ------------------
+
+
+def q248_ranked_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked extremes per priority class via ``nth_value`` (the r16-
+    staged full-frame window member) and the ``max_by``/``min_by``
+    argmax aggregates (r17 pin 5): the runner-up value and the top/
+    bottom order keys by a STRICTLY UNIQUE ordering value.
+
+    Determinism contract honored: argmax ties are nondeterministic BY
+    CONTRACT in both engines (the any_value posture), so the ordering
+    value is cents * 1e7 + orderkey — injective by construction (cents
+    < 1e9, orderkey < 1e7 at gated scales, both fit BIGINT), making
+    every argmax and the runner-up unique. ``nth_value`` needs the
+    explicit ``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING`` frame in BOTH engines to see past the current row
+    (r16 pin 3).
+
+    Scale shape: one shuffle on priority for the window sort + the
+    same partitioning reused by the final aggregate (Exchange reuse —
+    the window and groupBy share keys); max_by/min_by carry fixed-size
+    (value, key) state with map-side partial merge. At 100 TB the
+    window rung would swap for q8's TakeOrdered shape; the argmax
+    aggregates already scale — they are the leaderboard primitive.
+
+    Reference lineage: the reference's sort-group-fold emits per-group
+    reductions (/root/reference/src/mr/worker.go:197-212); max_by is
+    that fold specialized to argmax with explicit tie discipline."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q248_orders")
+    return spark.sql(
+        """
+WITH cents AS (
+  SELECT o_orderpriority AS pri, o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+           + o_orderkey AS uniq_v
+  FROM __q248_orders
+), w AS (
+  SELECT pri, o_orderkey, uniq_v,
+         nth_value(uniq_v, 2) OVER
+           (PARTITION BY pri ORDER BY uniq_v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_v
+  FROM cents
+)
+SELECT pri, COUNT(*) AS n,
+       MAX(second_v) AS second_v,
+       max_by(o_orderkey, uniq_v) AS top_key,
+       min_by(o_orderkey, uniq_v) AS bottom_key
+FROM w GROUP BY pri ORDER BY pri
+"""
+    )
+
+
+Q248_ORACLE = """
+WITH cents AS (
+  SELECT o_orderpriority AS pri, o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+           + o_orderkey AS uniq_v
+  FROM orders
+), w AS (
+  SELECT pri, o_orderkey, uniq_v,
+         nth_value(uniq_v, 2) OVER
+           (PARTITION BY pri ORDER BY uniq_v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_v
+  FROM cents
+)
+SELECT pri, COUNT(*) AS n,
+       MAX(second_v) AS second_v,
+       max_by(o_orderkey, uniq_v) AS top_key,
+       min_by(o_orderkey, uniq_v) AS bottom_key
+FROM w GROUP BY pri ORDER BY pri
+"""
+
+
+# --- q249: JSON shape census ----------------------------------------------------
+
+
+def q249_json_shape_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON shape introspection over engine-RENDERED documents — the
+    r16-staged shape functions exercised on JSON both engines build
+    themselves: ``to_json(named_struct(...))`` (field order is
+    INSERTION order in both engines — r16 pin 22, so the rendering is
+    hashable for integer/string payloads), ``json_array_length`` over
+    a deterministically ragged array literal, and ``json_object_keys``
+    (== DuckDB ``json_keys``, both preserving document key order —
+    serialized through concat_ws for the driver hash).
+
+    The events.props column is a single-key object ({"k": N}) — shape
+    functions over it would be vacuous, which is why the census
+    constructs its documents from orders columns instead (the same
+    to_json surface a 100 TB export pipeline runs).
+
+    Scale shape: rendering and introspection are row-local codegen;
+    ONE 5-group hash aggregate. The distinct-rendering count shuffles
+    (priority, json) pairs — bounded by |orders|, same class as q16.
+    No Python JSON parsing anywhere.
+
+    Reference lineage: the reference serializes every intermediate
+    record as JSON (/root/reference/src/mr/worker.go:240-252,
+    json.NewEncoder per partition file); to_json/json_* are that
+    surface with schema introspection added."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q249_orders")
+    return spark.sql(
+        """
+WITH j AS (
+  SELECT o_orderpriority AS pri,
+         to_json(named_struct('id', o_orderkey, 'st', o_orderstatus))
+           AS obj,
+         concat('[', repeat('7,', CAST(o_orderkey % 4 AS INT)), '9]')
+           AS arr
+  FROM __q249_orders
+)
+SELECT pri, COUNT(*) AS n,
+       COUNT(DISTINCT obj) AS n_obj,
+       CAST(SUM(json_array_length(arr)) AS BIGINT) AS arr_mass,
+       MAX(concat_ws('|', json_object_keys(obj))) AS keys_sig
+FROM j GROUP BY pri ORDER BY pri
+"""
+    )
+
+
+Q249_ORACLE = """
+WITH j AS (
+  SELECT o_orderpriority AS pri,
+         CAST(to_json({'id': o_orderkey, 'st': o_orderstatus})
+              AS VARCHAR) AS obj,
+         '[' || repeat('7,', CAST(o_orderkey % 4 AS INT)) || '9]' AS arr
+  FROM orders
+)
+SELECT pri, COUNT(*) AS n,
+       COUNT(DISTINCT obj) AS n_obj,
+       CAST(SUM(json_array_length(arr)) AS BIGINT) AS arr_mass,
+       MAX(array_to_string(json_keys(obj), '|')) AS keys_sig
+FROM j GROUP BY pri ORDER BY pri
+"""
+
+
+# --- q250: Luhn checksum audit --------------------------------------------------
+
+
+def q250_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validity audit with ``luhn_check`` over synthetic
+    16-digit account numbers derived deterministically from customer
+    keys (affine map mod 1e16, zero-padded — injective for every key
+    the gated scales hold). DuckDB has NO luhn builtin, but the check
+    is pure digit arithmetic, so the oracle REPLAYS it exactly (r16
+    probe pin 16): reverse the string, double every second digit with
+    the 9-subtraction carry, sum mod 10 — the rare fully-replayable
+    member of the no-twin family (vs crc32/xxhash64, which stay
+    Spark-internal).
+
+    ~10% of synthetic accounts pass by construction (a uniform last
+    digit hits the checksum 1 time in 10), so the audit exercises both
+    strata without planting them.
+
+    Scale shape: luhn_check is row-local codegen; ONE 5-group hash
+    aggregate. The oracle's UNNEST fan-out (16 rows per account) is
+    oracle-side only — the Spark plan never explodes. Ingest-time
+    plausibility filters (account/card/IMEI checksums) run at exactly
+    this shape on 100 TB.
+
+    Reference lineage: the reference validates nothing about its
+    records (any line is a word); checksum admission control is part
+    of the ingest surface the engine adds — closest analog is the
+    crash app's pseudo-random admission (/root/reference/src/mrapps/
+    crash.go:20-33), here made deterministic and content-derived."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__q250_customer"
+    )
+    return spark.sql(
+        """
+WITH acct AS (
+  SELECT c_mktsegment AS seg,
+         lpad(CAST((c_custkey * 7919 + 11) % 10000000000000000 AS STRING),
+              16, '0') AS pan
+  FROM __q250_customer
+)
+SELECT seg, COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE luhn_check(pan)) AS n_valid,
+       MAX(pan) AS max_pan
+FROM acct GROUP BY seg ORDER BY seg
+"""
+    )
+
+
+Q250_ORACLE = """
+WITH acct AS (
+  SELECT c_mktsegment AS seg,
+         lpad(CAST((c_custkey * 7919 + 11) % 10000000000000000 AS VARCHAR),
+              16, '0') AS pan
+  FROM customer
+), digits AS (
+  SELECT seg, pan, u.i, CAST(substr(reverse(pan), u.i, 1) AS INT) AS dgt
+  FROM acct, UNNEST(range(1, 17)) u(i)
+), scored AS (
+  SELECT seg, pan,
+         CASE WHEN i % 2 = 0
+              THEN CASE WHEN dgt * 2 > 9 THEN dgt * 2 - 9 ELSE dgt * 2 END
+              ELSE dgt END AS v
+  FROM digits
+), ok AS (
+  SELECT seg, pan, SUM(v) % 10 = 0 AS valid
+  FROM scored GROUP BY seg, pan
+)
+SELECT seg, COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE valid) AS n_valid,
+       MAX(pan) AS max_pan
+FROM ok GROUP BY seg ORDER BY seg
+"""
+
+
+# --- q251: stack() metric unpivot -----------------------------------------------
+
+
+def q251_stack_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long metric unpivot with the ``stack`` generator (r16
+    probe pin 18): three per-returnflag aggregates (quantity mass,
+    line count, distinct parts) pivot into (metric, value) rows — the
+    tidy-format export shape metric stores ingest. The DuckDB oracle
+    replays stack as the UNION ALL longhand, which is also exactly
+    what Spark's Generate node computes — same rows, no engine-order
+    dependence after the ORDER BY.
+
+    Type discipline: every branch CASTs to BIGINT so the stacked
+    value column has one type (stack is positional — mixed branch
+    types would widen silently); l_quantity's integral doubles go
+    through CAST(l_quantity AS BIGINT), exact for the domain.
+
+    Scale shape: the expensive part is the upstream 3-aggregate pass
+    (one shuffle on returnflag, COUNT DISTINCT shuffles (flag, part)
+    pairs — q19's class); the unpivot itself is a 3x generator over a
+    3-row aggregate frame — free. At 100 TB unpivot-after-aggregate
+    is the right order (never unpivot raw rows then aggregate: 3x the
+    scan for nothing).
+
+    Reference lineage: the wc/indexer pair already IS a wide-vs-long
+    duality (one count per word vs one posting per document —
+    /root/reference/src/mrapps/wc.go:24-29, indexer.go:21-25); stack
+    makes the reshape a first-class operator."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__q251_lineitem"
+    )
+    return spark.sql(
+        """
+WITH m AS (
+  SELECT l_returnflag AS flag,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         COUNT(*) AS n_items,
+         COUNT(DISTINCT l_partkey) AS n_parts
+  FROM __q251_lineitem GROUP BY l_returnflag
+)
+SELECT flag, metric, value FROM (
+  SELECT flag, stack(3, 'qty', qty, 'n_items', n_items,
+                     'n_parts', n_parts) AS (metric, value)
+  FROM m
+) ORDER BY flag, metric
+"""
+    )
+
+
+Q251_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag AS flag,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         COUNT(*) AS n_items,
+         COUNT(DISTINCT l_partkey) AS n_parts
+  FROM lineitem GROUP BY l_returnflag
+), long AS (
+  SELECT flag, 'qty' AS metric, qty AS value FROM m
+  UNION ALL SELECT flag, 'n_items', n_items FROM m
+  UNION ALL SELECT flag, 'n_parts', n_parts FROM m
+)
+SELECT flag, metric, value FROM long ORDER BY flag, metric
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -5343,4 +5681,26 @@ QUERIES = [
               "substring_index/format_string/left/right/space identifier "
               "surgery per segment (printf-replay rendering)",
               ("relational", "scalar", "sql-surface")),
+    QuerySpec("q247_sequence_expansion", q247_sequence_expansion,
+              Q247_ORACLE,
+              "sequence + posexplode bounded fan-out census per status "
+              "(0-based ordinals vs 1-based UNNEST replay)",
+              ("relational", "generator", "sql-surface")),
+    QuerySpec("q248_ranked_extremes", q248_ranked_extremes, Q248_ORACLE,
+              "nth_value runner-up + max_by/min_by argmax per priority "
+              "over a strictly unique ordering value",
+              ("relational", "window", "sql-surface")),
+    QuerySpec("q249_json_shape_report", q249_json_shape_report,
+              Q249_ORACLE,
+              "to_json field-order rendering + json_array_length/"
+              "json_object_keys shape census per priority",
+              ("relational", "json", "sql-surface")),
+    QuerySpec("q250_luhn_audit", q250_luhn_audit, Q250_ORACLE,
+              "luhn_check validity audit over synthetic 16-digit account "
+              "numbers (digit-arithmetic replay oracle)",
+              ("relational", "checksum", "error-safe")),
+    QuerySpec("q251_stack_unpivot", q251_stack_unpivot, Q251_ORACLE,
+              "stack() wide-to-long unpivot of per-flag aggregates "
+              "(UNION ALL longhand replay)",
+              ("relational", "reshape", "sql-surface")),
 ]

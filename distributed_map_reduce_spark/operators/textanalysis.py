@@ -2195,6 +2195,200 @@ FROM alg GROUP BY lang ORDER BY lang
 """
 
 
+# --- q245: portable content-address report -------------------------------------
+
+
+def q245_content_address_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Portable content-addressing census — the r15-pinned fingerprint
+    surfaces as one report: ``sha2(text, 256)`` (hex-identical to
+    DuckDB's sha256 — the collision-resistant content address q16's md5
+    family upgrades to), and the ``base64(encode(...))`` transport
+    encoding with a per-row ``unbase64`` round-trip proof.
+
+    NEW TRAP pinned this wave (the r15 probe only covered short
+    literals): Spark's ``base64`` is MIME-CHUNKED — it inserts CRLF
+    every 76 output chars, so any input over 57 bytes renders with
+    embedded line breaks while DuckDB's ``to_base64`` never chunks.
+    The portable rendering is ``replace(base64(...), '\\r\\n', '')``;
+    the ``n_chunked`` column counts exactly the over-57-byte stratum
+    on BOTH engines (Spark: raw != normalized; DuckDB: payload byte
+    length > 57), so the boundary itself is driver-checked.
+
+    Scale shape: hashing and encoding are row-local codegen (the
+    base64 render is ~4/3x bytes in flight inside one projection,
+    never materialized); ONE hash aggregate on source. The distinct-
+    sha count shuffles (source, 32-byte digest) pairs — the exact-
+    dedup cardinality class.
+
+    Reference lineage: /root/reference/src/mr/worker.go:273-276 —
+    ihash(key) as content address; sha2-256 is the grown-up version
+    with a transport encoding and its round-trip proof."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__q245_documents"
+    )
+    return spark.sql(
+        """
+WITH f AS (
+  SELECT source, text,
+         sha2(text, 256) AS sha,
+         replace(base64(encode(text, 'UTF-8')), '\r\n', '') AS b64,
+         base64(encode(text, 'UTF-8')) AS b64_raw
+  FROM __q245_documents
+)
+SELECT source, COUNT(*) AS n,
+       COUNT(DISTINCT sha) AS n_sha,
+       COUNT(*) FILTER (WHERE CAST(unbase64(b64) AS STRING) = text)
+         AS n_rt,
+       COUNT(*) FILTER (WHERE b64_raw != b64) AS n_chunked,
+       CAST(MAX(length(b64)) AS BIGINT) AS max_b64,
+       MIN(sha) AS min_sha
+FROM f GROUP BY source ORDER BY source
+"""
+    )
+
+
+Q245_ORACLE = """
+WITH f AS (
+  SELECT source, text,
+         sha256(text) AS sha,
+         to_base64(encode(text)) AS b64
+  FROM documents
+)
+SELECT source, COUNT(*) AS n,
+       COUNT(DISTINCT sha) AS n_sha,
+       COUNT(*) FILTER (WHERE CAST(from_base64(b64) AS VARCHAR) = text)
+         AS n_rt,
+       COUNT(*) FILTER (WHERE octet_length(encode(text)) > 57)
+         AS n_chunked,
+       CAST(MAX(length(b64)) AS BIGINT) AS max_b64,
+       MIN(sha) AS min_sha
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+# --- q246: field-splice surgery ------------------------------------------------
+
+
+def q246_field_splice_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Field extraction and splicing with the r15-staged trio:
+    ``split_part`` with positive AND negative indexes (1-based from the
+    front, -1-based from the end — same semantics in DuckDB by the same
+    name), ``translate`` (character-map normalization,
+    value-identical), and ``overlay`` (in-place byte-range replacement
+    — DuckDB has NO overlay, so the oracle replays the substr splice:
+    prefix || patch || suffix). Per source: distinct second words,
+    distinct last words, the translated source signature, and distinct
+    overlay-redacted prefixes.
+
+    Scale shape: all four functions are row-local codegen; ONE
+    20-group hash aggregate. The three COUNT(DISTINCT) terms shuffle
+    short (source, token) pairs — vocabulary-bounded, the q21 indexer
+    class. This is the field-surgery pass an ingest normalizer runs in
+    one scan.
+
+    Reference lineage: /root/reference/src/mrapps/indexer.go:21-25 —
+    the indexer's FieldsFunc split is split_part's whole-string
+    ancestor; the splice surfaces are its record-repair extension."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__q246_documents"
+    )
+    return spark.sql(
+        """
+SELECT source, COUNT(*) AS n,
+       COUNT(DISTINCT split_part(text, ' ', 2)) AS n_second,
+       COUNT(DISTINCT split_part(text, ' ', -1)) AS n_last,
+       MAX(translate(source, 'abcdes', 'ABCDE5')) AS tr_sig,
+       COUNT(DISTINCT overlay(text PLACING '@@' FROM 3 FOR 2)) AS n_ov
+FROM __q246_documents GROUP BY source ORDER BY source
+"""
+    )
+
+
+Q246_ORACLE = """
+SELECT source, COUNT(*) AS n,
+       COUNT(DISTINCT split_part(text, ' ', 2)) AS n_second,
+       COUNT(DISTINCT split_part(text, ' ', -1)) AS n_last,
+       MAX(translate(source, 'abcdes', 'ABCDE5')) AS tr_sig,
+       COUNT(DISTINCT substr(text, 1, 2) || '@@' || substr(text, 5))
+         AS n_ov
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# --- q252: UTF-8 byte-budget census --------------------------------------------
+
+
+def q252_utf8_budget_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 byte-budget census — the length trio pinned in the r16
+    probe file (chars ``length`` / bytes ``octet_length`` == DuckDB
+    ``strlen`` / ``bit_length``) over a corpus with a deterministic
+    multibyte stratum: every 7th document is prefixed with 'é—' (2- and
+    3-byte code points), so bytes > chars exactly on that slice and the
+    divergence is driver-checked, not assumed. ``ascii`` (code point of
+    the first char — Unicode-identical in DuckDB, including the
+    multibyte stratum's 233) and ``lpad`` zero-padding ride along from
+    the same probe batch.
+
+    The byte/char split is what a tokenizer-cost estimator actually
+    budgets at 100 TB: chars drive sequence lengths, bytes drive I/O
+    and Arrow buffer sizes; a corpus where they diverge silently skews
+    either estimate.
+
+    Scale shape: all measures are row-local codegen; ONE 20-group
+    hash aggregate with SUM/COUNT/MAX partials map-side. Zero joins,
+    zero explode — the cheapest census shape in the suite.
+
+    Reference lineage: the byte-counted intermediate files of
+    /root/reference/src/mr/worker.go:240-265 (the reference sizes its
+    shuffle in bytes while its apps count words — exactly the
+    byte-vs-token split this census prices)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__q252_documents"
+    )
+    return spark.sql(
+        """
+WITH s AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0 THEN concat('é—', text)
+              ELSE text END AS t,
+         doc_id
+  FROM __q252_documents
+)
+SELECT source, COUNT(*) AS n,
+       CAST(SUM(length(t)) AS BIGINT) AS chars_mass,
+       CAST(SUM(octet_length(t)) AS BIGINT) AS bytes_mass,
+       CAST(SUM(bit_length(t)) AS BIGINT) AS bits_mass,
+       COUNT(*) FILTER (WHERE octet_length(t) > length(t)) AS n_multibyte,
+       CAST(SUM(ascii(substr(t, 1, 1))) AS BIGINT) AS ascii_mass,
+       MAX(lpad(CAST(doc_id AS STRING), 8, '0')) AS max_padded
+FROM s GROUP BY source ORDER BY source
+"""
+    )
+
+
+Q252_ORACLE = """
+WITH s AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0 THEN 'é—' || text
+              ELSE text END AS t,
+         doc_id
+  FROM documents
+)
+SELECT source, COUNT(*) AS n,
+       CAST(SUM(length(t)) AS BIGINT) AS chars_mass,
+       CAST(SUM(strlen(t)) AS BIGINT) AS bytes_mass,
+       CAST(SUM(bit_length(t)) AS BIGINT) AS bits_mass,
+       COUNT(*) FILTER (WHERE strlen(t) > length(t)) AS n_multibyte,
+       CAST(SUM(ascii(substr(t, 1, 1))) AS BIGINT) AS ascii_mass,
+       MAX(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS max_padded
+FROM s GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = [
     QuerySpec("q195_ngram_novelty", q195_ngram_novelty, _q195_oracle(),
               "held-out bigram novelty rate per source (val occurrences "
@@ -2294,4 +2488,19 @@ QUERIES = [
               "array set algebra vs the stopword dim: except/intersect/"
               "union/overlap/position/remove/flatten budget report",
               ("textanalysis", "array", "curation")),
+    QuerySpec("q245_content_address_report", q245_content_address_report,
+              Q245_ORACLE,
+              "sha2-256 + base64 content addressing with round-trip proof "
+              "and the MIME-chunking boundary driver-checked",
+              ("textanalysis", "fingerprint", "codec")),
+    QuerySpec("q246_field_splice_report", q246_field_splice_report,
+              Q246_ORACLE,
+              "split_part (+/- indexes) / translate / overlay field "
+              "surgery per source (substr-splice overlay replay)",
+              ("textanalysis", "scalar", "sql-surface")),
+    QuerySpec("q252_utf8_budget_census", q252_utf8_budget_census,
+              Q252_ORACLE,
+              "length/octet_length/bit_length byte-budget census with a "
+              "planted multibyte stratum + ascii/lpad riders",
+              ("textanalysis", "scalar", "quality")),
 ]

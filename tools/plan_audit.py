@@ -188,6 +188,14 @@ DEFAULT_AUDIT = [
     "q242_local_time_report",
     "q243_string_surgery_report",
     "q244_session_policy_dynamic",
+    "q245_content_address_report",
+    "q246_field_splice_report",
+    "q247_sequence_expansion",
+    "q248_ranked_extremes",
+    "q249_json_shape_report",
+    "q250_luhn_audit",
+    "q251_stack_unpivot",
+    "q252_utf8_budget_census",
 ]
 
 
