@@ -2227,6 +2227,157 @@ FROM sess GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- q253: null-safe comparison census -----------------------------------------
+
+
+def q253_null_safe_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe comparison census — ``equal_null`` (the function
+    spelling, r16 probe pin 6), ``IS DISTINCT FROM`` (r15 pin 9) and
+    the ``<=>`` operator over two deterministically-degraded copies of
+    the cents column (independent NULL strata at mod 5 and mod 7, so
+    rows split into both-present / one-null / both-null classes with
+    known sizes): agreement count, difference count, both-null
+    agreements, and one-sided nulls, per event type.
+
+    This is the change-data-capture comparison kernel: a naive
+    ``a = b`` silently drops every NULL row from BOTH counts, and a
+    100 TB snapshot-diff built on it undercounts drift exactly where
+    the data is dirtiest. The DuckDB replay spells all three Spark
+    surfaces as ANSI IS [NOT] DISTINCT FROM.
+
+    Scale shape: row-local codegen comparisons, ONE 4-group hash
+    aggregate, COUNT partials map-side — the q100 snapshot-diff
+    posture reduced to its comparison primitive.
+
+    Reference lineage: /root/reference/src/mr/worker.go:197-212 — the
+    reducer's adjacent-key equality scan is an implicit non-null
+    comparison; the null-safe forms are what it needs the moment keys
+    can be NULL."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q253_events"
+    )
+    return spark.sql(
+        """
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS a,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS b
+  FROM __q253_events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE equal_null(a, b)) AS n_same,
+       COUNT(*) FILTER (WHERE a IS DISTINCT FROM b) AS n_diff,
+       COUNT(*) FILTER (WHERE a <=> b AND a IS NULL) AS n_both_null,
+       COUNT(*) FILTER (WHERE (a IS NULL) != (b IS NULL)) AS n_one_null
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+    )
+
+
+Q253_ORACLE = """
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS a,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS b
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE a IS NOT DISTINCT FROM b) AS n_same,
+       COUNT(*) FILTER (WHERE a IS DISTINCT FROM b) AS n_diff,
+       COUNT(*) FILTER (WHERE a IS NOT DISTINCT FROM b AND a IS NULL)
+         AS n_both_null,
+       COUNT(*) FILTER (WHERE (a IS NULL) != (b IS NULL)) AS n_one_null
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- q256: error-safe structured-parse report -----------------------------------
+
+
+def q256_error_safe_parse_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Structured-ingest parse report completing the error-safe family
+    on its two remaining axes (after q223 numeric, q232 temporal, q237
+    arithmetic, q238 binary): ``try_parse_json`` (NULL-on-error VARIANT
+    parse, r17 second-batch pin 15 — every 11th props payload is
+    corrupted with a non-JSON prefix and must quarantine as one NULL,
+    not a job abort) and ``from_csv`` with an explicit schema (typed
+    struct extraction, pin 20 — the line format a crawler side-channel
+    actually ships), with the struct fields audited per event type.
+
+    DuckDB replays: json_valid CASE for the VARIANT member;
+    split_part + CASTs for the typed CSV fields.
+
+    Scale shape: both parsers are row-local (from_csv is a JVM-side
+    UnivocityParser per batch, no Python); ONE 4-group aggregate.
+    Fault isolation at record grain, priced at a CASE.
+
+    Reference lineage: the reference trusts its JSON intermediate
+    files absolutely (/root/reference/src/mr/worker.go:174-189 kills
+    the worker on any Decode error); try_parse_json is that decode
+    with the blast radius shrunk from process to row."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q256_events"
+    )
+    return spark.sql(
+        """
+WITH feed AS (
+  SELECT event_type,
+         CASE WHEN event_id % 11 = 0 THEN concat('x{', props)
+              ELSE props END AS j,
+         concat(CAST(event_id AS STRING), ',', event_type, ',',
+                CAST(floor(value * 100 + 0.5) AS BIGINT)) AS line
+  FROM __q256_events
+), parsed AS (
+  SELECT event_type,
+         try_parse_json(j) AS v,
+         from_csv(line, 'id BIGINT, et STRING, cents BIGINT') AS rec
+  FROM feed
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE v IS NULL) AS n_bad_json,
+       CAST(SUM(rec.cents) AS BIGINT) AS cents_mass,
+       COUNT(*) FILTER (WHERE rec.et = event_type) AS n_et_ok,
+       MAX(rec.id) AS max_id
+FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+    )
+
+
+Q256_ORACLE = """
+WITH feed AS (
+  SELECT event_type,
+         CASE WHEN event_id % 11 = 0 THEN 'x{' || props
+              ELSE props END AS j,
+         CAST(event_id AS VARCHAR) || ',' || event_type || ',' ||
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS line
+  FROM events
+), parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(j) THEN j END AS v,
+         CAST(split_part(line, ',', 1) AS BIGINT) AS rec_id,
+         split_part(line, ',', 2) AS rec_et,
+         CAST(split_part(line, ',', 3) AS BIGINT) AS rec_cents
+  FROM feed
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE v IS NULL) AS n_bad_json,
+       CAST(SUM(rec_cents) AS BIGINT) AS cents_mass,
+       COUNT(*) FILTER (WHERE rec_et = event_type) AS n_et_ok,
+       MAX(rec_id) AS max_id
+FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = [
     QuerySpec("q191_trailing_hour_avg", q191_trailing_hour_avg,
               Q191_ORACLE,
@@ -2366,4 +2517,14 @@ QUERIES = [
               "dynamic-gap session_window: per-class inactivity policies "
               "(10m interactive / 40m other) hash-checked at micro grain",
               ("events", "window", "temporal")),
+    QuerySpec("q253_null_safe_census", q253_null_safe_census,
+              Q253_ORACLE,
+              "equal_null / IS DISTINCT FROM / <=> census over planted "
+              "NULL strata (the CDC comparison kernel)",
+              ("events", "scalar", "sql-surface")),
+    QuerySpec("q256_error_safe_parse_report", q256_error_safe_parse_report,
+              Q256_ORACLE,
+              "try_parse_json + from_csv typed parse audit (error-safe "
+              "family's VARIANT and CSV members)",
+              ("events", "error-safe", "json")),
 ]

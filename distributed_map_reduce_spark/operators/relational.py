@@ -5375,6 +5375,196 @@ SELECT flag, metric, value FROM long ORDER BY flag, metric
 """
 
 
+# --- q254: regexp extraction report --------------------------------------------
+
+
+def q254_regexp_extract_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Regular-expression extraction census over part names with the
+    r16-staged pair: ``regexp_count`` (non-overlapping match count)
+    and ``regexp_substr`` (first match or NULL), plus the established
+    ``regexp_extract`` with a capture-group index. DuckDB replays
+    (probe pin 5): ``len(regexp_extract_all)`` for the count and
+    ``regexp_extract`` for the first match — with the NO-MATCH
+    convention divergence honored: Spark's regexp_substr returns NULL
+    on a miss while DuckDB's regexp_extract returns '' (here folded
+    through an IS NULL / NOT regexp_matches filter pair, the exact
+    miss-class accounting).
+
+    Scale shape: all regex work is row-local codegen (Java regex on
+    the JVM — no Python); ONE hash aggregate on p_type. The distinct-
+    first-word count shuffles tiny vocabulary pairs. The regex-census
+    shape a 100 TB PII/format scanner runs in one scan.
+
+    Reference lineage: /root/reference/src/mrapps/indexer.go:18-20 —
+    FieldsFunc(unicode.IsLetter) is a regex-class tokenizer by hand;
+    regexp_count/substr generalize it to arbitrary patterns."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q254_part")
+    return spark.sql(
+        """
+SELECT p_type,
+       COUNT(*) AS n,
+       CAST(SUM(regexp_count(p_name, '[aeiou]+')) AS BIGINT)
+         AS vowel_runs,
+       COUNT(DISTINCT regexp_substr(p_name, '[a-z]+')) AS n_first_word,
+       COUNT(*) FILTER (WHERE regexp_substr(p_name, '[0-9]+') IS NULL)
+         AS n_numberless,
+       MAX(regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2)) AS max_second
+FROM __q254_part GROUP BY p_type ORDER BY p_type
+"""
+    )
+
+
+Q254_ORACLE = """
+SELECT p_type,
+       COUNT(*) AS n,
+       CAST(SUM(len(regexp_extract_all(p_name, '[aeiou]+'))) AS BIGINT)
+         AS vowel_runs,
+       COUNT(DISTINCT regexp_extract(p_name, '[a-z]+')) AS n_first_word,
+       COUNT(*) FILTER (WHERE NOT regexp_matches(p_name, '[0-9]+'))
+         AS n_numberless,
+       MAX(regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2)) AS max_second
+FROM part GROUP BY p_type ORDER BY p_type
+"""
+
+
+# --- q255: map-entries projection report ----------------------------------------
+
+
+def q255_map_entries_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed processing registered THROUGH the sorted-entries
+    discipline the r15/r16 probes demand (map iteration order is an
+    implementation detail — str_to_map/map_entries preserve insertion
+    order in this build, but a registered query must never hash it):
+    a key:value line is parsed with ``str_to_map``, probed with
+    ``element_at``, filtered with ``map_filter``, rewritten with
+    ``transform_values``, and serialized ONLY as
+    ``array_sort(map_entries(...))`` projections — every output column
+    is order-free by construction.
+
+    The DuckDB oracle replays the map SEMANTICS from the same source
+    columns (build, probe, filter, rewrite as plain expressions) —
+    like q250's checksum replay, the oracle checks the contract, not
+    the engine's map machinery (DuckDB maps exist but share no
+    iteration-order guarantee to lean on).
+
+    Scale shape: str_to_map and the map HOFs are row-local codegen
+    over 3-entry maps — bounded in-register loops; ONE 5-group hash
+    aggregate. The tags/attributes-column pattern (k:v strings) at
+    100 TB runs exactly this parse-probe-project pipeline.
+
+    Reference lineage: the reference's KeyValue pair IS its universal
+    record (/root/reference/src/mr/rpc.go:38-41); str_to_map lifts a
+    serialized pair list back into the engine as a first-class
+    value."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q255_orders")
+    return spark.sql(
+        """
+WITH m AS (
+  SELECT o_orderpriority AS pri,
+         str_to_map(concat('st:', o_orderstatus, ',pr:', o_orderpriority,
+                           ',k:', CAST(o_orderkey % 10 AS STRING)),
+                    ',', ':') AS mp
+  FROM __q255_orders
+), proj AS (
+  SELECT pri,
+         concat_ws('|', array_sort(map_keys(mp))) AS keys_sig,
+         element_at(mp, 'k') AS kv,
+         CAST(size(map_filter(mp, (k, v) -> length(v) = 1)) AS BIGINT)
+           AS n_short,
+         concat_ws('|', transform(
+           array_sort(map_entries(transform_values(mp,
+             (k, v) -> upper(v)))),
+           e -> concat(e.key, '=', e.value))) AS entries_sig
+  FROM m
+)
+SELECT pri, COUNT(*) AS n,
+       MAX(keys_sig) AS keys_sig,
+       CAST(SUM(CAST(kv AS BIGINT)) AS BIGINT) AS k_mass,
+       CAST(SUM(n_short) AS BIGINT) AS short_mass,
+       COUNT(DISTINCT entries_sig) AS n_sigs
+FROM proj GROUP BY pri ORDER BY pri
+"""
+    )
+
+
+Q255_ORACLE = """
+WITH m AS (
+  SELECT o_orderpriority AS pri,
+         o_orderstatus AS st, o_orderpriority AS pr,
+         CAST(o_orderkey % 10 AS VARCHAR) AS k
+  FROM orders
+), proj AS (
+  SELECT pri,
+         'k|pr|st' AS keys_sig,
+         k AS kv,
+         CAST(1 + CASE WHEN length(st) = 1 THEN 1 ELSE 0 END
+                + CASE WHEN length(pr) = 1 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_short,
+         'k=' || upper(k) || '|pr=' || upper(pr) || '|st=' || upper(st)
+           AS entries_sig
+  FROM m
+)
+SELECT pri, COUNT(*) AS n,
+       MAX(keys_sig) AS keys_sig,
+       CAST(SUM(CAST(kv AS BIGINT)) AS BIGINT) AS k_mass,
+       CAST(SUM(n_short) AS BIGINT) AS short_mass,
+       COUNT(DISTINCT entries_sig) AS n_sigs
+FROM proj GROUP BY pri ORDER BY pri
+"""
+
+
+# --- q257: radix-conversion report ----------------------------------------------
+
+
+def q257_radix_conv_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-radix rendering with ``conv(s, 10, 16|2|36)`` — the
+    r16-staged one-direction oracle (probe pin 9): DuckDB's
+    ``to_base(n, r)`` matches the 10→r direction exactly (uppercase
+    digits both engines); the r→10 direction has NO DuckDB twin and
+    stays out. Base-16 extremes, base-2 distinct codes over a modular
+    domain, and base-36 (the compact id-shortener radix) length mass,
+    per market segment.
+
+    hex()/bin() (q238) are the fixed-radix fast paths; conv is the
+    general surface a URL-shortener / shard-label pipeline uses at
+    radixes they don't cover.
+
+    Scale shape: row-local codegen; ONE 5-group aggregate; the
+    distinct-code count shuffles (seg, short code) pairs over a
+    997-value domain — bounded.
+
+    Reference lineage: /root/reference/src/mr/worker.go:240 — the
+    mr-X-Y intermediate naming renders task ids in decimal; conv is
+    that id-rendering generalized to any radix."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__q257_customer"
+    )
+    return spark.sql(
+        """
+SELECT c_mktsegment AS seg,
+       COUNT(*) AS n,
+       MAX(conv(CAST(c_custkey AS STRING), 10, 16)) AS max_hex,
+       COUNT(DISTINCT conv(CAST(c_custkey % 997 AS STRING), 10, 2))
+         AS n_bin,
+       CAST(SUM(length(conv(CAST(c_custkey AS STRING), 10, 36)))
+            AS BIGINT) AS b36_mass
+FROM __q257_customer GROUP BY seg ORDER BY seg
+"""
+    )
+
+
+Q257_ORACLE = """
+SELECT c_mktsegment AS seg,
+       COUNT(*) AS n,
+       MAX(to_base(c_custkey, 16)) AS max_hex,
+       COUNT(DISTINCT to_base(c_custkey % 997, 2)) AS n_bin,
+       CAST(SUM(length(to_base(c_custkey, 36))) AS BIGINT) AS b36_mass
+FROM customer GROUP BY seg ORDER BY seg
+"""
+
+
 QUERIES = [
     QuerySpec("q4_pricing_summary", q4_pricing_summary, Q4_ORACLE,
               "TPC-H Q1-shape pricing summary over lineitem", ("relational", "agg")),
@@ -5703,4 +5893,19 @@ QUERIES = [
               "stack() wide-to-long unpivot of per-flag aggregates "
               "(UNION ALL longhand replay)",
               ("relational", "reshape", "sql-surface")),
+    QuerySpec("q254_regexp_extract_report", q254_regexp_extract_report,
+              Q254_ORACLE,
+              "regexp_count/regexp_substr/regexp_extract census with the "
+              "NULL-vs-empty no-match convention honored",
+              ("relational", "regex", "sql-surface")),
+    QuerySpec("q255_map_entries_report", q255_map_entries_report,
+              Q255_ORACLE,
+              "str_to_map + map HOFs registered through sorted "
+              "map_entries projections (order-free outputs only)",
+              ("relational", "map", "sql-surface")),
+    QuerySpec("q257_radix_conv_report", q257_radix_conv_report,
+              Q257_ORACLE,
+              "conv(s, 10, 16|2|36) radix rendering == to_base "
+              "(one-direction oracle)",
+              ("relational", "scalar", "sql-surface")),
 ]

@@ -196,6 +196,11 @@ DEFAULT_AUDIT = [
     "q250_luhn_audit",
     "q251_stack_unpivot",
     "q252_utf8_budget_census",
+    "q253_null_safe_census",
+    "q254_regexp_extract_report",
+    "q255_map_entries_report",
+    "q256_error_safe_parse_report",
+    "q257_radix_conv_report",
 ]
 
 
