@@ -7,12 +7,14 @@ pyspark 4.1.2 / DuckDB; nine candidates + four convention/rule-out
 pins, plus a second batch (items 14-20 below the first tests: dynamic-
 gap session_window, try_parse_json, date_diff units, from_utc_timestamp
 replay, dayname/monthname rendering, aes-ECB posture, from_csv/sha1).
-(Still-unlanded strong candidates from the r15/r16 files remain
-staged THERE: md5/sha2/base64 fingerprints, split_part/translate/
-overlay, integer sequence(), posexplode, IS DISTINCT FROM/equal_null,
-nth_value, regexp_count/regexp_substr, luhn_check, json shape fns,
-stack, UTF-8 length trio, chr/ascii/lpad/repeat, to_json field order —
-this file pins only NEW surfaces.)
+
+DRAIN NOTE: the round-16 continuation session landed batches one and
+two (and the r15/r16 leftovers) as q237–q257 — see SURVEY §2.16. The
+THIRD batch (items 21-30, appended at the end of this file) is the
+live staged pool for the next intake: try_sum (with the try_avg
+asymmetry trap), explicit GROUPING SETS + grouping_id, next_day/
+weekday/timestampadd, arrays_zip+inline, F.product, mask(),
+find_in_set, make_timestamp/try_make_timestamp, median, elt.
 
 1.  ``try_add`` / ``try_subtract`` / ``try_multiply`` — NULL on BIGINT
     overflow (the q223/q232 error-safe family's arithmetic members);
@@ -393,3 +395,181 @@ def test_from_csv_and_sha1_spark_side(spark):
         "       CAST(split_part('7,x,2.5', ',', 3) AS DOUBLE)"
     )[0]
     assert (r.s.a, r.s.b, r.s.c) == want
+
+
+# --- third scouting batch (2026-08-16, post-wave-4) ----------------------------
+#
+# The second/third/fourth round-16 waves drained the earlier batches;
+# these pin the NEXT intake candidates:
+#
+# 21. ``try_sum`` — NULL on BIGINT sum overflow (the error-safe
+#     family's aggregate member). TRY_AVG TRAP: try_avg does NOT null
+#     on the same domain (it accumulates in a wider type) — pin the
+#     asymmetry, register try_sum only.
+# 22. explicit ``GROUPING SETS`` + ``grouping()`` / ``grouping_id()``
+#     — value-identical in DuckDB INCLUDING the grouping_id bit
+#     encoding (q11/q35 carry ROLLUP/CUBE; the explicit-sets form and
+#     the id functions are the missing surface).
+# 23. ``next_day`` (no DuckDB twin — dow-arithmetic replay),
+#     ``weekday`` (Monday=0; replay (dayofweek+6)%7 — a THIRD dow
+#     convention next to dayofweek's +1), ``timestampadd`` (== ts +
+#     INTERVAL, exact).
+# 24. ``arrays_zip`` + ``inline`` — zipped struct explosion; replay is
+#     positional double-UNNEST (r16 pin 10's inline over a zip).
+# 25. ``F.product`` (DataFrame-only — the SQL routine is still absent,
+#     r17 pin 10) == DuckDB ``product()`` fp-exactly on small integer
+#     domains.
+# 26. ``mask()`` — deterministic char-class masking (upper->X,
+#     lower->x, digit->n, other kept; all four chars overridable) ==
+#     a chain of three regexp_replace calls in DuckDB.
+# 27. ``find_in_set`` == ``coalesce(list_position(string_split(...)),
+#     0)`` (0 on miss in BOTH).
+# 28. ``make_timestamp`` with fractional seconds — value-identical;
+#     ``try_make_timestamp`` NULLs an invalid civil date (Feb 30) —
+#     the error-safe family's constructor member.
+# 29. ``median`` — interpolated on even counts in BOTH engines
+#     (midpoint of central pair) — unlike the q233 disc family, this
+#     one needs no type pin beyond DOUBLE.
+# 30. ``elt(n, ...)`` — 1-based variadic selector; replay is a CASE
+#     chain (no DuckDB twin by name).
+
+
+def test_try_sum_nulls_on_overflow_but_try_avg_does_not(spark):
+    r = spark.sql(
+        "SELECT try_sum(x) s, try_avg(x) a"
+        " FROM VALUES (9223372036854775807L), (1L) t(x)"
+    ).collect()[0]
+    assert r.s is None  # the registrable NULL-on-overflow surface
+    assert r.a is not None  # THE TRAP: avg widens internally, no NULL
+    ok = spark.sql(
+        "SELECT try_sum(x) s FROM VALUES (1L), (2L) t(x)"
+    ).collect()[0]
+    assert ok.s == 3
+
+
+def test_grouping_sets_and_grouping_id_match(spark):
+    q = (
+        "SELECT COALESCE(k, '<all>') k2, grouping(k) g,"
+        " grouping_id(k, j) gid, SUM(v) s"
+        " FROM {src} t(k, j, v)"
+        " GROUP BY GROUPING SETS ((k), (j), ())"
+        " ORDER BY gid, k2, s"
+    )
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            q.format(src="VALUES ('a','x',1), ('a','y',2), ('b','x',4)")
+        ).collect()
+    ]
+    want = _duck(
+        q.format(
+            src="(VALUES ('a','x',1), ('a','y',2), ('b','x',4))"
+        )
+    )
+    assert got == want
+    assert [r[2] for r in got] == [1, 1, 2, 2, 3]  # gid bit encoding
+
+
+def test_next_day_weekday_timestampadd(spark):
+    r = spark.sql(
+        "SELECT next_day(DATE '2024-08-16', 'TU') nd,"
+        "       weekday(DATE '2024-08-16') wd,"
+        "       timestampadd(HOUR, 5, TIMESTAMP '2024-01-01 00:30:00') ta"
+    ).collect()[0]
+    # weekday is Monday=0 (a THIRD dow convention): Friday -> 4
+    wd_replay, ta = _duck(
+        "SELECT (dayofweek(DATE '2024-08-16') + 6) % 7,"
+        "       TIMESTAMP '2024-01-01 00:30:00' + INTERVAL 5 HOUR"
+    )[0]
+    assert r.wd == wd_replay == 4
+    assert r.ta == ta
+    # next_day replay: days-ahead = ((target_dow - dow) + 6) % 7 + 1
+    nd = _duck(
+        "SELECT DATE '2024-08-16' + INTERVAL ("
+        " ((2 - dayofweek(DATE '2024-08-16')) % 7 + 7) % 7"
+        " + CASE WHEN dayofweek(DATE '2024-08-16') = 2 THEN 7 ELSE 0 END"
+        ") DAY"
+    )[0][0]
+    assert str(r.nd) == str(nd)[:10] == "2024-08-20"
+
+
+def test_arrays_zip_inline_positional_replay(spark):
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            "SELECT k, v FROM (SELECT inline(arrays_zip("
+            " array(1, 2), array('a', 'b'))) AS (k, v)) ORDER BY k"
+        ).collect()
+    ]
+    want = _duck(
+        "SELECT a[u.i] k, b[u.i] v FROM"
+        " (SELECT [1, 2] a, ['a', 'b'] b),"
+        " UNNEST(range(1, len(a) + 1)) u(i) ORDER BY k"
+    )
+    assert got == want == [(1, "a"), (2, "b")]
+
+
+def test_product_dataframe_matches_duckdb_on_integer_domain(spark):
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.sql("SELECT * FROM VALUES (2.0), (3.0), (4.0) t(x)")
+        .agg(F.product("x").alias("p"))
+        .collect()[0]
+        .p
+    )
+    want = _duck(
+        "SELECT product(x) FROM (VALUES (2.0::DOUBLE), (3.0), (4.0)) t(x)"
+    )[0][0]
+    assert got == want == 24.0
+
+
+def test_mask_char_classes_replay(spark):
+    r = spark.sql(
+        "SELECT mask('AbCD123-xyz') m,"
+        "       mask('AbCD123-xyz', 'Q', 'q', 'd', '*') m2"
+    ).collect()[0]
+    assert (r.m, r.m2) == ("XxXXnnn-xxx", "QqQQddd*qqq")
+    want = _duck(
+        "SELECT regexp_replace(regexp_replace(regexp_replace("
+        " 'AbCD123-xyz', '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),"
+        " '[0-9]', 'n', 'g')"
+    )[0][0]
+    assert r.m == want
+
+
+def test_find_in_set_replay(spark):
+    r = spark.sql(
+        "SELECT find_in_set('b', 'a,b,c') f, find_in_set('z', 'a,b,c') m"
+    ).collect()[0]
+    want = _duck(
+        "SELECT list_position(string_split('a,b,c', ','), 'b'),"
+        " coalesce(list_position(string_split('a,b,c', ','), 'z'), 0)"
+    )[0]
+    assert (r.f, r.m) == want == (2, 0)
+
+
+def test_make_timestamp_and_try_constructor(spark):
+    r = spark.sql(
+        "SELECT make_timestamp(2024, 2, 29, 13, 30, 45.5) mt,"
+        "       try_make_timestamp(2024, 2, 30, 0, 0, 0) bad"
+    ).collect()[0]
+    want = _duck("SELECT make_timestamp(2024, 2, 29, 13, 30, 45.5)")[0][0]
+    assert r.mt == want
+    assert r.bad is None  # invalid civil date quarantines as NULL
+
+
+def test_median_interpolates_identically(spark):
+    got = spark.sql(
+        "SELECT median(x) m FROM VALUES (1.0), (2.0), (10.0), (11.0) t(x)"
+    ).collect()[0].m
+    want = _duck(
+        "SELECT median(x) FROM (VALUES (1.0::DOUBLE), (2.0), (10.0),"
+        " (11.0)) t(x)"
+    )[0][0]
+    assert got == want == 6.0  # midpoint of the central pair
+
+
+def test_elt_is_case_chain(spark):
+    r = spark.sql("SELECT elt(2, 'a', 'b', 'c') e").collect()[0]
+    assert r.e == "b"
