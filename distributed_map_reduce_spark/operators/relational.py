@@ -4878,6 +4878,15 @@ FROM lens ORDER BY doc_id
 
 # --- q237: try_* arithmetic overflow census ------------------------------------
 
+# Shared between the Spark statement, the DuckDB oracle, and the rim
+# property test (tests/properties/test_round16_wave2_properties.py) —
+# one source so a recalibration cannot desynchronize them.
+# 6 * Q237_RIM_WORD = 9223372036854775806 is the largest in-range
+# multiple; l_linenumber == 7 is therefore the exact overflow stratum.
+Q237_RIM_WORD = 1537228672809129301
+Q237_A_COEF = 1600000000000000000  # |a| <= 3 * this, in-range alone
+Q237_B_COEF = 2400000000000000000  # |b| <= 2 * this, in-range alone
+
 
 def q237_try_arithmetic_census(
     spark: SparkSession, sf_dir: str
@@ -4911,12 +4920,12 @@ def q237_try_arithmetic_census(
         "__q237_lineitem"
     )
     return spark.sql(
-        """
+        f"""
 WITH big AS (
   SELECT l_returnflag,
-         (l_orderkey % 7 - 3) * 1600000000000000000 AS a,
-         (l_partkey % 5 - 2) * 2400000000000000000 AS b,
-         try_multiply(CAST(l_linenumber AS BIGINT), 1537228672809129301)
+         (l_orderkey % 7 - 3) * {Q237_A_COEF} AS a,
+         (l_partkey % 5 - 2) * {Q237_B_COEF} AS b,
+         try_multiply(CAST(l_linenumber AS BIGINT), {Q237_RIM_WORD})
            AS c
   FROM __q237_lineitem
 ), t AS (
@@ -4935,12 +4944,12 @@ FROM t GROUP BY l_returnflag ORDER BY l_returnflag
     )
 
 
-Q237_ORACLE = """
+Q237_ORACLE = f"""
 WITH big AS (
   SELECT l_returnflag,
-         CAST(l_orderkey % 7 - 3 AS HUGEINT) * 1600000000000000000 AS a,
-         CAST(l_partkey % 5 - 2 AS HUGEINT) * 2400000000000000000 AS b,
-         CAST(l_linenumber AS HUGEINT) * 1537228672809129301 AS ch
+         CAST(l_orderkey % 7 - 3 AS HUGEINT) * {Q237_A_COEF} AS a,
+         CAST(l_partkey % 5 - 2 AS HUGEINT) * {Q237_B_COEF} AS b,
+         CAST(l_linenumber AS HUGEINT) * {Q237_RIM_WORD} AS ch
   FROM lineitem
 ), t AS (
   SELECT l_returnflag,
@@ -5127,13 +5136,24 @@ def q248_ranked_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     reductions (/root/reference/src/mr/worker.go:197-212); max_by is
     that fold specialized to argmax with explicit tie discipline."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("__q248_orders")
-    return spark.sql(
-        """
+    return spark.sql(_Q248_STMT.format(t="__q248_orders"))
+
+
+# The injective ordering expression — shared by the statement template
+# below and the injectivity property test
+# (tests/properties/test_round16_wave3_properties.py), so a rescale
+# edits one place or fails a test, never a driver hash.
+Q248_UNIQ_EXPR = (
+    "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000"
+    " + o_orderkey"
+)
+
+# One statement text for BOTH engines (the q231 shared-text pattern).
+_Q248_STMT = f"""
 WITH cents AS (
   SELECT o_orderpriority AS pri, o_orderkey,
-         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
-           + o_orderkey AS uniq_v
-  FROM __q248_orders
+         {Q248_UNIQ_EXPR} AS uniq_v
+  FROM {{t}}
 ), w AS (
   SELECT pri, o_orderkey, uniq_v,
          nth_value(uniq_v, 2) OVER
@@ -5148,29 +5168,8 @@ SELECT pri, COUNT(*) AS n,
        min_by(o_orderkey, uniq_v) AS bottom_key
 FROM w GROUP BY pri ORDER BY pri
 """
-    )
 
-
-Q248_ORACLE = """
-WITH cents AS (
-  SELECT o_orderpriority AS pri, o_orderkey,
-         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
-           + o_orderkey AS uniq_v
-  FROM orders
-), w AS (
-  SELECT pri, o_orderkey, uniq_v,
-         nth_value(uniq_v, 2) OVER
-           (PARTITION BY pri ORDER BY uniq_v
-            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-           AS second_v
-  FROM cents
-)
-SELECT pri, COUNT(*) AS n,
-       MAX(second_v) AS second_v,
-       max_by(o_orderkey, uniq_v) AS top_key,
-       min_by(o_orderkey, uniq_v) AS bottom_key
-FROM w GROUP BY pri ORDER BY pri
-"""
+Q248_ORACLE = _Q248_STMT.format(t="orders")
 
 
 # --- q249: JSON shape census ----------------------------------------------------
@@ -5238,6 +5237,24 @@ FROM j GROUP BY pri ORDER BY pri
 
 # --- q250: Luhn checksum audit --------------------------------------------------
 
+# The synthetic-account derivation — shared by the Spark statement, the
+# DuckDB replay oracle, and the Python third-way check
+# (tests/properties/test_round16_wave3_properties.py). Injective for
+# every c_custkey below ~1.26e12 (mult * key stays under the modulus).
+Q250_PAN_MULT = 7919
+Q250_PAN_ADD = 11
+Q250_PAN_MOD = 10_000_000_000_000_000
+Q250_PAN_WIDTH = 16
+
+
+def q250_pan_expr(str_type: str) -> str:
+    """The 16-digit account rendering in SQL; ``str_type`` is STRING
+    on the Spark side, VARCHAR on the DuckDB side."""
+    return (
+        f"lpad(CAST((c_custkey * {Q250_PAN_MULT} + {Q250_PAN_ADD})"
+        f" % {Q250_PAN_MOD} AS {str_type}), {Q250_PAN_WIDTH}, '0')"
+    )
+
 
 def q250_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-validity audit with ``luhn_check`` over synthetic
@@ -5269,11 +5286,9 @@ def q250_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__q250_customer"
     )
     return spark.sql(
-        """
+        f"""
 WITH acct AS (
-  SELECT c_mktsegment AS seg,
-         lpad(CAST((c_custkey * 7919 + 11) % 10000000000000000 AS STRING),
-              16, '0') AS pan
+  SELECT c_mktsegment AS seg, {q250_pan_expr('STRING')} AS pan
   FROM __q250_customer
 )
 SELECT seg, COUNT(*) AS n,
@@ -5284,11 +5299,9 @@ FROM acct GROUP BY seg ORDER BY seg
     )
 
 
-Q250_ORACLE = """
+Q250_ORACLE = f"""
 WITH acct AS (
-  SELECT c_mktsegment AS seg,
-         lpad(CAST((c_custkey * 7919 + 11) % 10000000000000000 AS VARCHAR),
-              16, '0') AS pan
+  SELECT c_mktsegment AS seg, {q250_pan_expr('VARCHAR')} AS pan
   FROM customer
 ), digits AS (
   SELECT seg, pan, u.i, CAST(substr(reverse(pan), u.i, 1) AS INT) AS dgt
@@ -5421,7 +5434,8 @@ SELECT p_type,
        COUNT(*) AS n,
        CAST(SUM(len(regexp_extract_all(p_name, '[aeiou]+'))) AS BIGINT)
          AS vowel_runs,
-       COUNT(DISTINCT regexp_extract(p_name, '[a-z]+')) AS n_first_word,
+       COUNT(DISTINCT NULLIF(regexp_extract(p_name, '[a-z]+'), ''))
+         AS n_first_word,
        COUNT(*) FILTER (WHERE NOT regexp_matches(p_name, '[0-9]+'))
          AS n_numberless,
        MAX(regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2)) AS max_second

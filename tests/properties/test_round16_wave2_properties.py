@@ -149,16 +149,18 @@ def test_q237_rim_exactness(spark, sf_dir):
         load_table,
     )
     from distributed_map_reduce_spark.operators.relational import (
+        Q237_RIM_WORD,
         q237_try_arithmetic_census,
     )
 
     r = spark.sql(
-        "SELECT try_multiply(6L, 1537228672809129301L) ok,"
-        "       try_multiply(7L, 1537228672809129301L) bad,"
+        f"SELECT try_multiply(6L, {Q237_RIM_WORD}L) ok,"
+        f"       try_multiply(7L, {Q237_RIM_WORD}L) bad,"
         "       try_add(9223372036854775806L, 1L) rim,"
         "       try_add(9223372036854775807L, 1L) over"
     ).collect()[0]
-    assert r.ok == 9223372036854775806 and r.bad is None
+    assert r.ok == 6 * Q237_RIM_WORD == 9223372036854775806
+    assert r.bad is None
     assert r.rim == 9223372036854775807 and r.over is None
 
     got = {

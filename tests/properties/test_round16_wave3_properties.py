@@ -116,12 +116,14 @@ def test_q248_ordering_value_is_injective(spark, sf_dir):
     registrable only because cents*1e7+orderkey is injective. Check it
     on the corpus, not by argument."""
     from distributed_map_reduce_spark.operators.events import load_table
+    from distributed_map_reduce_spark.operators.relational import (
+        Q248_UNIQ_EXPR,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     n, nd = orders.selectExpr(
         "COUNT(*) AS n",
-        "COUNT(DISTINCT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
-        " * 10000000 + o_orderkey) AS nd",
+        f"COUNT(DISTINCT {Q248_UNIQ_EXPR}) AS nd",
     ).collect()[0]
     assert n == nd
 
@@ -134,12 +136,15 @@ def test_q248_extremes_agree_with_sorted_frame(spark, sf_dir):
         q248_ranked_extremes,
     )
 
+    from distributed_map_reduce_spark.operators.relational import (
+        Q248_UNIQ_EXPR,
+    )
+
     got = {r.pri: r for r in q248_ranked_extremes(spark, sf_dir).collect()}
     orders = load_table(spark, sf_dir, "orders").selectExpr(
         "o_orderpriority AS pri",
         "o_orderkey",
-        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000"
-        " + o_orderkey AS uniq_v",
+        f"{Q248_UNIQ_EXPR} AS uniq_v",
     )
     for pri, r in got.items():
         vals = sorted(
@@ -196,11 +201,14 @@ def test_q250_matches_python_luhn(spark, sf_dir):
         q250_luhn_audit,
     )
 
+    from distributed_map_reduce_spark.operators.relational import (
+        q250_pan_expr,
+    )
+
     got = {r.seg: r for r in q250_luhn_audit(spark, sf_dir).collect()}
     cust = load_table(spark, sf_dir, "customer").selectExpr(
         "c_mktsegment AS seg",
-        "lpad(CAST((c_custkey * 7919 + 11) % 10000000000000000 AS STRING),"
-        " 16, '0') AS pan",
+        f"{q250_pan_expr('STRING')} AS pan",
     ).collect()
     from collections import defaultdict
 
