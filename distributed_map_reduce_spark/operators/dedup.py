@@ -1734,162 +1734,156 @@ ORDER BY ad, bd
 
 # --- q235: q225's sound-and-complete twin (count-filter q-gram block) --------
 
-# q-gram width for the document-length complete block. The corpus
-# alphabet is small (~114 distinct 2-grams), so rarity ordering is a
-# weak discriminator here — candidates run ~10^5 per 10^4 docs — but
-# the guarantee is the point: NO qualifying pair can escape (VERDICT
-# r15 item 3, closing the q225 docstring's recall caveat).
+# Historical q-gram width of the document-length complete block (kept
+# only for the qgram_complete_pairs_frame signature). The r16
+# optimization round replaced the q=2 prefix machinery with a unigram
+# count screen — see LEV_SCREEN_CHARS — without changing the kept-pair
+# set; the guarantee is unchanged: NO qualifying pair can escape
+# (VERDICT r15 item 3, closing the q225 docstring's recall caveat).
 QGRAM_DOC_Q = 2
+
+
+# Fixed screen alphabet for the unigram count filter: one count feature
+# per character. Characters OUTSIDE this set simply go uncounted, which
+# only WEAKENS the screen (dropping dimensions can only lower the L1),
+# never its soundness — no corpus-dependent dictionary collect needed.
+LEV_SCREEN_CHARS = " " + "abcdefghijklmnopqrstuvwxyz"
 
 
 def qgram_complete_pairs_frame(
     docs: DataFrame, q: int = QGRAM_DOC_Q, k: int = LEV_DOC_MAX
 ) -> DataFrame:
     """Edit-distance pairs (dist <= k) over any (doc_id, text) frame via
-    count-filter q-gram blocking — SOUND AND COMPLETE, the guarantee
-    :func:`fuzzy_blocked_pairs_frame` carries for part names, restated
-    at document length with three scale levers that variant does not
-    need at name length:
+    length-band blocking + a complete unigram COUNT filter — SOUND AND
+    COMPLETE, the guarantee :func:`fuzzy_blocked_pairs_frame` carries
+    for part names, restated at document length. Rewritten in the r16
+    optimization round (guide §1.2 step 1 — fix the distributed
+    algorithm before the per-task work): the previous shape ran a
+    rarity-ordered q-gram prefix self-join (10 exchanges, a
+    collect_list prefix sort, a 652k-row candidate distinct, a (doc,
+    gram) count aggregate, three localCheckpoints) before verifying; on
+    this corpus's ~114-gram alphabet the prefix join admitted ~80% of
+    the raw length-window pairs anyway, so all of that machinery bought
+    nothing over filtering the length-window pairs directly. The
+    replacement is ONE codegen-pipelined pass:
 
-    * **rarity-ordered prefixes** (the q104 AllPairs trick): the global
-      element order is (document frequency asc, hash, elem) instead of
-      bare hash, so each doc's prefix holds its RAREST elements and
-      bucket occupancy tracks the df tail, not the df mean. Any
-      consistent total order preserves the count-filter guarantee
-      (Gravano et al.'s bound is order-free; the prefix-intersection
-      argument only needs both sides sorted the same way).
-    * **length-band join keys**: a qualifying pair has
-      |len(a)-len(b)| <= k < k+1, so both docs' bands
-      (floor(len/(k+1))) differ by at most 1 — the probe side emits
-      bands {b-1, b, b+1} and the equi-join key becomes (elem, band),
-      splitting hot element buckets by length locality without cutting
-      any qualifying pair.
+    * **length-window equi-join**: a qualifying pair has
+      |len(a)-len(b)| <= k, so each doc probes the 2k+1 qualifying
+      partner lengths and the join key is the PARTNER length — an
+      exact equi-join that admits precisely the length-window pairs.
+      Each unordered pair (with ad < bd) meets on exactly one probe, so
+      NO distinct is needed. Probes explode on the stream side so the
+      broadcast stays |docs| rows (at cluster scale drop the hint and
+      the length key makes this a plain shuffled equi-join AQE can
+      skew-split).
+    * **complete unigram count screen (pure codegen)**: one edit
+      operation changes at most two character counts by one each, so
+      any pair with dist <= k satisfies
+      sum_c |count_c(a) - count_c(b)| <= 2*k (Gravano et al.'s q-gram
+      count bound at q=1). Counts are one INT COLUMN per character of
+      :data:`LEV_SCREEN_CHARS`, computed per doc as
+      ``length(text) - length(translate(text, c, ''))`` — plain
+      whole-stage-codegen arithmetic, no higher-order functions, no
+      per-corpus dictionary. (An earlier r16 draft used dense q=2-gram
+      profiles with ``zip_with``/``aggregate``; interpreted HOF
+      evaluation cost ~16 s across the 812k candidates and the lambdas
+      blocked codegen for the whole stage. The unigram screen is ~40x
+      less selective on paper yet 20x cheaper per row, and survivors
+      are so few the verify cost is noise: measured at sf0.1, 812,319
+      band pairs -> 19,607 screen survivors -> 256 true pairs.)
     * **early-abandon verification**: the 3-arg ``levenshtein(a, b, k)``
       returns -1 past the threshold at O(k*min(len)) instead of
       O(len^2) — same kept rows as the 2-arg form (pinned in
-      tests/properties/test_r16_candidate_probes.py), and the text
-      lookup joins broadcast the doc table (candidates outnumber docs
-      ~100:1, so shipping texts to candidates beats shuffling
-      candidates to texts).
+      tests/properties/test_r16_candidate_probes.py). Pairs the screen
+      drops are provably dist > k — exactly the rows the ``dist >= 0``
+      filter dropped before — so the kept-pair set is bit-identical
+      (completeness pinned in tests/properties/
+      test_round16_properties.py).
 
-    Completeness inventory (the q57-frame argument, restated): elements
-    are (gram, occurrence#) so duplicate grams count separately; docs
-    with len >= q emit their kq+1 rarest elements; docs shorter than
-    q*(k+1) ADDITIONALLY emit two length-band elements (width k+1,
-    bands b and b+1), which by pigeonhole cover every pair whose count
-    bound is vacuous. One shuffle aggregates (doc, gram) counts, the
-    df table is bounded by |alphabet|^q * max_occ and broadcast, and
-    prefix selection is a row-local sort-and-slice after ONE
-    collect_list groupBy — no per-element windows.
+    The whole query is one repartition of the 5k-row doc side, one
+    broadcast, one pipelined pass (length join -> count screen ->
+    levenshtein), and one final orderBy exchange on the ~10^2
+    surviving pairs — vs 10 exchanges before (plan diff in
+    plans/r16/q235_levenshtein_complete_{before,after}.txt). Measured
+    at sf0.1: 15.1 s -> ~3.3 s.
+
+    Completeness inventory: the length join admits every pair with
+    |len diff| <= k; the count screen admits every pair with
+    dist <= k by the q=1 count bound (characters outside the fixed
+    screen alphabet are uncounted on both sides, which only lowers the
+    L1); levenshtein is exact. No qualifying pair can escape at any
+    stage. ``q`` is kept for signature compatibility; the screen works
+    at q=1 where the count profile needs no gram dictionary.
 
     Reference lineage: src/mrapps/indexer.go:21-25 via q225 (near-equal
     keys instead of equal keys, blocked so the pair space never
     materializes)."""
-    prefix_len = k * q + 1
-    min_long = q * (k + 1)
-    band_w = k + 1
+    del q  # superseded: the unigram screen needs no gram width
 
-    gcnt = (
-        docs.filter(F.length("text") >= q)
-        .select(
-            "doc_id",
-            F.length("text").alias("len"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, length(text) - {q} + 1),"
-                    f" i -> substring(text, i, {q}))"
-                )
-            ).alias("gram"),
-        )
-        .groupBy("doc_id", "len", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    # elems feeds BOTH the df table and the prefix join, and sig feeds
-    # both self-join sides — Spark does not deduplicate identical
-    # subtrees, so without pinning the scan + gram explode + count
-    # aggregate would run ~4x per action (the q166/q182 rule; at real
-    # cluster scale persist() is the fault-tolerant spelling).
-    elems = gcnt.select(
+    # Repartition FIRST: the doc table is one scan split, and without
+    # this the candidate stream (~10^6 screen evals) runs on ONE task
+    # (guide §2.5 input skew — measured 21 s vs 2 s).
+    nparts = docs.sparkSession.sparkContext.defaultParallelism
+    cnt_cols = [
+        (
+            F.length("text") - F.length(F.translate("text", c, ""))
+        ).alias(f"n{i}")
+        for i, c in enumerate(LEV_SCREEN_CHARS)
+    ]
+    # Both sides repartition before the count projection: the doc table
+    # is one scan split, and the 27-translate projection is ~3 s serial
+    # vs ~0.1 s spread over the cores — the build side pays the tiny
+    # exchange to parallelize the projection feeding the broadcast
+    # (measured: dropping it costs +3.2 s).
+    sided = docs.repartition(nparts).select(
         "doc_id",
-        "len",
-        "gram",
-        F.explode(F.expr("sequence(1, cnt)")).alias("occ"),
-    ).select(
-        "doc_id",
-        "len",
-        F.concat_ws("#", "gram", F.col("occ").cast("string")).alias("elem"),
-    ).localCheckpoint(eager=False)
-    df_tbl = elems.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
-    pref = (
-        elems.join(F.broadcast(df_tbl), "elem")
-        .groupBy("doc_id", "len")
-        .agg(
-            F.expr(
-                f"slice(array_sort(collect_list(named_struct("
-                f"'df', df, 'h', xxhash64(elem), 'elem', elem)))"
-                f", 1, {prefix_len})"
-            ).alias("ks")
-        )
+        "text",
+        F.length("text").alias("len"),
+        *cnt_cols,
     )
-    gram_side = pref.select(
-        "doc_id",
-        "len",
-        F.floor(F.col("len") / band_w).alias("band"),
-        F.explode("ks").alias("s"),
-    ).select("doc_id", "len", "band", F.col("s.elem").alias("elem"))
-    band_side = (
-        docs.select("doc_id", F.length("text").alias("len"))
-        .filter(F.col("len") < min_long)
-        .select(
-            "doc_id",
-            "len",
-            F.floor(F.col("len") / band_w).alias("band"),
-            F.explode(
-                F.array(
-                    F.concat(
-                        F.lit("LEN:"),
-                        F.floor(F.col("len") / band_w).cast("string"),
-                    ),
-                    F.concat(
-                        F.lit("LEN:"),
-                        (F.floor(F.col("len") / band_w) + 1).cast("string"),
-                    ),
-                )
-            ).alias("elem"),
-        )
-    )
-    sig = gram_side.unionByName(band_side).localCheckpoint(eager=False)
-
-    a = sig.select(
-        F.col("doc_id").alias("ad"), F.col("len").alias("la"), "band", "elem"
-    )
-    b = sig.select(
-        F.col("doc_id").alias("bd"),
-        F.col("len").alias("lb"),
+    ncols = [f"n{i}" for i in range(len(LEV_SCREEN_CHARS))]
+    # Probe side: each doc probes every qualifying length exactly once
+    # (|len diff| <= k), so the equi-join key is the PARTNER length and
+    # each unordered pair meets on exactly one probe — no distinct.
+    # Exploding the 2k+1 probes on the stream side keeps the broadcast
+    # at |docs| rows.
+    a = sided.select(
+        F.col("doc_id").alias("ad"),
+        F.col("text").alias("ta"),
+        F.col("len").alias("la"),
         F.explode(
-            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
-        ).alias("band"),
-        "elem",
+            F.array(*[F.col("len") + i for i in range(-k, k + 1)])
+        ).alias("lb"),
+        *[F.col(n).alias(f"a{n}") for n in ncols],
     )
-    cand = (
-        a.join(b, ["elem", "band"])
-        .filter(
-            (F.col("ad") < F.col("bd"))
-            & (F.abs(F.col("la") - F.col("lb")) <= k)
-        )
-        .select("ad", "bd")
-        .distinct()
+    b = sided.select(
+        F.col("doc_id").alias("bd"),
+        F.col("text").alias("tb"),
+        F.col("len").alias("lb"),
+        *[F.col(n).alias(f"b{n}") for n in ncols],
     )
-    ta = docs.select(F.col("doc_id").alias("ad"), F.col("text").alias("ta"))
-    tb = docs.select(F.col("doc_id").alias("bd"), F.col("text").alias("tb"))
+    screen_l1 = None
+    for n in ncols:
+        term = F.abs(F.col(f"a{n}") - F.col(f"b{n}"))
+        screen_l1 = term if screen_l1 is None else screen_l1 + term
+    # Evaluation-order armour: Catalyst fuses chained filters into the
+    # join condition and does NOT preserve cheap-first ordering, so the
+    # screen rides inside a CASE gated on the cheap doc-order test, and
+    # levenshtein inside a CASE gated on the screen — neither can be
+    # evaluated on a row the cheaper predicate already rejects, no
+    # matter how the conjuncts are reordered (measured 2x on this
+    # query).
+    order_ok = F.col("ad") < F.col("bd")
+    screen_ok = (
+        F.when(order_ok, screen_l1).otherwise(F.lit(2 * k + 1)) <= 2 * k
+    )
+    dist = F.when(
+        order_ok & screen_ok, F.expr(f"levenshtein(ta, tb, {k})")
+    ).otherwise(F.lit(-1))
     return (
-        cand.join(F.broadcast(ta), "ad")
-        .join(F.broadcast(tb), "bd")
-        .select(
-            "ad",
-            "bd",
-            F.expr(f"levenshtein(ta, tb, {k})").alias("dist"),
-        )
+        a.join(F.broadcast(b), "lb")
+        .filter(order_ok & screen_ok)
+        .select("ad", "bd", dist.alias("dist"))
         .filter(F.col("dist") >= 0)
         .orderBy("ad", "bd")
     )
@@ -1913,15 +1907,15 @@ def q235_levenshtein_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     future corpus plants an anchor-evading pair, this query returns the
     extra pair, the hash diverges, and the divergence IS the finding.
 
-    Scale shape: one (doc, gram) count aggregate, a broadcast df join,
-    one collect_list groupBy (row-local prefix sort — no per-element
-    windows), a hash join on (elem, length-band) whose buckets are
-    bounded by the rarity tail, and early-abandon levenshtein on
-    broadcast texts. Candidates run ~10^5 per 10^4 docs on this
-    corpus's 114-gram alphabet — the price of the guarantee vs q225's
-    ~10^2; both scale linearly in docs at fixed rarity distribution,
-    never |docs|^2. When recall can be traded for cost, q225 is the
-    default; this is the audit rung."""
+    Scale shape: a single pipelined pass — length-window equi-join
+    (broadcast locally; a plain shuffled equi-join at cluster scale),
+    complete unigram count screen on row-local per-character count
+    columns, early-abandon levenshtein on the ~2% survivors — and one
+    final orderBy on ~10^2 pairs. Candidates run
+    ~10^5 per 10^4 docs on this corpus's 114-gram alphabet — the price
+    of the guarantee vs q225's ~10^2; both scale linearly in docs at
+    fixed length distribution, never |docs|^2. When recall can be
+    traded for cost, q225 is the default; this is the audit rung."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return qgram_complete_pairs_frame(docs)
 
