@@ -27,7 +27,7 @@ doesn't grow with iterations — without it, round k replans rounds
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import QuerySpec
@@ -256,68 +256,82 @@ def pagerank(
 
     Handles dangling nodes (no out-edges) by redistributing their mass
     uniformly, keeping total rank = 1 — the scalar dangling mass stays
-    in-plan as a broadcast 1-row aggregate, no driver round-trip per
-    iteration. Per round: one join on the edge source + one groupBy on
-    the destination (the natural shuffle keys); ``localCheckpoint``
-    truncates lineage exactly like connected_components.
+    in-plan as a whole-frame window aggregate over the per-node
+    contributions, no driver round-trip per iteration.
+
+    r16 optimization-round shape (guide §1.2 step 1): each power
+    iteration is ONE chained execution — edge join -> groupBy(dest) ->
+    left join nodes -> whole-frame window (the dangling mass) ->
+    project -> lazy localCheckpoint. The previous shape ran TWO
+    checkpoints plus a broadcast 1-row aggregate per round; under AQE a
+    ``localCheckpoint(eager=False)`` still materializes its shuffle
+    stages at build time, so every extra checkpoint/broadcast was a
+    full scheduling round-trip on a ~20k-row frame (measured: the loop
+    cost ~0.9 s/round of pure per-round machinery at sf0.1, vs ~0.35
+    s/round fused). The dangling window sums the SAME addends the old
+    1-row aggregate summed (the left join is 1:1 per node, sum ignores
+    the nulls), so the mass-conservation property is unchanged; the
+    whole-frame window moves the ~|nodes| rows to one partition, which
+    at cluster scale is still one rank vector — tiny next to the edge
+    join that precedes it.
     """
-    e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .distinct()
-        .localCheckpoint()
-    )
-    nodes = (
-        e.select(F.col("s").alias("node"))
-        .unionByName(e.select(F.col("d").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()
-    # Loop-invariant: the degree-annotated edge list never changes, so
-    # join it ONCE and checkpoint — each power iteration then costs one
-    # join (ranks) + one groupBy instead of two joins + one groupBy.
-    # out_deg is checkpointed too, although it has one consumer: the
-    # barrier lets AQE finalize its coalesced partitioning before the
-    # e_deg join plans (trended faster at sf0.1 across sessions, though
-    # within this box's documented run-to-run variance).
-    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
-    e_deg = e.join(out_deg, "s").localCheckpoint()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
-        # Lazy checkpoints inside the loop: lineage is still truncated at
-        # each round once materialized, but no per-round eager job runs —
-        # the whole power iteration drains in ONE job at the final
-        # action (eager checkpoints here cost 2 jobs/round of pure
-        # scheduling overhead, the round-1 bench hotspot). contribs is
-        # referenced twice (dangling agg + rank join); the checkpoint
-        # stores its partitions on first use so the second use reads,
-        # not recomputes.
-        contribs = (
-            e_deg
-            .join(ranks.withColumnsRenamed({"node": "s"}), "s")
-            .groupBy(F.col("d").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("recv"))
-            .localCheckpoint(eager=False)
+    # _scoped_shuffle_width around the WHOLE body, sized by the raw
+    # (pre-distinct) edge count — an upper bound on |e| that costs one
+    # cheap count instead of running the distinct itself outside the
+    # scope. Under AQE even the lazy in-loop checkpoints materialize
+    # their stages at build time — i.e. inside this scope — so the
+    # width cap genuinely applies to every exchange here (the CC loop's
+    # rationale; ~15 tiny executions, each otherwise paying
+    # session-width task launch).
+    with _scoped_shuffle_width(edges.sparkSession, edges.count()):
+        e = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .distinct()
+            .localCheckpoint()
         )
-        # mass conservation: what non-dangling nodes sent is sum(recv),
-        # so dangling mass = 1 - sum(recv) — no dangling-node join, just
-        # a 1-row aggregate over the contributions already computed
-        dangling = contribs.agg(
-            (1.0 - F.coalesce(F.sum("recv"), F.lit(0.0))).alias("dm")
+        nodes = (
+            e.select(F.col("s").alias("node"))
+            .unionByName(e.select(F.col("d").alias("node")))
+            .distinct()
+            .localCheckpoint()
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + damping
-                    * (F.coalesce("recv", F.lit(0.0)) + F.col("dm") / n)
-                ).alias("rank"),
+        n = nodes.count()
+        # Loop-invariant: the degree-annotated edge list never changes —
+        # annotate ONCE via a window over the same exchange the
+        # per-round join needs anyway (one execution, vs groupBy + join
+        # = two) and checkpoint.
+        e_deg = e.withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("s"))
+        ).localCheckpoint()
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        wall = Window.partitionBy()
+        for _ in range(iters):
+            recv = (
+                e_deg
+                .join(ranks.withColumnsRenamed({"node": "s"}), "s")
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("recv"))
             )
-            .localCheckpoint(eager=False)
-        )
+            # mass conservation: what non-dangling nodes sent is
+            # sum(recv), so dangling mass = 1 - sum(recv) — computed
+            # in-plan by a whole-frame window over the joined rank rows
+            # (recv is 1:1 per node; sum skips the nulls of
+            # contribution-less nodes).
+            dm = F.lit(1.0) - F.coalesce(
+                F.sum("recv").over(wall), F.lit(0.0)
+            )
+            ranks = (
+                nodes.join(recv, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + damping
+                        * (F.coalesce("recv", F.lit(0.0)) + dm / n)
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
     return ranks
 
 
@@ -330,17 +344,31 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    # Repartition BEFORE the per-row work: the lineitem parquet is one
+    # row group, so the scan is one task and the distinct's map-side
+    # partial aggregation would run serially there (measured 2.5 s of
+    # the 5.4 s total; guide §2.5 input skew). The exchange ships two
+    # int columns and unlocks full-width map work. Node ids ride the
+    # whole loop as LONGS (even = part, odd = supplier — guide §2.3
+    # narrower types: 16-byte join/shuffle keys instead of ~24-byte
+    # strings and long hashing throughout); the "p"/"s" rendering is
+    # applied to the final 20 rows only.
+    nparts = spark.sparkContext.defaultParallelism
+    edges = li.select("l_partkey", "l_suppkey").repartition(nparts).select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     # 4 iterations: enough to rank the top-20 stably on this graph (the
     # top set is degree-dominated and already fixed by round 3); the
     # convergence-sensitive properties are covered by the pagerank unit
     # tests, so the demo query buys bench stability, not precision.
     pr = pagerank(edges, "src", "dst", iters=4)
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("p"), F.expr("node DIV 2")),
+    ).otherwise(F.concat(F.lit("s"), F.expr("node DIV 2")))
     return (
-        pr.select("node", F.round("rank", 6).alias("rank"))
+        pr.select(node_str.alias("node"), F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )

@@ -646,12 +646,25 @@ def q236_watermark_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["k"])
     )
     table = f"stream_q236_{run}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(table)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    # Bounded state partitions, run_available_now's rationale applied to
+    # a processAllAvailable drain: one state-store instance per shuffle
+    # partition, and for a 100-key state domain the per-instance
+    # checkpoint/commit overhead dominates long before volume does
+    # (measured at sf0.1: 4.5 s -> 3.3 s going 32 -> 8). Sized by the
+    # key domain (>= 12 keys per store), not by the local core count;
+    # the conf is captured at start() and restored immediately (the
+    # q222 single-threaded-builder posture).
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
     q.processAllAvailable()
     q.stop()
     return spark.table(table).orderBy("k")
