@@ -157,6 +157,67 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_K = 16  # coarse-quantizer cells
 IVF_NPROBE = 4  # cells searched per query
+IVF_FIT_CAP = 256 * IVF_K  # bounded quantizer-training sample (FAISS regime)
+IVF_FIT_ITERS = 5
+
+
+def _ivf_fit_centers(emb: DataFrame) -> list[list[float]]:
+    """Driver-side Lloyd fit of the IVF coarse quantizer over a BOUNDED
+    sample — the same division of labor as :func:`_pq_fit_codebook`
+    (codebook/quantizer training is a constant-size problem; only
+    assignment and search are distributed). Replaces the r16-era
+    pyspark.ml KMeans fit: a 16-centroid quantizer over ≤4096 sampled
+    vectors is milliseconds of numpy, while the ML fit paid init +
+    maxIter distributed passes (~2-3 s of per-job overhead at any
+    scale, since the sample is capped regardless of corpus size).
+    Deterministic: seeded sample, first-K init, fixed rounds."""
+    import numpy as np
+
+    sample = np.array(
+        [
+            r["v"]
+            for r in emb.select(
+                F.col("embedding").cast("array<double>").alias("v")
+            )
+            .sample(fraction=0.5, seed=42)
+            .limit(IVF_FIT_CAP)
+            .collect()
+        ]
+    )
+    C = sample[:IVF_K].copy()
+    for _ in range(IVF_FIT_ITERS):
+        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for k in range(len(C)):
+            members = sample[assign == k]
+            if len(members):
+                C[k] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in C]
+
+
+def _ivf_assign(emb: DataFrame, centers_list: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding, cell): row-local argmin over the broadcast
+    centroid literals — no shuffle, no ML transform machinery. First
+    position wins ties, matching numpy argmin. Rendered as ONE SQL
+    string (the _pq_dists_fn rationale: per-literal Column calls are
+    py4j round-trips; repr(float) round-trips the doubles exactly)."""
+    clit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+            for c in centers_list
+        )
+        + ")"
+    )
+    dvec = (
+        f"transform({clit}, c -> aggregate("
+        f"zip_with(cast(embedding as array<double>), c, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x))"
+    )
+    cell = F.expr(
+        f"cast(array_position({dvec}, array_min({dvec})) - 1 as int)"
+    )
+    return emb.select("vec_id", "embedding", cell.alias("cell"))
 
 
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,44 +226,25 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The other classic ANN scale path next to LSH: per-query work drops
     from |table| to ~|table| * nProbe / k. Everything is distributed
-    except the k centroids themselves (k x dim floats — legitimately
-    broadcast; at 100 TB k grows to ~sqrt(n) and stays broadcastable).
-    Seeded k-means, but cell assignment is still float-sensitive =>
-    approximate by design, rows-only check.
+    except the quantizer fit (bounded-sample driver Lloyd,
+    :func:`_ivf_fit_centers` — the FAISS recipe: train on a sample,
+    assign everything) and the k centroids themselves (k x dim floats —
+    legitimately broadcast; at 100 TB k grows to ~sqrt(n) and stays
+    broadcastable). Seeded, but cell assignment is still
+    float-sensitive => approximate by design, rows-only check.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    emb = _emb(spark, sf_dir).withColumn(
-        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    # Repartition first: the embeddings parquet is one row group (one
+    # scan task), and every downstream step here is row-local HOF math
+    # (assignment argmin, per-cell distances) that would otherwise run
+    # serially in that task (guide §2.5 input skew).
+    emb = _emb(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
     )
-    # maxIter=5 + random init: a coarse quantizer only partitions space,
-    # it doesn't need converged centroids — recall is set by nProbe, not
-    # centroid polish. Random init skips k-means||'s extra full-table
-    # passes, and the fit runs on a capped sample (the FAISS recipe:
-    # train the quantizer on a sample, assign everything; 256 points per
-    # centroid is the FAISS default regime) so fit cost stays flat as
-    # the table grows. Cache the sample: the fit makes init + maxIter
-    # passes over it, and without the cache each pass re-runs the
-    # sample-and-limit scan.
-    fit_input = (
-        emb.select("features")
-        .sample(fraction=0.5, seed=42)
-        .limit(256 * IVF_K)
-        .coalesce(4)
-        .cache()
-    )
-    try:
-        model = KMeans(
-            k=IVF_K, seed=42, maxIter=5, initMode="random",
-            featuresCol="features", predictionCol="cell",
-        ).fit(fit_input)
-    finally:
-        fit_input.unpersist()
-    assigned = model.transform(emb).select("vec_id", "embedding", "cell")
+    centers_list = _ivf_fit_centers(emb)
+    assigned = _ivf_assign(emb, centers_list)
 
     centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, c) for i, c in enumerate(centers_list)],
         "cell int, center array<double>",
     )
     qs = assigned.filter(F.col("vec_id") < N_QUERIES).select(
@@ -499,25 +541,33 @@ def _pq_dists_fn(cb):
     """Column-expression builder: dists(col, m) = array of squared L2
     distances from subvector m of ``col`` to every codeword of cb[m]
     (broadcast literals, deterministic left-fold). argmin over it is
-    the PQ encoder; evaluated at a query it IS the ADC lookup table."""
+    the PQ encoder; evaluated at a query it IS the ADC lookup table.
 
-    def _cw_lit(m):
-        return F.array(
-            *[F.array(*[F.lit(x) for x in cw]) for cw in cb[m]]
-        )
+    The whole expression is rendered as ONE SQL string per (col, m):
+    building the same tree from nested ``F.lit``/``F.array`` calls cost
+    one py4j round-trip per node (~2000 per encode, measured 1.8 s of
+    pure driver-side Column construction at sf0.1 — r16 optimization
+    round); ``repr(float)`` is shortest-round-trip so the parsed double
+    literals are bit-identical to the numpy codewords. ``col`` must be
+    a plain column name."""
 
-    def _sub(col, m):
-        return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
-
-    def _d2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    def _cw_sql(m):
+        return (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{x!r}D" for x in cw) + ")"
+                for cw in cb[m]
+            )
+            + ")"
         )
 
     def dists(col, m):
-        return F.transform(_cw_lit(m), lambda c: _d2(_sub(col, m), c))
+        sub = f"slice({col}, {m * PQ_SUB + 1}, {PQ_SUB})"
+        return F.expr(
+            f"transform({_cw_sql(m)}, c -> aggregate("
+            f"zip_with({sub}, c, (x, y) -> (x - y) * (x - y)), "
+            f"0.0D, (acc, x) -> acc + x))"
+        )
 
     return dists
 
@@ -561,9 +611,11 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hot path, no original-vector access at query time. Approximate
     by design => rows-only registration; the recall floor vs exact q23
     lives in tests/test_similarity.py."""
+    # Repartition first: one-row-group scan, heavy row-local HOF math
+    # downstream (PQ encode, LUT build) — guide §2.5 input skew.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     # Deterministic sampled codebook fit (the FAISS recipe, as in
     # ann_ivf): collect a BOUNDED sample (256 vectors regardless of
     # corpus size) and run per-subspace Lloyd k-means on the driver
@@ -633,40 +685,27 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     original vectors are never touched at query time. Approximate =>
     rows-only; recall floor in tests/test_similarity.py."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    # Repartition first: one-row-group scan, heavy row-local HOF math
+    # downstream (residuals, PQ encode) — guide §2.5 input skew.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    centers_list = _ivf_fit_centers(
+        emb.select("vec_id", F.col("v").alias("embedding"))
     )
-    feat = emb.withColumn("features", array_to_vector("v"))
-    fit_input = (
-        feat.select("features")
-        .sample(fraction=0.5, seed=42)
-        .limit(256 * IVF_K)
-        .coalesce(4)
-        .cache()
-    )
-    try:
-        model = KMeans(
-            k=IVF_K, seed=42, maxIter=5, initMode="random",
-            featuresCol="features", predictionCol="cell",
-        ).fit(fit_input)
-    finally:
-        fit_input.unpersist()
     # Consumed by the residual frame AND the query frame — pin so the
-    # KMeans cell-assignment transform runs once (the q166/q182
-    # shared-frame rule).
+    # cell-assignment argmin runs once (the q166/q182 shared-frame
+    # rule). Quantizer fit + assignment share ann_ivf_probe's
+    # bounded-sample driver Lloyd + row-local argmin (no ML fit jobs —
+    # see _ivf_fit_centers).
     assigned = (
-        model.transform(feat)
-        .select("vec_id", "v", "cell")
+        _ivf_assign(emb.select("vec_id", F.col("v").alias("embedding")), centers_list)
+        .select("vec_id", F.col("embedding").alias("v"), "cell")
         .localCheckpoint(eager=False)
     )
     centers = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-        ],
+        [(i, c) for i, c in enumerate(centers_list)],
         "cell int, center array<double>",
     )
 
