@@ -96,7 +96,13 @@ def _doc_shingles(
     """
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
-    docs = docs.select("doc_id", "text")
+    # Repartition before the tokenizer: the documents parquet is one row
+    # group (one scan task), and the regexp split + shingle explode is
+    # the widest row-local work in the dedup family — serial in the scan
+    # task otherwise (guide §2.5 input skew; r16 optimization round,
+    # shared by every shingle consumer).
+    nparts = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.select("doc_id", "text").repartition(nparts)
     sh = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks")).select(
         "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh")
     )
@@ -416,8 +422,15 @@ def _verify_band_candidates(cands: DataFrame, sets: DataFrame) -> DataFrame:
     (codegen) instead of re-joining the exploded shingle table:
     candidate count bounds the work, and the set frame is small enough
     to hash-join (AQE broadcasts when it fits)."""
+    # Repartition the candidate stream: AQE sizes post-shuffle
+    # partitions by shuffle BYTES, and candidate pairs compress to a
+    # few MB while each row costs an array_intersect — without this the
+    # verify ran on 3 tasks (measured ~3 s serialized at sf0.1 on
+    # q104's 310k candidates; guide §2.5 task-granularity skew).
+    nparts = cands.sparkSession.sparkContext.defaultParallelism
     pairs = (
-        cands.join(
+        cands.repartition(nparts)
+        .join(
             sets.select(F.col("doc_id").alias("ad"), F.col("shs").alias("sa")), "ad"
         )
         .join(

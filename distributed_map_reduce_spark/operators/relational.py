@@ -2505,6 +2505,9 @@ def q156_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     default is q187_percentile_bands_histo, the fixed-width-histogram
     twin with O(bins) state and one-pass mergeable partials; q156 is
     the audit path that bounds the histogram approximation."""
+    # (r16 optimization round: a repartition before this scan was
+    # measured SLOWER — percentile is holistic, so its merge is serial
+    # regardless and the exchange is pure overhead. Left single-task.)
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
     cuts = li.agg(
         F.expr(
@@ -4916,7 +4919,16 @@ def q237_try_arithmetic_census(
     ONE 3-group hash aggregate with COUNT/MIN/MAX partials map-side.
     Zero extra shuffle vs a plain census — fault tolerance priced at
     one CASE per word."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
+    # Repartition before the try-arithmetic projection: lineitem is one
+    # row group (one scan task), and the deliberately-overflowing try_*
+    # words are the most expensive row-local math in the suite (each
+    # overflow is an internal JVM exception) — serial there otherwise
+    # (guide §2.5; measured 3.8 s -> 1.9 s at sf0.1).
+    _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_partkey", "l_linenumber"
+    ).repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView(
         "__q237_lineitem"
     )
     return spark.sql(
@@ -5472,7 +5484,14 @@ def q255_map_entries_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     record (/root/reference/src/mr/rpc.go:38-41); str_to_map lifts a
     serialized pair list back into the engine as a first-class
     value."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q255_orders")
+    # Repartition: the map build + four map HOFs per row are row-local
+    # work serialized in the one-row-group scan task otherwise
+    # (guide §2.5).
+    _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_orderkey"
+    ).repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("__q255_orders")
     return spark.sql(
         """
 WITH m AS (

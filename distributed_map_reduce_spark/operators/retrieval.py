@@ -104,7 +104,12 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(qid, doc_id, score): the full rounded BM25 score frame q93
     ranks and q126 fuses — batch construction of the tf/dl state."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # Repartition before the tokenizer explode: one-row-group scan =
+    # one task for the regexp split otherwise (guide §2.5; the
+    # _doc_shingles rationale).
+    toks = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "doc_id", F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token")
     )
     # tf feeds four consumers (probe join side, dl, dfreq, and stats

@@ -50,18 +50,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE sizes post-shuffle partitions by SHUFFLE BYTES, which
-        # under-estimates stages whose per-row cost is compute (e.g. an
-        # array_intersect verify over candidate pairs: 310k pairs
-        # compress to ~3 MB and coalesced to 3 tasks, serializing ~3 s
-        # of set intersections — measured on q104 at sf0.1, 6.5 s ->
-        # 3.2 s with the floor lowered). parallelismFirst (default on)
-        # already targets core-count partitions but respects this
-        # minimum size; 64k only bites on small-but-expensive
-        # intermediates. At cluster scale large shuffles still get
-        # size-targeted partitions (total/parallelism >> 1 MB), so this
-        # floor is inert there.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # NOTE (r16 optimization round): a global
+        # coalescePartitions.minPartitionSize=64k was tried to stop AQE
+        # serializing compute-heavy post-shuffle stages (it sizes by
+        # shuffle BYTES, so q104's 310k-candidate array_intersect
+        # verify compressed to ~3 MB and ran on 3 tasks). It fixed the
+        # hot queries but taxed the ~240-item tail with extra tasks
+        # (~+0.3-1 s on many small queries in the full bench). Reverted
+        # in favour of explicit repartition at the few measured-hot
+        # sites (dedup._verify_band_candidates et al).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # parquet scans: vectorized reader + pushdown are on by default,
