@@ -37,12 +37,18 @@ def tokens_col(text: Column | str) -> Column:
 def exploded_tokens(df, text_col: str = "text", out: str = "token"):
     """documents -> one row per token, empties dropped.
 
-    Scale note: explode multiplies rows ~100x (tokens/doc); keeping this
-    as a single projected explode (no intermediate materialization) lets
-    whole-stage codegen fuse tokenize+filter into the scan stage.
+    Scale note: explode multiplies rows ~100x (tokens/doc). The input is
+    round-robin repartitioned first: each sf table is a single parquet
+    row group, so the scan is ONE task and the regexp tokenizer (the
+    widest row-local work in the text family) would otherwise run
+    serially in it (guide §2.5 input skew; the _doc_shingles rationale —
+    r16 optimization round). The tiny (doc_id, text) exchange buys a
+    full-width tokenize+filter codegen stage.
     """
     keep = [c for c in df.columns if c != text_col]
+    nparts = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(*keep, F.explode(tokens_col(text_col)).alias(out))
+        df.repartition(nparts)
+        .select(*keep, F.explode(tokens_col(text_col)).alias(out))
         .filter(F.col(out) != "")
     )

@@ -983,7 +983,12 @@ def minhash_store_tables(
     the thing you cannot afford. Returns (bands_table, sets_table)."""
     import uuid
 
-    sh = _doc_shingles(spark, sf_dir, distinct=False, docs=base)
+    # sh feeds BOTH table writes — checkpoint so the tokenizer + shingle
+    # explode runs once, not once per write (the q166/q182 rule; the
+    # q144 sibling shingle_store_tables already does this).
+    sh = _doc_shingles(spark, sf_dir, distinct=False, docs=base).localCheckpoint(
+        eager=False
+    )
     sfx = uuid.uuid4().hex[:8]
     bands_tbl, sets_tbl = f"mh_store_bands_{sfx}", f"mh_store_sets_{sfx}"
     (

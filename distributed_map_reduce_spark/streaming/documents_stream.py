@@ -94,7 +94,14 @@ def q130_streaming_bm25_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_query_terms, bm25_scores, bm25_topk
 
     run = uuid.uuid4().hex[:8]
-    toks = documents_stream(spark, sf_dir).select(
+    # Repartition before the tokenizer: the file-source micro-batch is
+    # one task (single parquet file), so the regexp split + explode
+    # would otherwise run serially there; the state shuffle that
+    # follows happens either way (guide §2.5; the _doc_shingles
+    # rationale on the streaming path).
+    toks = documents_stream(spark, sf_dir).select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "doc_id", F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token")
     )
     tf_table = f"stream_q130_tf_{run}"
