@@ -5211,7 +5211,13 @@ def q249_json_shape_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     record as JSON (/root/reference/src/mr/worker.go:240-252,
     json.NewEncoder per partition file); to_json/json_* are that
     surface with schema introspection added."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q249_orders")
+    # Repartition: the JSON rendering + introspection is row-local work
+    # serialized in the one-row-group scan task otherwise (guide §2.5).
+    _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_orderstatus"
+    ).repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("__q249_orders")
     return spark.sql(
         """
 WITH j AS (
