@@ -408,11 +408,11 @@ def q212_pydatasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset contract — re-run test-mr.sh vs resume-from-checkpoint."""
     from pyspark.sql import functions as F
 
-    from ..sources.pystreamsource import register_docrange
+    from ..sources.pystreamsource import STREAM_SCHEMA, register_docrange
 
     register_docrange(spark)
     src = (
-        spark.readStream.format("docrange")
+        spark.readStream.schema(STREAM_SCHEMA).format("docrange")
         .option("path", f"{sf_dir.rstrip('/')}/documents.parquet")
         .load()
     )
@@ -496,7 +496,7 @@ def q219_foreachbatch_exactly_once(
     import glob
     import os
 
-    from ..sources.pystreamsource import register_docrange
+    from ..sources.pystreamsource import STREAM_SCHEMA, register_docrange
 
     import pyarrow.parquet as pq
 
@@ -507,7 +507,7 @@ def q219_foreachbatch_exactly_once(
     # one footer read (no data scan) sizes the rate limit to ~3 batches
     total = pq.ParquetFile(doc_path).metadata.num_rows
     src = (
-        spark.readStream.format("docrange")
+        spark.readStream.schema(STREAM_SCHEMA).format("docrange")
         .option("path", doc_path)
         .option("rowsPerBatch", str(max(1, (total + 2) // 3)))
         .option("progressDir", ckpt)
@@ -620,7 +620,7 @@ def q236_watermark_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     coordinator (a finished task re-reported by a rescued worker is
     dropped, /root/reference/src/mr/coordinator.go) — here as a
     key-scoped, watermark-bounded stream operator."""
-    from ..sources.pystreamsource import register_docrange
+    from ..sources.pystreamsource import STREAM_SCHEMA, register_docrange
 
     import pyarrow.parquet as pq
 
@@ -630,7 +630,7 @@ def q236_watermark_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = uuid.uuid4().hex[:8]
     ckpt = tempfile.mkdtemp(prefix="dmrs_q236_stream_ckpt_")
     src = (
-        spark.readStream.format("docrange")
+        spark.readStream.schema(STREAM_SCHEMA).format("docrange")
         .option("path", doc_path)
         .option("rowsPerBatch", str(max(1, (total + 2) // 3)))
         .option("progressDir", ckpt)
