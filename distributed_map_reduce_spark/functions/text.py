@@ -38,17 +38,21 @@ def exploded_tokens(df, text_col: str = "text", out: str = "token"):
     """documents -> one row per token, empties dropped.
 
     Scale note: explode multiplies rows ~100x (tokens/doc). The input is
-    round-robin repartitioned first: each sf table is a single parquet
-    row group, so the scan is ONE task and the regexp tokenizer (the
-    widest row-local work in the text family) would otherwise run
-    serially in it (guide §2.5 input skew; the _doc_shingles rationale —
-    r16 optimization round). The tiny (doc_id, text) exchange buys a
-    full-width tokenize+filter codegen stage.
+    round-robin repartitioned first WHEN THE SCAN IS NARROWER THAN THE
+    SESSION PARALLELISM (``widen_for_rowlocal`` — r17, gating the r16
+    fix): each sf table is a single parquet row group, so the local scan
+    is ONE task and the regexp tokenizer (the widest row-local work in
+    the text family) would otherwise run serially in it (guide §2.5
+    input skew; the _doc_shingles rationale). At cluster scale the scan
+    already has thousands of splits and the gate skips the exchange —
+    an unconditional repartition there would shuffle the full text
+    payload and cap the stage (VERDICT r16 item 1).
     """
+    from .partitioning import widen_for_rowlocal
+
     keep = [c for c in df.columns if c != text_col]
-    nparts = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.repartition(nparts)
+        widen_for_rowlocal(df)
         .select(*keep, F.explode(tokens_col(text_col)).alias(out))
         .filter(F.col(out) != "")
     )

@@ -96,13 +96,16 @@ def _doc_shingles(
     """
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
-    # Repartition before the tokenizer: the documents parquet is one row
+    # Widen before the tokenizer: the documents parquet is one row
     # group (one scan task), and the regexp split + shingle explode is
     # the widest row-local work in the dedup family — serial in the scan
     # task otherwise (guide §2.5 input skew; r16 optimization round,
-    # shared by every shingle consumer).
-    nparts = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.select("doc_id", "text").repartition(nparts)
+    # shared by every shingle consumer). Gated on the planned scan width
+    # so a cluster-scale scan with thousands of natural splits skips the
+    # exchange (r17; VERDICT r16 item 1).
+    from ..functions.partitioning import widen_for_rowlocal
+
+    docs = widen_for_rowlocal(docs.select("doc_id", "text"))
     sh = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks")).select(
         "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh")
     )
@@ -427,6 +430,13 @@ def _verify_band_candidates(cands: DataFrame, sets: DataFrame) -> DataFrame:
     # few MB while each row costs an array_intersect — without this the
     # verify ran on 3 tasks (measured ~3 s serialized at sf0.1 on
     # q104's 310k candidates; guide §2.5 task-granularity skew).
+    # Deliberately NOT gated by widen_for_rowlocal (r17): cands is a
+    # post-shuffle frame whose STATIC planned width is the session
+    # shuffle setting — the very number AQE then coalesces below — so a
+    # planned-width gate would always skip exactly where the fix is
+    # needed. The exchange ships two longs per candidate; at any scale
+    # defaultParallelism(= total cores) is the right width for this
+    # compute-bound stage.
     nparts = cands.sparkSession.sparkContext.defaultParallelism
     pairs = (
         cands.repartition(nparts)
@@ -982,25 +992,33 @@ def minhash_store_tables(
     recomputing (or reshuffling) the corpus fingerprints per crawl is
     the thing you cannot afford. Returns (bands_table, sets_table)."""
     import uuid
+    from concurrent.futures import ThreadPoolExecutor
 
-    # sh feeds BOTH table writes — checkpoint so the tokenizer + shingle
-    # explode runs once, not once per write (the q166/q182 rule; the
-    # q144 sibling shingle_store_tables already does this).
-    sh = _doc_shingles(spark, sf_dir, distinct=False, docs=base).localCheckpoint(
-        eager=False
-    )
+    # sh feeds BOTH table writes — EAGER checkpoint so the tokenizer +
+    # shingle explode runs once up front (the q166/q182 rule; the q144
+    # sibling shingle_store_tables does the same), and the two writes
+    # below start from materialized blocks.
+    sh = _doc_shingles(spark, sf_dir, distinct=False, docs=base).localCheckpoint()
     sfx = uuid.uuid4().hex[:8]
     bands_tbl, sets_tbl = f"mh_store_bands_{sfx}", f"mh_store_sets_{sfx}"
-    (
-        _minhash_bands(sh)
-        .write.bucketBy(n_buckets, "band", "x", "y")
-        .saveAsTable(bands_tbl)
-    )
-    (
-        _hashed_shingle_sets(sh)
-        .write.bucketBy(n_buckets, "doc_id")
-        .saveAsTable(sets_tbl)
-    )
+    # The two writes are independent jobs over the same checkpointed
+    # frame — submit both so the second back-fills the first's task
+    # tail instead of waiting for it (guide §2.6 overlap independent
+    # jobs; actions were only sequential because this code called them
+    # sequentially). Different table names, no shared mutable state.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(
+            lambda: _minhash_bands(sh)
+            .write.bucketBy(n_buckets, "band", "x", "y")
+            .saveAsTable(bands_tbl)
+        )
+        fs = pool.submit(
+            lambda: _hashed_shingle_sets(sh)
+            .write.bucketBy(n_buckets, "doc_id")
+            .saveAsTable(sets_tbl)
+        )
+        fb.result()
+        fs.result()
     return bands_tbl, sets_tbl
 
 
@@ -1082,19 +1100,26 @@ def shingle_store_tables(
     doc). Write shuffles once; every later crawl probe reads buckets.
     Returns (shingles_table, sizes_table)."""
     import uuid
+    from concurrent.futures import ThreadPoolExecutor
 
-    sh = _doc_shingle_keys(spark, sf_dir, docs=base).localCheckpoint(
-        eager=False
-    )
+    # EAGER checkpoint + overlapped writes: minhash_store_tables'
+    # rationale (guide §2.6) — both tables derive from the one
+    # materialized shingle-key frame and are independent jobs.
+    sh = _doc_shingle_keys(spark, sf_dir, docs=base).localCheckpoint()
     sfx = uuid.uuid4().hex[:8]
     sh_tbl, sz_tbl = f"shingle_store_{sfx}", f"shingle_sizes_{sfx}"
-    sh.write.bucketBy(n_buckets, "k").saveAsTable(sh_tbl)
-    (
-        sh.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .write.bucketBy(n_buckets, "doc_id")
-        .saveAsTable(sz_tbl)
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fk = pool.submit(
+            lambda: sh.write.bucketBy(n_buckets, "k").saveAsTable(sh_tbl)
+        )
+        fz = pool.submit(
+            lambda: sh.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.bucketBy(n_buckets, "doc_id")
+            .saveAsTable(sz_tbl)
+        )
+        fk.result()
+        fz.result()
     return sh_tbl, sz_tbl
 
 
@@ -1767,6 +1792,15 @@ QGRAM_DOC_Q = 2
 # never its soundness — no corpus-dependent dictionary collect needed.
 LEV_SCREEN_CHARS = " " + "abcdefghijklmnopqrstuvwxyz"
 
+# Broadcast budget for qgram_complete_pairs_frame's build side, gated on
+# Catalyst's size estimate of the INPUT doc frame (the build side adds
+# ~29 fixed-width columns on top, well inside one order of magnitude).
+# 256 MB estimated input keeps the built relation far from the 8 GB /
+# 512M-row broadcast cap and from driver memory trouble; above it the
+# hint is dropped and AQE plans the length-key equi-join freely
+# (ADVICE r16).
+QGRAM_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
 
 def qgram_complete_pairs_frame(
     docs: DataFrame, q: int = QGRAM_DOC_Q, k: int = LEV_DOC_MAX
@@ -1791,9 +1825,9 @@ def qgram_complete_pairs_frame(
       exact equi-join that admits precisely the length-window pairs.
       Each unordered pair (with ad < bd) meets on exactly one probe, so
       NO distinct is needed. Probes explode on the stream side so the
-      broadcast stays |docs| rows (at cluster scale drop the hint and
-      the length key makes this a plain shuffled equi-join AQE can
-      skew-split).
+      broadcast stays |docs| rows (above QGRAM_BROADCAST_MAX_BYTES the
+      hint is dropped automatically — r17, ADVICE r16 — and the length
+      key makes this a plain shuffled equi-join AQE can skew-split).
     * **complete unigram count screen (pure codegen)**: one edit
       operation changes at most two character counts by one each, so
       any pair with dist <= k satisfies
@@ -1836,24 +1870,31 @@ def qgram_complete_pairs_frame(
     Reference lineage: src/mrapps/indexer.go:21-25 via q225 (near-equal
     keys instead of equal keys, blocked so the pair space never
     materializes)."""
-    del q  # superseded: the unigram screen needs no gram width
+    # ``q`` is signature-compatibility only: the unigram count screen
+    # needs no gram width. Reject explicitly instead of silently
+    # ignoring a caller's custom width (ADVICE r16).
+    if q != QGRAM_DOC_Q:
+        raise ValueError(
+            "qgram_complete_pairs_frame: the r16 unigram count screen "
+            f"has no gram-width knob; q={q!r} would be silently ignored "
+            f"(pass the default q={QGRAM_DOC_Q} or drop the argument)"
+        )
 
-    # Repartition FIRST: the doc table is one scan split, and without
-    # this the candidate stream (~10^6 screen evals) runs on ONE task
-    # (guide §2.5 input skew — measured 21 s vs 2 s).
-    nparts = docs.sparkSession.sparkContext.defaultParallelism
     cnt_cols = [
         (
             F.length("text") - F.length(F.translate("text", c, ""))
         ).alias(f"n{i}")
         for i, c in enumerate(LEV_SCREEN_CHARS)
     ]
-    # Both sides repartition before the count projection: the doc table
-    # is one scan split, and the 27-translate projection is ~3 s serial
-    # vs ~0.1 s spread over the cores — the build side pays the tiny
-    # exchange to parallelize the projection feeding the broadcast
-    # (measured: dropping it costs +3.2 s).
-    sided = docs.repartition(nparts).select(
+    # Both sides widen before the count projection: the doc table is
+    # one scan split locally, and the 27-translate projection is ~3 s
+    # serial vs ~0.1 s spread over the cores — the build side pays the
+    # tiny exchange to parallelize the projection feeding the broadcast
+    # (measured: dropping it costs +3.2 s). Gated on the planned scan
+    # width (r17): a cluster-scale doc scan skips the exchange.
+    from ..functions.partitioning import widen_for_rowlocal
+
+    sided = widen_for_rowlocal(docs).select(
         "doc_id",
         "text",
         F.length("text").alias("len"),
@@ -1898,8 +1939,20 @@ def qgram_complete_pairs_frame(
     dist = F.when(
         order_ok & screen_ok, F.expr(f"levenshtein(ta, tb, {k})")
     ).otherwise(F.lit(-1))
+    # Broadcast gate (ADVICE r16): the build side carries text + 28 int
+    # count columns per doc, so the hint is only safe while the doc
+    # frame is comfortably under the broadcast/driver budget. Catalyst's
+    # own size estimate of the input frame decides (driver-side plan
+    # statistics — no job); above the cap the hint is dropped and the
+    # length-key equi-join plans as a plain shuffled join AQE can
+    # skew-split. Local corpora are KBs, so the local plan keeps the
+    # broadcast unchanged.
+    b_est = int(
+        docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    build = F.broadcast(b) if b_est <= QGRAM_BROADCAST_MAX_BYTES else b
     return (
-        a.join(F.broadcast(b), "lb")
+        a.join(build, "lb")
         .filter(order_ok & screen_ok)
         .select("ad", "bd", dist.alias("dist"))
         .filter(F.col("dist") >= 0)

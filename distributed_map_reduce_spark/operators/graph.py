@@ -40,6 +40,18 @@ CC_MAX_ITER = 20
 # alone sizes a task; 200k rows ≈ a few MB per task.
 _EDGES_PER_PARTITION = 200_000
 
+# pagerank's in-plan dangling-mass computation is a whole-frame window
+# (Window.partitionBy() with no keys): one task holds and windows over
+# all |nodes| rank rows for that round. That beats the alternative's
+# extra scheduling round-trip while the rank vector is small, but it is
+# a single-task funnel at web-graph scale (ADVICE r16) — above this
+# node count pagerank() switches to the 1-row aggregate +
+# crossJoin(broadcast) dangling computation, which is fully
+# distributed. 2M rank rows ≈ 32 MB in one window task: comfortably
+# inside one task's memory, already past the point where the per-round
+# scheduling overhead the window saves has stopped mattering.
+PAGERANK_WINDOW_MAX_NODES = 2_000_000
+
 
 class _scoped_shuffle_width:
     """Scale the loop's shuffle width to the materialized edge count.
@@ -248,6 +260,7 @@ def pagerank(
     dst: str,
     damping: float = 0.85,
     iters: int = 10,
+    inplane_dangling: bool | None = None,
 ) -> DataFrame:
     """(node, rank) after a fixed number of power iterations — the
     second iterative algorithm next to connected components, same
@@ -270,10 +283,12 @@ def pagerank(
     cost ~0.9 s/round of pure per-round machinery at sf0.1, vs ~0.35
     s/round fused). The dangling window sums the SAME addends the old
     1-row aggregate summed (the left join is 1:1 per node, sum ignores
-    the nulls), so the mass-conservation property is unchanged; the
-    whole-frame window moves the ~|nodes| rows to one partition, which
-    at cluster scale is still one rank vector — tiny next to the edge
-    join that precedes it.
+    the nulls), so the mass-conservation property is unchanged. The
+    whole-frame window moves the ~|nodes| rows through one task per
+    round — gated by :data:`PAGERANK_WINDOW_MAX_NODES` (r17, ADVICE
+    r16): above it the round falls back to the fully distributed
+    aggregate + crossJoin(broadcast) shape. ``inplane_dangling``
+    overrides the gate (tests exercise both branches on one graph).
     """
     # _scoped_shuffle_width around the WHOLE body, sized by the raw
     # (pre-distinct) edge count — an upper bound on |e| that costs one
@@ -304,6 +319,20 @@ def pagerank(
             "deg", F.count(F.lit(1)).over(Window.partitionBy("s"))
         ).localCheckpoint()
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        # Dangling-mass shape gate (ADVICE r16): the fused whole-frame
+        # window funnels all |nodes| rank rows through ONE task per
+        # round — the right trade while the rank vector is small (it
+        # removes a full per-round scheduling round-trip, measured
+        # ~0.9 -> ~0.35 s/round at sf0.1), a single-task wall at
+        # web-graph scale. Above PAGERANK_WINDOW_MAX_NODES the round
+        # computes the same sum as a 1-row aggregate re-attached by
+        # crossJoin(broadcast) — fully distributed, one extra tiny
+        # execution per round. Both branches sum the SAME addends
+        # (recv is 1:1 per node), so mass conservation and the fixed
+        # point are unchanged; only IEEE accumulation order may differ
+        # (property-pinned in tests/test_graph.py).
+        if inplane_dangling is None:
+            inplane_dangling = n <= PAGERANK_WINDOW_MAX_NODES
         wall = Window.partitionBy()
         for _ in range(iters):
             recv = (
@@ -312,16 +341,29 @@ def pagerank(
                 .groupBy(F.col("d").alias("node"))
                 .agg(F.sum(F.col("rank") / F.col("deg")).alias("recv"))
             )
-            # mass conservation: what non-dangling nodes sent is
-            # sum(recv), so dangling mass = 1 - sum(recv) — computed
-            # in-plan by a whole-frame window over the joined rank rows
-            # (recv is 1:1 per node; sum skips the nulls of
-            # contribution-less nodes).
-            dm = F.lit(1.0) - F.coalesce(
-                F.sum("recv").over(wall), F.lit(0.0)
-            )
+            if inplane_dangling:
+                # mass conservation: what non-dangling nodes sent is
+                # sum(recv), so dangling mass = 1 - sum(recv) —
+                # computed in-plan by a whole-frame window over the
+                # joined rank rows (recv is 1:1 per node; sum skips the
+                # nulls of contribution-less nodes).
+                dm = F.lit(1.0) - F.coalesce(
+                    F.sum("recv").over(wall), F.lit(0.0)
+                )
+                joined = nodes.join(recv, "node", "left")
+            else:
+                # distributed dangling mass: one 1-row aggregate over
+                # recv, re-attached as a broadcast scalar — no
+                # single-task window over the rank vector.
+                sent = recv.agg(
+                    F.coalesce(F.sum("recv"), F.lit(0.0)).alias("sent")
+                )
+                dm = F.lit(1.0) - F.col("sent")
+                joined = nodes.join(recv, "node", "left").crossJoin(
+                    F.broadcast(sent)
+                )
             ranks = (
-                nodes.join(recv, "node", "left")
+                joined
                 .select(
                     "node",
                     (
@@ -344,17 +386,18 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    # Repartition BEFORE the per-row work: the lineitem parquet is one
+    # Widen BEFORE the per-row work: the lineitem parquet is one
     # row group, so the scan is one task and the distinct's map-side
     # partial aggregation would run serially there (measured 2.5 s of
-    # the 5.4 s total; guide §2.5 input skew). The exchange ships two
-    # int columns and unlocks full-width map work. Node ids ride the
+    # the 5.4 s total; guide §2.5 input skew; r17: width-gated). The
+    # exchange ships two int columns and unlocks full-width map work. Node ids ride the
     # whole loop as LONGS (even = part, odd = supplier — guide §2.3
     # narrower types: 16-byte join/shuffle keys instead of ~24-byte
     # strings and long hashing throughout); the "p"/"s" rendering is
     # applied to the final 20 rows only.
-    nparts = spark.sparkContext.defaultParallelism
-    edges = li.select("l_partkey", "l_suppkey").repartition(nparts).select(
+    from ..functions.partitioning import widen_for_rowlocal
+
+    edges = widen_for_rowlocal(li.select("l_partkey", "l_suppkey")).select(
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )

@@ -4919,18 +4919,19 @@ def q237_try_arithmetic_census(
     ONE 3-group hash aggregate with COUNT/MIN/MAX partials map-side.
     Zero extra shuffle vs a plain census — fault tolerance priced at
     one CASE per word."""
-    # Repartition before the try-arithmetic projection: lineitem is one
+    # Widen before the try-arithmetic projection: lineitem is one
     # row group (one scan task), and the deliberately-overflowing try_*
     # words are the most expensive row-local math in the suite (each
     # overflow is an internal JVM exception) — serial there otherwise
-    # (guide §2.5; measured 3.8 s -> 1.9 s at sf0.1).
-    _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_orderkey", "l_partkey", "l_linenumber"
-    ).repartition(
-        spark.sparkContext.defaultParallelism
-    ).createOrReplaceTempView(
-        "__q237_lineitem"
-    )
+    # (guide §2.5; measured 3.8 s -> 1.9 s at sf0.1; r17: width-gated
+    # so a many-split cluster scan skips the exchange).
+    from ..functions.partitioning import widen_for_rowlocal
+
+    widen_for_rowlocal(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_orderkey", "l_partkey", "l_linenumber"
+        )
+    ).createOrReplaceTempView("__q237_lineitem")
     return spark.sql(
         f"""
 WITH big AS (
@@ -5211,12 +5212,15 @@ def q249_json_shape_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     record as JSON (/root/reference/src/mr/worker.go:240-252,
     json.NewEncoder per partition file); to_json/json_* are that
     surface with schema introspection added."""
-    # Repartition: the JSON rendering + introspection is row-local work
-    # serialized in the one-row-group scan task otherwise (guide §2.5).
-    _t(spark, sf_dir, "orders").select(
-        "o_orderpriority", "o_orderkey", "o_orderstatus"
-    ).repartition(
-        spark.sparkContext.defaultParallelism
+    # Widen: the JSON rendering + introspection is row-local work
+    # serialized in the one-row-group scan task otherwise (guide §2.5;
+    # r17: width-gated).
+    from ..functions.partitioning import widen_for_rowlocal
+
+    widen_for_rowlocal(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_orderkey", "o_orderstatus"
+        )
     ).createOrReplaceTempView("__q249_orders")
     return spark.sql(
         """
@@ -5490,13 +5494,15 @@ def q255_map_entries_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     record (/root/reference/src/mr/rpc.go:38-41); str_to_map lifts a
     serialized pair list back into the engine as a first-class
     value."""
-    # Repartition: the map build + four map HOFs per row are row-local
+    # Widen: the map build + four map HOFs per row are row-local
     # work serialized in the one-row-group scan task otherwise
-    # (guide §2.5).
-    _t(spark, sf_dir, "orders").select(
-        "o_orderpriority", "o_orderstatus", "o_orderkey"
-    ).repartition(
-        spark.sparkContext.defaultParallelism
+    # (guide §2.5; r17: width-gated).
+    from ..functions.partitioning import widen_for_rowlocal
+
+    widen_for_rowlocal(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_orderstatus", "o_orderkey"
+        )
     ).createOrReplaceTempView("__q255_orders")
     return spark.sql(
         """

@@ -104,12 +104,13 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(qid, doc_id, score): the full rounded BM25 score frame q93
     ranks and q126 fuses — batch construction of the tf/dl state."""
     docs = load_table(spark, sf_dir, "documents")
-    # Repartition before the tokenizer explode: one-row-group scan =
-    # one task for the regexp split otherwise (guide §2.5; the
-    # _doc_shingles rationale).
-    toks = docs.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    ).select(
+    # Widen before the tokenizer explode: one-row-group scan = one task
+    # for the regexp split otherwise (guide §2.5; the _doc_shingles
+    # rationale; r17: width-gated so a many-split cluster scan skips
+    # the exchange).
+    from ..functions.partitioning import widen_for_rowlocal
+
+    toks = widen_for_rowlocal(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token")
     )
     # tf feeds four consumers (probe join side, dl, dfreq, and stats
@@ -213,21 +214,21 @@ def q126_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both input rankings are per-query top-k frames (tiny);
     the fusion is one full-outer join on (qid, doc_id) + row-local
-    reciprocal arithmetic + a WindowGroupLimit. The scored BM25 frame
-    is cut at a lazy localCheckpoint (the q182 shared-frame rule,
-    VERDICT r12 item 6): the fused plan then starts from the
-    materialized (qid, doc_id, score) frame instead of replaying q93's
-    full 24-exchange DAG inside this plan tree — stage count is what
-    it costs, values are identical (rounding happens before the cut).
-    Fault-tolerance tradeoff (ADVICE r13): localCheckpoint TRUNCATES
-    lineage, so losing an executor that held cached blocks fails the
-    query instead of recomputing — fine on the single-JVM bench
-    harness; on a real 1000-executor cluster the recomputable spelling
-    is persist() (or reliable checkpoint()) at the same cut point.
+    reciprocal arithmetic + a WindowGroupLimit. r17 checkpoint fusion
+    (VERDICT r16 item 1): the scored BM25 frame previously cut here at
+    its own lazy localCheckpoint, but under AQE that checkpoint
+    materializes as a SERIALIZED mini-execution at build time, and
+    `lex` has exactly ONE consumer — so the cut bought no reuse, only
+    an extra scheduling round-trip. The plan-size concern the cut
+    addressed is already covered by the tf checkpoint inside
+    _bm25_scored (the corpus is tokenized once); the scored sub-DAG
+    from that cut onward now rides inline in this one execution.
+    Values identical either way (rounding happens inside
+    _bm25_scored's expression tree).
     Determinism: both input ranks tie-break on rounded score then
     doc_id; rrf sums two exact small-integer reciprocals, rounded to
     6 dp."""
-    lex = _bm25_scored(spark, sf_dir).localCheckpoint(eager=False)
+    lex = _bm25_scored(spark, sf_dir)
     wl = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
@@ -348,13 +349,15 @@ def q127_hard_negatives(
     detector swaps for LSH/prefix candidates (q25/q104) unchanged;
     ``pairs=`` accepts the persisted bucketed store, which collapses
     this composition's plan from re-deriving the whole q24 DAG inline
-    to one bucketed scan (exchange counts in PLANS.md). The scored
-    frame is cut at a lazy localCheckpoint (the q182 shared-frame
-    rule, VERDICT r12 item 6) so the anti-join plan starts from the
-    materialized score frame rather than inlining q93's whole DAG."""
+    to one bucketed scan (exchange counts in PLANS.md). r17 checkpoint
+    fusion (VERDICT r16 item 1, q126's rationale): the scored frame
+    has ONE consumer here, so its former localCheckpoint cut was a
+    pure extra build-time mini-execution under AQE — the tf
+    checkpoint inside _bm25_scored already bounds plan size and
+    tokenizes the corpus once."""
     from .dedup import resolve_pairs
 
-    scored = _bm25_scored(spark, sf_dir).localCheckpoint(eager=False)
+    scored = _bm25_scored(spark, sf_dir)
     pairs = resolve_pairs(spark, sf_dir, pairs).select("ad", "bd")
     dup = pairs.unionByName(
         pairs.select(F.col("bd").alias("ad"), F.col("ad").alias("bd"))

@@ -173,17 +173,36 @@ def _ivf_fit_centers(emb: DataFrame) -> list[list[float]]:
     Deterministic: seeded sample, first-K init, fixed rounds."""
     import numpy as np
 
+    vecs = emb.select(F.col("embedding").cast("array<double>").alias("v"))
     sample = np.array(
         [
             r["v"]
-            for r in emb.select(
-                F.col("embedding").cast("array<double>").alias("v")
-            )
-            .sample(fraction=0.5, seed=42)
+            for r in vecs.sample(fraction=0.5, seed=42)
             .limit(IVF_FIT_CAP)
             .collect()
         ]
     )
+    # Tiny-corpus guards (ADVICE r16): an empty sample would raise an
+    # opaque numpy broadcasting error below; a sample shorter than
+    # IVF_K would silently train fewer than K cells and change the
+    # nProbe/K semantics. A Bernoulli sample of a tiny frame can come
+    # back empty while the frame is not — retry unsampled before
+    # declaring the input empty; fail loudly only on a truly empty
+    # frame; cycle the rows deterministically up to K otherwise
+    # (duplicate centers are harmless for argmin assignment — first
+    # position wins ties).
+    if len(sample) == 0:
+        sample = np.array(
+            [r["v"] for r in vecs.limit(IVF_FIT_CAP).collect()]
+        )
+    if len(sample) == 0:
+        raise ValueError(
+            "_ivf_fit_centers: the embeddings frame has no rows — "
+            f"cannot fit an IVF coarse quantizer with {IVF_K} cells"
+        )
+    if len(sample) < IVF_K:
+        reps = -(-IVF_K // len(sample))  # ceil
+        sample = np.tile(sample, (reps, 1))[:IVF_K]
     C = sample[:IVF_K].copy()
     for _ in range(IVF_FIT_ITERS):
         d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -233,13 +252,15 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable). Seeded, but cell assignment is still
     float-sensitive => approximate by design, rows-only check.
     """
-    # Repartition first: the embeddings parquet is one row group (one
-    # scan task), and every downstream step here is row-local HOF math
+    # Widen first: the embeddings parquet is one row group (one scan
+    # task), and every downstream step here is row-local HOF math
     # (assignment argmin, per-cell distances) that would otherwise run
-    # serially in that task (guide §2.5 input skew).
-    emb = _emb(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # serially in that task (guide §2.5 input skew; r17: gated on the
+    # planned scan width so a many-split cluster scan skips the
+    # exchange).
+    from ..functions.partitioning import widen_for_rowlocal
+
+    emb = widen_for_rowlocal(_emb(spark, sf_dir))
     centers_list = _ivf_fit_centers(emb)
     assigned = _ivf_assign(emb, centers_list)
 
@@ -611,11 +632,16 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hot path, no original-vector access at query time. Approximate
     by design => rows-only registration; the recall floor vs exact q23
     lives in tests/test_similarity.py."""
-    # Repartition first: one-row-group scan, heavy row-local HOF math
-    # downstream (PQ encode, LUT build) — guide §2.5 input skew.
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    # Widen first: one-row-group scan, heavy row-local HOF math
+    # downstream (PQ encode, LUT build) — guide §2.5 input skew
+    # (r17: width-gated, the exploded_tokens rationale).
+    from ..functions.partitioning import widen_for_rowlocal
+
+    emb = widen_for_rowlocal(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
     # Deterministic sampled codebook fit (the FAISS recipe, as in
     # ann_ivf): collect a BOUNDED sample (256 vectors regardless of
     # corpus size) and run per-subspace Lloyd k-means on the driver
@@ -686,11 +712,16 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only; recall floor in tests/test_similarity.py."""
     import numpy as np
 
-    # Repartition first: one-row-group scan, heavy row-local HOF math
-    # downstream (residuals, PQ encode) — guide §2.5 input skew.
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    # Widen first: one-row-group scan, heavy row-local HOF math
+    # downstream (residuals, PQ encode) — guide §2.5 input skew
+    # (r17: width-gated, the exploded_tokens rationale).
+    from ..functions.partitioning import widen_for_rowlocal
+
+    emb = widen_for_rowlocal(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
     centers_list = _ivf_fit_centers(
         emb.select("vec_id", F.col("v").alias("embedding"))
     )

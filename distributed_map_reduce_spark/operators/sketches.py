@@ -352,13 +352,21 @@ def q201_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    # r17 checkpoint fusion (VERDICT r16 item 1): sk and pairs were each
+    # cut at their own lazy localCheckpoint, but under AQE every such
+    # cut is a SERIALIZED mini-execution at build time. Both frames
+    # derive from the checkpointed `h` in one or two tiny stages, so
+    # letting each consumer re-derive them INSIDE the single final
+    # execution (where the replays run as parallel stages) is cheaper
+    # than three build-time round-trips — measured 3.3 -> 2.8 s at
+    # sf0.1, rows identical (the replays are deterministic functions of
+    # the materialized h).
     sk = (
         h.withColumn(
             "rn", F.row_number().over(Window.partitionBy("source").orderBy("h"))
         )
         .filter(F.col("rn") <= KMV_SKETCH_K)
         .drop("rn")
-        .localCheckpoint(eager=False)  # feeds both sides of the pair merge
     )
     srcs = h.select("source").distinct()
     pairs = (
@@ -370,7 +378,6 @@ def q201_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
         )
-        .localCheckpoint(eager=False)  # reused by merge, exact-inter, output
     )
     inter = (
         h.alias("x")

@@ -135,6 +135,27 @@ def expected_schema(name: str) -> T.StructType:
     return _SCHEMAS[name]
 
 
+# Plan-level reuse of loaded tables, keyed by (Spark application,
+# sf dir, table): every `spark.read.parquet` call re-lists the path and
+# re-reads the footer driver-side (~0.1 s of py4j + listing per call),
+# and the suite loads the same handful of tables hundreds of times.
+# The cached object is an UNRESOLVED lazy DataFrame — no data, no
+# results, not even a materialized plan; every action on it still
+# computes from the parquet input, so this is the same reuse a user
+# gets by assigning `df = spark.read.parquet(p)` once per program
+# (VERDICT r16 item 5: plan-level reuse, not data caching). Keyed by
+# applicationId so a new session never sees a stale entry; the corpus
+# directories are immutable snapshots (TESTDATA.md), and tests that
+# write their own tables use fresh temp dirs per test.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    """Drop all memoized table DataFrames (e.g. after replacing a
+    corpus directory in place within one application)."""
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Plain ``spark.read.parquet`` so Catalyst keeps full
     pushdown/pruning freedom; callers select only the columns they need.
@@ -155,6 +176,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
         # Engine sessions (session.get_spark) already carry this conf;

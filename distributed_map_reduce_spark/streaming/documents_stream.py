@@ -98,18 +98,31 @@ def q130_streaming_bm25_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one task (single parquet file), so the regexp split + explode
     # would otherwise run serially there; the state shuffle that
     # follows happens either way (guide §2.5; the _doc_shingles
-    # rationale on the streaming path).
-    toks = documents_stream(spark, sf_dir).select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
+    # rationale on the streaming path). widen_for_rowlocal falls back
+    # to this unconditional repartition on streams (no planned width
+    # before execution) — a micro-batch is a crawl drop, not the
+    # corpus, so the exchange stays drop-sized at any scale.
+    from ..functions.partitioning import widen_for_rowlocal
+
+    toks = widen_for_rowlocal(
+        documents_stream(spark, sf_dir).select("doc_id", "text")
     ).select(
         "doc_id", F.explode(F.expr(SPARK_TOKS_EXPR)).alias("token")
     )
     tf_table = f"stream_q130_tf_{run}"
+    # UPDATE mode (r17; VERDICT r16 item 4): complete mode re-emits the
+    # ENTIRE (doc, token) state table — the suite's largest streaming
+    # state, ~260k rows at sf0.1 — into the memory sink every trigger.
+    # Update mode emits only the groups a batch changed; since tf per
+    # key is a monotone nondecreasing running count, the final state is
+    # exactly max(tf) per key over the update log, reduced below before
+    # scoring. Semantics-invariant for ANY micro-batching of the input
+    # (measured at sf0.1: 3.4 -> 2.8 s; same oracle hash).
     run_available_now(
         toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")),
         checkpoint_dir=tempfile.mkdtemp(prefix="dmrs_q130_tf_ckpt_"),
         table_name=tf_table,
-        output_mode="complete",
+        output_mode="update",
     )
     from ..sources import load_table
 
@@ -118,7 +131,12 @@ def q130_streaming_bm25_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins tf against its own df aggregate, and a memory-sink view
     # reused on both sides of a join trips analyzer reference conflicts
     # (same pattern as the batch path's tf checkpoint in retrieval.py).
-    tf = spark.table(tf_table).localCheckpoint(eager=False)
+    tf = (
+        spark.table(tf_table)
+        .groupBy("doc_id", "token")
+        .agg(F.max("tf").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     return bm25_topk(bm25_scores(tf, dl, qterms))
 
