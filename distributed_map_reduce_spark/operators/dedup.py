@@ -588,7 +588,26 @@ ORDER BY simhash
 
 # --- q27: embedding-cosine near-dup pairs -----------------------------------
 
-N_COS_BLOCKS = 16  # block-matmul grid; each vector replicated N+1 times
+N_COS_BLOCKS = 16  # block-matmul grid CAP; each vector replicated N+1 times
+
+
+def _cos_grid_blocks(spark: SparkSession) -> int:
+    """Block count for the q27 grid, derived from the session's
+    parallelism (r17; guide §1.2 step 3 after the shape was right):
+    the smallest N whose N*(N+1)/2 block pairs cover the cores, capped
+    at N_COS_BLOCKS. The result set is N-invariant (every unordered
+    vector pair meets in exactly ONE block pair and the float math per
+    pair is identical), so N tunes only task granularity: at local[32]
+    N=8 → 36 groups (measured 1.6 → 0.9 s: fewer Python-worker
+    invocations, each a bigger numpy matmul, and a (N+1)x → 9x smaller
+    replicated shuffle); a 1000-core cluster drives N up to the cap,
+    keeping every task's matmul bounded (the docstring's 100 TB
+    argument unchanged)."""
+    import math
+
+    par = spark.sparkContext.defaultParallelism
+    n = math.ceil((math.sqrt(8.0 * par + 1.0) - 1.0) / 2.0)
+    return max(4, min(N_COS_BLOCKS, n))
 
 
 def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,13 +627,14 @@ def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    n_blocks = _cos_grid_blocks(spark)
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < COS_MAX_ID)
         .select(
             "vec_id",
             "embedding",
-            (F.col("vec_id") % N_COS_BLOCKS).cast("int").alias("blk"),
+            (F.col("vec_id") % n_blocks).cast("int").alias("blk"),
         )
     )
     # literal JVM-side relation (no Python->RDD round trip)
@@ -623,8 +643,8 @@ def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(F.lit(i).alias("ba"), F.lit(j).alias("bb"))
-                    for i in range(N_COS_BLOCKS)
-                    for j in range(i, N_COS_BLOCKS)
+                    for i in range(n_blocks)
+                    for j in range(i, n_blocks)
                 ]
             )
         ).alias("g")
