@@ -135,19 +135,26 @@ def expected_schema(name: str) -> T.StructType:
     return _SCHEMAS[name]
 
 
-# Plan-level reuse of loaded tables, keyed by (Spark application,
-# sf dir, table): every `spark.read.parquet` call re-lists the path and
+# Plan-level reuse of loaded tables, keyed by (SparkSession, sf dir,
+# table): every `spark.read.parquet` call re-lists the path and
 # re-reads the footer driver-side (~0.1 s of py4j + listing per call),
 # and the suite loads the same handful of tables hundreds of times.
 # The cached object is an UNRESOLVED lazy DataFrame — no data, no
 # results, not even a materialized plan; every action on it still
 # computes from the parquet input, so this is the same reuse a user
 # gets by assigning `df = spark.read.parquet(p)` once per program
-# (VERDICT r16 item 5: plan-level reuse, not data caching). Keyed by
-# applicationId so a new session never sees a stale entry; the corpus
-# directories are immutable snapshots (TESTDATA.md), and tests that
-# write their own tables use fresh temp dirs per test.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# (VERDICT r16 item 5: plan-level reuse, not data caching). Keyed
+# WEAKLY by the exact session object — a DataFrame binds to the session
+# that read it, so a derived `newSession()` (stats.py's v2-conf scope)
+# or a fresh application can never be served another session's frame;
+# stopped sessions fall out of the map. The corpus directories are
+# immutable snapshots (TESTDATA.md), and tests that write their own
+# tables use fresh temp dirs per test.
+from weakref import WeakKeyDictionary
+
+_TABLE_CACHE: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
 
 
 def clear_table_cache() -> None:
@@ -176,12 +183,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
-    cached = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir.rstrip("/"), name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     df = _load_table_uncached(spark, sf_dir, name)
-    _TABLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 
