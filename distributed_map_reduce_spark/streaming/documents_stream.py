@@ -54,11 +54,18 @@ def q114_streaming_quality_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (complete mode, monotone counts). This is the template for running
     every stateless curation pass (q91 rules, q96 PII, q30 lang-id)
     over an append-only crawl without a backfill."""
+    from ..functions.partitioning import widen_for_rowlocal
     from ..operators.textanalysis import gopher_funnel, gopher_rule_frame
 
     table = f"stream_q114_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dmrs_q114_stream_ckpt_")
-    agged = gopher_funnel(gopher_rule_frame(documents_stream(spark, sf_dir)))
+    # Widen the single-file micro-batch before the rule projection (the
+    # theta-stream rationale; smaller effect here — the rules are
+    # cheaper than shingle hashing — measured ~0.1 s, output identical:
+    # the per-source aggregate is order-free).
+    agged = gopher_funnel(
+        gopher_rule_frame(widen_for_rowlocal(documents_stream(spark, sf_dir)))
+    )
     run_available_now(
         agged,
         checkpoint_dir=ckpt,
@@ -237,8 +244,18 @@ def theta_sketch_stream(docs: DataFrame) -> DataFrame:
             }
         )
 
+    # Repartition before the shingle explode + md5 hash: a single-file
+    # micro-batch is ONE task, so the widest JVM-side row work in this
+    # stream (~500k shingle hashes at sf0.1) ran serially there (the
+    # q130 tokenizer fix applied to the sketch path — r17; measured
+    # 1.9-2.6 -> 1.4-2.2 s per drain, output bit-identical: the KMV
+    # fold is a set function of its input, so row order is immaterial).
+    # The grouped-state shuffle that follows happens either way.
+    from ..functions.partitioning import widen_for_rowlocal
+
     return (
-        docs.select("source", F.expr(_SPARK_TOKS).alias("toks"))
+        widen_for_rowlocal(docs.select("source", "text"))
+        .select("source", F.expr(_SPARK_TOKS).alias("toks"))
         .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("token"))
         .select("source", _kmv_hash("token").alias("h"))
         .groupBy("source")
